@@ -1,0 +1,188 @@
+"""Codec framework: encode a ``pyarrow.Array`` → (payload bytes, JSON meta).
+
+Every codec is lossless and deterministic (requirement for bit-identical
+round-trip under Ray task retries — SURVEY.md §4.2). The reference engine
+hard-codes parquet-mr's encoding (Writer.java:20-36); here each column
+chunk picks its own codec (BASELINE.json north_rule).
+
+Framing: a payload may hold several sections (validity bitmap, child
+payloads, ...) packed with :func:`pack_sections`. Meta is a plain
+JSON-serializable dict so it can live in the lineage manifest.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pyarrow as pa
+
+# ------------------------------------------------------------- section framing
+
+
+def pack_sections(sections: list[bytes]) -> bytes:
+    head = np.array([len(sections)] + [len(s) for s in sections], dtype="<u8").tobytes()
+    return head + b"".join(sections)
+
+
+def unpack_sections(buf: bytes) -> list[bytes]:
+    (count,) = np.frombuffer(buf, dtype="<u8", count=1)
+    lens = np.frombuffer(buf, dtype="<u8", count=int(count), offset=8)
+    out, off = [], 8 + 8 * int(count)
+    for ln in lens:
+        out.append(buf[off : off + int(ln)])
+        off += int(ln)
+    return out
+
+
+# ------------------------------------------------------------- type round-trip
+
+
+def type_to_b64(t: pa.DataType) -> str:
+    return base64.b64encode(pa.schema([pa.field("v", t)]).serialize().to_pybytes()).decode()
+
+
+def type_from_b64(s: str) -> pa.DataType:
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(s))).field("v").type
+
+
+# ------------------------------------------------------------------- null mask
+
+
+def pack_validity(arr: pa.Array) -> bytes:
+    """Little-endian bit-packed validity (1 = valid). Empty bytes if no nulls."""
+    if arr.null_count == 0:
+        return b""
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    return np.packbits(valid, bitorder="little").tobytes()
+
+
+def unpack_validity(buf: bytes, n: int) -> np.ndarray | None:
+    """Return bool ndarray of valid slots, or None when there were no nulls."""
+    if not buf:
+        return None
+    return np.unpackbits(np.frombuffer(buf, np.uint8), count=n, bitorder="little").astype(bool)
+
+
+# ------------------------------------------------------------------ IPC helper
+
+
+def ipc_write(arr: pa.Array | pa.ChunkedArray, compression: str | None = None) -> bytes:
+    """Serialize one array via Arrow IPC (handles every type incl. nested)."""
+    t = pa.table({"v": arr})
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression=compression)
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def ipc_read(buf: bytes) -> pa.Array:
+    t = pa.ipc.open_stream(pa.py_buffer(buf)).read_all()
+    return t.column("v").combine_chunks()
+
+
+# ------------------------------------------------------- general compression
+
+
+def compress(buf: bytes, codec: str = "zstd") -> bytes:
+    return pa.Codec(codec).compress(buf, asbytes=True)
+
+
+def decompress(buf: bytes, decompressed_size: int, codec: str = "zstd") -> bytes:
+    return pa.Codec(codec).decompress(buf, decompressed_size=decompressed_size, asbytes=True)
+
+
+# ------------------------------------------------------------------ bit-packing
+
+
+def bit_width(max_val: int) -> int:
+    return int(max_val).bit_length()
+
+
+def pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values into ``width``-bit little-endian codes."""
+    if width == 0 or len(vals) == 0:
+        return b""
+    vals = vals.astype(np.uint64, copy=False)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width, bitorder="little")
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits.reshape(n, width).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def zigzag_encode(d: np.ndarray) -> np.ndarray:
+    d = d.astype(np.int64, copy=False)
+    return ((d << 1) ^ (d >> 63)).view(np.uint64)
+
+
+def zigzag_decode(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint64, copy=False)
+    return ((z >> np.uint64(1)).astype(np.int64)) ^ -((z & np.uint64(1)).astype(np.int64))
+
+
+# ------------------------------------------------------------- numeric helpers
+
+_INT_TYPES = {
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+}
+
+
+def is_int_like(t: pa.DataType) -> bool:
+    """Integer, timestamp, date, time, duration, bool — all int-castable losslessly."""
+    return (
+        t in _INT_TYPES
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+        or pa.types.is_duration(t)
+        or pa.types.is_boolean(t)
+    )
+
+
+def to_int64_values(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
+    """(int64 values with nulls replaced by 0/False, valid mask or None)."""
+    valid = None
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    if pa.types.is_boolean(arr.type):
+        filled = arr.fill_null(False)
+        return filled.to_numpy(zero_copy_only=False).astype(np.int64), valid
+    ints = arr.cast(pa.int64()) if arr.type != pa.int64() else arr
+    if ints.null_count:
+        ints = ints.fill_null(0)
+    return ints.to_numpy(zero_copy_only=False).astype(np.int64, copy=False), valid
+
+
+def from_int64_values(vals: np.ndarray, valid: np.ndarray | None, t: pa.DataType) -> pa.Array:
+    mask = None if valid is None else ~valid
+    if pa.types.is_boolean(t):
+        return pa.array(vals.astype(bool), type=t, mask=mask)
+    a = pa.array(vals.astype(np.int64, copy=False), type=pa.int64(), mask=mask)
+    return a.cast(t) if t != pa.int64() else a
+
+
+class Codec:
+    """Interface. Subclasses are stateless; all methods are classmethods."""
+
+    name: str = "abstract"
+
+    @classmethod
+    def can_encode(cls, t: pa.DataType) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    @classmethod
+    def encode(cls, arr: pa.Array) -> tuple[bytes, dict]:  # pragma: no cover
+        raise NotImplementedError
+
+    @classmethod
+    def decode(cls, payload: bytes, meta: dict) -> pa.Array:  # pragma: no cover
+        raise NotImplementedError

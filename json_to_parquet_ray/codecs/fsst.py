@@ -1,0 +1,346 @@
+"""FSST (Fast Static Symbol Table) string compression, from scratch.
+
+Public-knowledge implementation of the algorithm in Boncz, Neumann &
+Leis, "FSST: Fast Random Access String Compression" (VLDB 2020): train a
+table of up to 255 symbols (1-8 bytes) by iterated greedy parsing of a
+sample, counting symbol and concatenated-pair frequencies, keeping the
+top candidates by gain = frequency x length. Encoding replaces symbol
+occurrences with 1-byte codes; bytes not covered by the table are
+escaped as (0xFF, byte). pyarrow 16.1.0 ships no FSST kernel (verified),
+so this is hand-rolled (SURVEY.md §7.5).
+
+Engineering choices for a pure-Python/numpy implementation:
+
+- The **encoder** compiles the symbol table into one regex alternation
+  sorted by length (longest first). ``pattern.split`` with a capturing
+  group does the whole scan in C; Python only maps the resulting parts
+  (codes via dict, gaps via a tiny escape cache). This is a deterministic
+  leftmost-longest-ish parse — any deterministic parse decodes exactly.
+- The **column layout** concatenates all strings of the chunk into one
+  buffer, encodes it in a single pass, and stores the *original* string
+  lengths (bit-packed) — so symbols may span string boundaries and
+  decode restores the exact byte stream, split by the stored lengths.
+- The **decoder** is vectorized: codes → (offset, length) gathers into a
+  concatenated symbol buffer via ``np.repeat`` indexing; escape runs are
+  resolved run-wise (rare in text).
+
+The per-partition symbol table is trained once per chunk (or shared via
+the encoder actor pool for all chunks of a partition — BASELINE.json
+north_star "FSST symbol tables ... shared across batches of the same
+partition").
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from .base import (
+    Codec,
+    bit_width,
+    compress,
+    decompress,
+    pack_bits,
+    pack_sections,
+    pack_validity,
+    type_from_b64,
+    type_to_b64,
+    unpack_bits,
+    unpack_sections,
+    unpack_validity,
+)
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYMBOL_LEN = 8
+_SAMPLE_CAP = 1 << 16  # 64 KiB training sample
+_GENERATIONS = 5
+
+
+# ------------------------------------------------------------------- training
+
+
+def train(sample: bytes, generations: int = _GENERATIONS,
+          max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
+    """Train a symbol table on ``sample``. Deterministic."""
+    sample = sample[:_SAMPLE_CAP]
+    if not sample:
+        return []
+    symbols: list[bytes] = []
+    for _ in range(generations):
+        counts: Counter[bytes] = Counter()
+        pair_counts: Counter[bytes] = Counter()
+        if symbols:
+            pattern = _compile(symbols)
+            code_set = set(symbols)
+            parts = pattern.split(sample)
+        else:
+            code_set = set()
+            parts = [sample]
+        prev: bytes | None = None
+        for i, part in enumerate(parts):
+            if i % 2 == 1:  # a matched symbol
+                counts[part] += 1
+                if prev is not None and len(prev) + len(part) <= MAX_SYMBOL_LEN:
+                    pair_counts[prev + part] += 1
+                prev = part
+            else:  # literal gap: single bytes
+                for j in range(len(part)):
+                    b = part[j : j + 1]
+                    counts[b] += 1
+                    if prev is not None and len(prev) + 1 <= MAX_SYMBOL_LEN:
+                        pair_counts[prev + b] += 1
+                    prev = b
+        gains: dict[bytes, int] = {}
+        for s, c in counts.items():
+            gains[s] = gains.get(s, 0) + c * len(s)
+        for s, c in pair_counts.items():
+            gains[s] = gains.get(s, 0) + c * len(s)
+        # deterministic: sort by (-gain, symbol)
+        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
+        symbols = [s for s, _ in ranked[:max_symbols]]
+        if set(symbols) == code_set:
+            break
+    return symbols
+
+
+def _compile(symbols: list[bytes]) -> re.Pattern:
+    ordered = sorted(symbols, key=len, reverse=True)
+    return re.compile(b"(" + b"|".join(map(re.escape, ordered)) + b")")
+
+
+# ------------------------------------------------------------- table (de)ser
+
+
+def serialize_table(symbols: list[bytes]) -> bytes:
+    lens = bytes(len(s) for s in symbols)
+    return bytes([len(symbols)]) + lens + b"".join(symbols)
+
+
+def deserialize_table(buf: bytes) -> list[bytes]:
+    n = buf[0]
+    lens = buf[1 : 1 + n]
+    out, off = [], 1 + n
+    for l in lens:
+        out.append(buf[off : off + l])
+        off += l
+    return out
+
+
+# --------------------------------------------------------------------- encode
+
+
+class FsstEncoder:
+    """Compiled symbol table: reusable across chunks of a partition.
+
+    The encoder is fully vectorized: for every input position it finds the
+    longest matching symbol (rolling big-endian window values +
+    ``searchsorted`` per symbol length), then extracts the greedy
+    left-to-right parse with pointer doubling (O(n log n) numpy gathers
+    instead of a Python byte loop).
+    """
+
+    _CHUNK = 1 << 22  # encode in 4 MiB pieces to bound doubling rounds
+
+    def __init__(self, symbols: list[bytes]):
+        self.symbols = symbols
+        # per-length sorted big-endian values + codes
+        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._lut1 = np.full(256, -1, np.int64)
+        # 2-byte-prefix prefilter: positions whose next two bytes never start
+        # a multi-byte symbol skip all window hashing (the common case)
+        self._pre2 = np.zeros(65536, bool)
+        for code, s in enumerate(symbols):
+            if len(s) == 1:
+                self._lut1[s[0]] = code
+            else:
+                self._pre2[(s[0] << 8) | s[1]] = True
+        for L in range(2, MAX_SYMBOL_LEN + 1):
+            group = [(c, s) for c, s in enumerate(symbols) if len(s) == L]
+            if not group:
+                continue
+            vals = np.array([int.from_bytes(s, "big") for _, s in group], np.uint64)
+            codes = np.array([c for c, _ in group], np.int64)
+            order = np.argsort(vals)
+            self._by_len[L] = (vals[order], codes[order])
+
+    def encode(self, data: bytes) -> bytes:
+        if not data:
+            return b""
+        out = []
+        for off in range(0, len(data), self._CHUNK):
+            out.append(self._encode_chunk(data[off : off + self._CHUNK]))
+        return b"".join(out)
+
+    def _encode_chunk(self, data: bytes) -> bytes:
+        a = np.frombuffer(data, np.uint8)
+        n = len(a)
+        best_len = np.zeros(n, np.int64)
+        best_code = np.full(n, -1, np.int64)
+        m1 = self._lut1[a] >= 0
+        best_len[m1] = 1
+        best_code[m1] = self._lut1[a[m1]]
+        a64 = a.astype(np.uint64)
+        if n >= 2 and self._by_len:
+            # candidate positions: 2-byte prefix starts some multi-byte symbol
+            two = (a64[:-1] << np.uint64(8)) | a64[1:]
+            cand = np.flatnonzero(self._pre2[two.astype(np.int64)])
+            for L in range(2, MAX_SYMBOL_LEN + 1):  # ascending → longest wins last
+                entry = self._by_len.get(L)
+                if entry is None or n < L:
+                    continue
+                c = cand[cand <= n - L]
+                if not len(c):
+                    continue
+                svals, scodes = entry
+                wv = np.zeros(len(c), np.uint64)
+                for j in range(L):
+                    wv = (wv << np.uint64(8)) | a64[c + j]
+                pos = np.searchsorted(svals, wv)
+                pos_c = np.minimum(pos, len(svals) - 1)
+                hit = svals[pos_c] == wv
+                idx = c[hit]
+                best_len[idx] = L
+                best_code[idx] = scodes[pos_c[hit]]
+        step = np.where(best_len > 0, best_len, 1)
+        # greedy parse chain from position 0 via pointer doubling
+        nxt = np.minimum(np.arange(n, dtype=np.int64) + step, n)
+        nxt = np.append(nxt, n)  # nxt[n] = n (fixpoint)
+        chain = np.array([0], np.int64)
+        jump = nxt
+        while chain[-1] < n and len(chain) < n:
+            nxt_part = jump[chain]
+            chain = np.concatenate([chain, nxt_part])
+            if nxt_part[-1] >= n:
+                break
+            jump = jump[jump]
+        chain = np.unique(chain)
+        chain = chain[chain < n]
+        codes = best_code[chain]
+        is_lit = codes < 0
+        out_len = np.where(is_lit, 2, 1)
+        out_off = np.zeros(len(chain), np.int64)
+        if len(chain) > 1:
+            np.cumsum(out_len[:-1], out=out_off[1:])
+        total = int(out_len.sum())
+        out = np.empty(total, np.uint8)
+        sym_pos = out_off[~is_lit]
+        out[sym_pos] = codes[~is_lit].astype(np.uint8)
+        lit_pos = out_off[is_lit]
+        out[lit_pos] = ESCAPE
+        out[lit_pos + 1] = a[chain[is_lit]]
+        return out.tobytes()
+
+
+def fsst_decode(enc: bytes, symbols: list[bytes]) -> bytes:
+    """Vectorized decode of an FSST byte stream."""
+    if not enc:
+        return b""
+    arr = np.frombuffer(enc, np.uint8)
+    n = len(arr)
+    # classify escape bytes: within each maximal run of 0xFF, even offsets
+    # are escapes; an odd-length run's final escape consumes the following
+    # non-FF byte as its literal.
+    is_token = np.ones(n, bool)  # token start positions (code or escape)
+    is_escape = np.zeros(n, bool)
+    pos = np.flatnonzero(arr == ESCAPE)
+    if len(pos):
+        # an FF is an escape iff it sits at an even offset within its
+        # maximal FF-run (the odd offsets are the escaped literal FFs)
+        new_run = np.concatenate(([True], np.diff(pos) > 1))
+        run_starts = pos[new_run]
+        run_idx = np.cumsum(new_run) - 1
+        offset_in_run = pos - run_starts[run_idx]
+        esc_pos = pos[offset_in_run % 2 == 0]
+        is_escape[esc_pos] = True
+        nxt = esc_pos + 1
+        is_token[nxt[nxt < n]] = False  # literal slots are not tokens
+    tok = np.flatnonzero(is_token)
+    # extended code space: 0..len(symbols)-1 = symbols, 256+b = literal byte b
+    esc_tok = is_escape[tok]
+    codes = np.where(esc_tok, 256 + arr[np.minimum(tok + 1, n - 1)].astype(np.int64),
+                     arr[tok].astype(np.int64))
+    sym_lens = np.array([len(s) for s in symbols] + [0] * (256 - len(symbols)) +
+                        [1] * 256, np.int64)
+    sym_buf = b"".join(symbols) + bytes(range(256))
+    sym_offs = np.zeros(512, np.int64)
+    np.cumsum(sym_lens[:-1], out=sym_offs[1:])
+    buf = np.frombuffer(sym_buf, np.uint8)
+    lens = sym_lens[codes]
+    offs = sym_offs[codes]
+    total = int(lens.sum())
+    out_starts = np.zeros(len(codes), np.int64)
+    if len(codes) > 1:
+        np.cumsum(lens[:-1], out=out_starts[1:])
+    idx = np.repeat(offs, lens) + (np.arange(total) - np.repeat(out_starts, lens))
+    return buf[idx].tobytes()
+
+
+# --------------------------------------------------------------- codec class
+
+
+def _concat_binary(arr: pa.Array) -> tuple[bytes, np.ndarray]:
+    """(concatenated bytes of all values with nulls as empty, lengths array)."""
+    a = arr.fill_null(b"" if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else "")
+    a = a.cast(pa.large_binary())
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    offs = np.frombuffer(a.buffers()[1], np.int64, count=len(a) + 1, offset=a.offset * 8)
+    data_buf = a.buffers()[2]
+    data = data_buf.to_pybytes()[offs[0] : offs[-1]] if data_buf is not None else b""
+    return data, np.diff(offs)
+
+
+class FsstCodec(Codec):
+    name = "fsst"
+
+    @classmethod
+    def can_encode(cls, t: pa.DataType) -> bool:
+        return (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t))
+
+    @classmethod
+    def encode(cls, arr: pa.Array, encoder: FsstEncoder | None = None,
+               post_zstd: bool = False) -> tuple[bytes, dict]:
+        validity = pack_validity(arr)
+        data, lengths = _concat_binary(arr)
+        if encoder is None:
+            encoder = FsstEncoder(train(data))
+        enc = encoder.encode(data)
+        width = bit_width(int(lengths.max())) if len(lengths) else 0
+        lens_packed = pack_bits(lengths.astype(np.uint64), width)
+        meta = {"n": len(arr), "len_width": width, "type": type_to_b64(arr.type),
+                "zstd": bool(post_zstd)}
+        if post_zstd:
+            meta["enc_len"] = len(enc)
+            enc = compress(enc, "zstd")
+        payload = pack_sections(
+            [validity, serialize_table(encoder.symbols), lens_packed, enc]
+        )
+        return payload, meta
+
+    @classmethod
+    def decode(cls, payload: bytes, meta: dict) -> pa.Array:
+        validity, table_buf, lens_packed, enc = unpack_sections(payload)
+        n, width = meta["n"], meta["len_width"]
+        symbols = deserialize_table(table_buf) if table_buf else []
+        if meta.get("zstd"):
+            enc = decompress(enc, meta["enc_len"], "zstd")
+        data = fsst_decode(enc, symbols)
+        lengths = unpack_bits(lens_packed, n, width).astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        valid = unpack_validity(validity, n)
+        t = type_from_b64(meta["type"])
+        values = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+        )
+        out = values.cast(t)
+        if valid is not None:
+            import pyarrow.compute as pc
+
+            out = pc.if_else(pa.array(valid), out, pa.nulls(n, t))
+        return out
