@@ -148,6 +148,15 @@ def is_int_like(t: pa.DataType) -> bool:
     )
 
 
+def _storage_int(t: pa.DataType) -> pa.DataType | None:
+    """32/64-bit storage int for temporal types that don't cast to int64 directly."""
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return pa.int32()
+    if pa.types.is_date64(t) or pa.types.is_time64(t):
+        return pa.int64()
+    return None
+
+
 def to_int64_values(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
     """(int64 values with nulls replaced by 0/False, valid mask or None)."""
     valid = None
@@ -156,6 +165,9 @@ def to_int64_values(arr: pa.Array) -> tuple[np.ndarray, np.ndarray | None]:
     if pa.types.is_boolean(arr.type):
         filled = arr.fill_null(False)
         return filled.to_numpy(zero_copy_only=False).astype(np.int64), valid
+    storage = _storage_int(arr.type)
+    if storage is not None:
+        arr = arr.view(storage)
     ints = arr.cast(pa.int64()) if arr.type != pa.int64() else arr
     if ints.null_count:
         ints = ints.fill_null(0)
@@ -167,6 +179,9 @@ def from_int64_values(vals: np.ndarray, valid: np.ndarray | None, t: pa.DataType
     if pa.types.is_boolean(t):
         return pa.array(vals.astype(bool), type=t, mask=mask)
     a = pa.array(vals.astype(np.int64, copy=False), type=pa.int64(), mask=mask)
+    storage = _storage_int(t)
+    if storage is not None:
+        return a.cast(storage).view(t)
     return a.cast(t) if t != pa.int64() else a
 
 

@@ -1,0 +1,179 @@
+"""Codec round-trip tests: encode→decode must be bit-identical
+(BASELINE.json north_rule: "decoded columns bit-identical").
+
+Adversarial inputs per SURVEY.md §5.2(3): empty, all-null, single-value,
+max-cardinality, plus hypothesis property tests.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_to_parquet_ray.codecs import codec_names, decode_array, encode_array
+from json_to_parquet_ray.codecs.fsst import FsstEncoder, fsst_decode, train
+from json_to_parquet_ray.fixtures import make_cc_table, stress_tables
+
+
+def roundtrip(arr: pa.Array, codec: str):
+    payload, meta = encode_array(arr, codec)
+    back = decode_array(payload, meta)
+    assert back.type == arr.type, f"{codec}: type {back.type} != {arr.type}"
+    assert back.equals(arr), f"{codec}: values differ"
+    return payload
+
+
+INT_ARRAYS = {
+    "empty": pa.array([], pa.int64()),
+    "single": pa.array([7], pa.int64()),
+    "all_null": pa.array([None, None, None], pa.int64()),
+    "with_nulls": pa.array([1, None, 3, None, 5], pa.int64()),
+    "negative": pa.array([-(2**62), 0, 2**62, -1], pa.int64()),
+    "constant": pa.array([42] * 100, pa.int64()),
+    "runs": pa.array([1] * 50 + [2] * 30 + [3] * 20, pa.int64()),
+    "int32": pa.array([1, 2, None, 4], pa.int32()),
+    "uint8": pa.array([0, 255, 17], pa.uint8()),
+    "bool": pa.array([True, False, None, True], pa.bool_()),
+    "ts": pa.array(np.arange(100) * 1000 + 1_700_000_000_000_000, pa.timestamp("us")),
+    "date": pa.array([0, 100, None], pa.date32()),
+}
+
+STR_ARRAYS = {
+    "empty": pa.array([], pa.string()),
+    "single": pa.array(["x"], pa.string()),
+    "all_null": pa.array([None, None], pa.string()),
+    "with_nulls": pa.array(["a", None, "", "bb", None], pa.string()),
+    "empties": pa.array(["", "", ""], pa.string()),
+    "unicode": pa.array(["naïve", "中文字符", "✓ ", "\x00\x01\xff"], pa.string()),
+    "runs": pa.array(["en"] * 40 + ["de"] * 10 + ["en"] * 50, pa.string()),
+    "binary": pa.array([b"\xff\xff\x00", b"", None, b"\xfe" * 100], pa.binary()),
+    "long": pa.array(["the quick brown fox " * 50, "jumps over " * 99], pa.string()),
+}
+
+FLOAT_ARRAYS = {
+    "empty": pa.array([], pa.float64()),
+    "with_nulls": pa.array([1.5, None, -0.0, float("inf")], pa.float64()),
+    "f32": pa.array([1.5, 2.5, None], pa.float32()),
+    "nan": pa.array([float("nan"), 1.0], pa.float64()),
+}
+
+
+@pytest.mark.parametrize("codec", ["plain", "zstd", "lz4", "forbp", "delta", "rle", "dict"])
+@pytest.mark.parametrize("name", sorted(INT_ARRAYS))
+def test_int_roundtrip(codec, name):
+    arr = INT_ARRAYS[name]
+    if codec == "dict" and pa.types.is_boolean(arr.type):
+        pytest.skip("dictionary_encode unsupported for bool")
+    roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", ["plain", "zstd", "rle", "dict", "fsst"])
+@pytest.mark.parametrize("name", sorted(STR_ARRAYS))
+def test_str_roundtrip(codec, name):
+    arr = STR_ARRAYS[name]
+    if codec == "rle" and pa.types.is_binary(arr.type):
+        pytest.skip("run_end_encode unsupported for binary in pyarrow 16")
+    roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", ["plain", "zstd", "bss"])
+@pytest.mark.parametrize("name", sorted(FLOAT_ARRAYS))
+def test_float_roundtrip(codec, name):
+    # NaN: arrow equals() treats NaN != NaN at the value level unless bitwise;
+    # compare via to_pylist repr for the nan case
+    arr = FLOAT_ARRAYS[name]
+    payload, meta = encode_array(arr, codec)
+    back = decode_array(payload, meta)
+    assert back.type == arr.type
+    assert repr(back.to_pylist()) == repr(arr.to_pylist())
+
+
+def test_constant_codec():
+    for arr in [pa.array(["en"] * 50), pa.array([None] * 10, pa.int64()),
+                pa.array([3.5] * 7)]:
+        roundtrip(arr, "constant")
+
+
+def test_nested_types_plain():
+    arrs = [
+        pa.array([[1, 2], None, [], [3]], pa.list_(pa.int64())),
+        pa.array([{"a": 1, "b": "x"}, None], pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        pa.array([[1.0] * 4, [2.0] * 4], pa.list_(pa.float32())),
+    ]
+    for arr in arrs:
+        for codec in ["plain", "zstd"]:
+            roundtrip(arr, codec)
+
+
+def test_cc_table_all_columns():
+    t = make_cc_table(300, seed=7)
+    per_col = {"url": ["dict", "fsst", "zstd"], "warc_ts": ["delta", "forbp", "rle"],
+               "html": ["fsst", "zstd"], "text": ["fsst", "zstd"],
+               "lang": ["dict", "rle"]}
+    for col, codecs in per_col.items():
+        arr = t.column(col).combine_chunks()
+        for codec in codecs:
+            roundtrip(arr, codec)
+
+
+def test_stress_tables_roundtrip():
+    for name, t in stress_tables().items():
+        for col in t.column_names:
+            arr = t.column(col).combine_chunks()
+            for codec in ["plain", "zstd"]:
+                roundtrip(arr, codec)
+
+
+def test_delta_wins_on_sorted_ts():
+    ts = pa.array(1_700_000_000_000_000 + np.cumsum(
+        np.random.default_rng(1).integers(0, 5_000_000, 10_000)), pa.timestamp("us"))
+    sizes = {c: len(encode_array(ts, c)[0]) for c in ["delta", "forbp", "plain"]}
+    assert sizes["delta"] < sizes["forbp"] < sizes["plain"]
+
+
+def test_dict_shared_dictionary():
+    from json_to_parquet_ray.codecs.dictionary import DictCodec
+
+    shared = pa.array(["en", "de", "fr"])
+    arr = pa.array(["de", "en", None, "fr", "en"])
+    payload, meta = DictCodec.encode(arr, dictionary=shared)
+    meta["codec"] = "dict"
+    assert decode_array(payload, meta).equals(arr)
+
+
+def test_fsst_table_roundtrip_and_escapes():
+    data = b"hello world \xff\xff escape \xff test hello world"
+    syms = train(data * 50)
+    enc = FsstEncoder(syms)
+    encoded = enc.encode(data)
+    assert fsst_decode(encoded, syms) == data
+    # empty table → pure escapes
+    enc0 = FsstEncoder([])
+    e0 = enc0.encode(b"abc\xff")
+    assert fsst_decode(e0, []) == b"abc\xff"
+    assert len(e0) == 8
+
+
+@given(st.lists(st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)), max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_prop_int64(vals):
+    arr = pa.array(vals, pa.int64())
+    for codec in ["plain", "forbp", "delta", "rle"]:
+        roundtrip(arr, codec)
+
+
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=24)), max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_prop_binary_fsst(vals):
+    arr = pa.array(vals, pa.binary())
+    roundtrip(arr, "fsst")
+    roundtrip(arr, "plain")
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_prop_text_dict(vals):
+    arr = pa.array(vals, pa.string())
+    for codec in ["dict", "fsst", "zstd"]:
+        roundtrip(arr, codec)
