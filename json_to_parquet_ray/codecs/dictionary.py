@@ -48,9 +48,14 @@ class DictCodec(Codec):
         if dictionary is not None:
             # Shared (e.g. partition-global) dictionary: map values to codes.
             idx = pc.index_in(arr, value_set=dictionary)
-            indices = idx.cast(pa.int64())
-            dict_values = dictionary
-        else:
+            if idx.null_count != arr.null_count:
+                # a value is missing from the shared dictionary → fall back
+                # to a chunk-local dictionary rather than corrupt
+                dictionary = None
+            else:
+                indices = idx.cast(pa.int64())
+                dict_values = dictionary
+        if dictionary is None:
             d = arr.dictionary_encode()
             indices = d.indices.cast(pa.int64())
             dict_values = d.dictionary

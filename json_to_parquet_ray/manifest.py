@@ -1,0 +1,105 @@
+"""Per-partition lineage manifest: checkpoint/resume for the encode job.
+
+Every partition emits a lineage record — input fragment id (file path +
+row group), codec choice per column, chunk offsets, checksums, row count
+— written atomically (tmp + rename) to ``<out>/_manifest/part-NNNNN.json``
+(BASELINE.json: "every partition emits a lineage record ... so a killed
+job resumes without re-encoding completed partitions").
+
+The reference has no checkpointing at all (SURVEY.md §4.1: a mid-write
+crash leaves garbage and everything restarts); this module is the
+superseding capability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class FragmentRef:
+    path: str
+    row_group: int
+    num_rows: int
+
+    @property
+    def fragment_id(self) -> str:
+        return f"{os.path.basename(self.path)}#rg{self.row_group}"
+
+
+@dataclass
+class PartitionRecord:
+    partition_id: int
+    fragment: dict                      # FragmentRef asdict
+    num_rows: int
+    chunk_file: str                     # relative to out_dir
+    chunk_size: int
+    columns: list = field(default_factory=list)  # name, codec, size, crc32, offset
+    wall_time_s: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def record_path(out_dir: str, partition_id: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"part-{partition_id:05d}.json")
+
+
+def write_record(out_dir: str, rec: PartitionRecord) -> None:
+    """Atomic commit: the record only appears once the chunk file is durable."""
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    path = record_path(out_dir, rec.partition_id)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(rec.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def write_atomic(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def load_manifest(out_dir: str) -> dict[int, PartitionRecord]:
+    mdir = manifest_dir(out_dir)
+    out: dict[int, PartitionRecord] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                raw = json.load(f)
+            rec = PartitionRecord(**raw)
+        except (json.JSONDecodeError, TypeError):
+            continue  # torn record → partition will be re-encoded
+        out[rec.partition_id] = rec
+    return out
+
+
+def is_complete(out_dir: str, rec: PartitionRecord) -> bool:
+    """A partition is complete iff its chunk file exists with the recorded size."""
+    p = os.path.join(out_dir, rec.chunk_file)
+    try:
+        return os.path.getsize(p) == rec.chunk_size
+    except OSError:
+        return False
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    return {pid for pid, rec in load_manifest(out_dir).items()
+            if is_complete(out_dir, rec)}

@@ -1,0 +1,267 @@
+"""The flagship pipeline: partitioned, resumable, codec-auto-selected encode.
+
+Shape (SURVEY.md §3.4):
+
+    fragments = parquet row groups of the input            [partition unit]
+    (pass 1)  ray Dataset over the raw rows → map_batches stats partials
+              → merged GlobalStats → shared-dictionary build (salted
+              distinct) for low-cardinality string columns
+    (pass 2)  ray Dataset over fragment work items → EncodePartition
+              actor pool (stateful: shared dictionaries fetched once per
+              actor from the object store) → one chunk file + one
+              manifest record per partition (atomic commit)
+    resume:   completed partitions (manifest ∩ chunk files) are filtered
+              out of the work-item list before the Dataset is built.
+
+Partition = parquet row group so that (a) each encode task reads only its
+own byte range — a distributed read with no central bottleneck, and (b)
+the partition↔input mapping is deterministic, which makes the manifest's
+fragment ids stable across runs/retries (required for resume and for
+bit-identical output under Ray task retry).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codecs import encode_array
+from ..encode import decode_table, encode_table
+from ..manifest import (
+    FragmentRef,
+    PartitionRecord,
+    completed_partitions,
+    load_manifest,
+    write_atomic,
+    write_record,
+)
+from ..plan import CodecPlan, plan_from_stats
+from ..shuffle import distinct_values
+from ..stats import compute_stats, compute_stats_table
+
+SHARED_DICT_MAX_CARD = 1024
+
+
+def list_fragments(paths: list[str] | str) -> list[FragmentRef]:
+    """Deterministic fragment list: files sorted, row groups in order."""
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    frags: list[FragmentRef] = []
+    for f in sorted(files):
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            frags.append(FragmentRef(f, rg, md.row_group(rg).num_rows))
+    return frags
+
+
+class EncodePartition:
+    """Actor-pool stage: encodes one partition (row group) per work item.
+
+    Stateful on purpose: shared dictionaries (and any future shared FSST
+    tables) are fetched from the object store ONCE per actor in
+    ``__init__`` — not per batch (BASELINE.json: "dictionaries built in
+    stateful actor pools so tables are shared across batches of the same
+    partition").
+    """
+
+    def __init__(self, out_dir: str, shared_dicts_ref=None):
+        import ray
+
+        self.out_dir = out_dir
+        self.shared_dicts: dict[str, pa.Array] = (
+            ray.get(shared_dicts_ref) if shared_dicts_ref is not None else {}
+        )
+
+    def _plan_for(self, table: pa.Table) -> CodecPlan:
+        stats = compute_stats_table(table)
+        plan = plan_from_stats(stats, table.schema)
+        return plan
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        for item in rows:
+            out.append(self._encode_one(item))
+        return pa.Table.from_pylist(out)
+
+    def _encode_one(self, item: dict) -> dict:
+        t0 = time.time()
+        frag = FragmentRef(item["path"], item["row_group"], item["num_rows"])
+        pid = item["partition_id"]
+        pf = pq.ParquetFile(frag.path)
+        table = pf.read_row_group(frag.row_group)
+        plan = self._plan_for(table)
+        # shared dictionaries override the per-chunk choice where available
+        blob, header = self._encode_with_shared(table, plan)
+        chunk_file = f"part-{pid:05d}.rde"
+        write_atomic(os.path.join(self.out_dir, chunk_file), blob)
+        rec = PartitionRecord(
+            partition_id=pid,
+            fragment=asdict(frag),
+            num_rows=table.num_rows,
+            chunk_file=chunk_file,
+            chunk_size=len(blob),
+            columns=[
+                {"name": c["name"], "codec": c["codec"], "size": c["size"],
+                 "offset": c["offset"], "crc32": c["crc32"]}
+                for c in header["columns"]
+            ],
+            wall_time_s=time.time() - t0,
+        )
+        write_record(self.out_dir, rec)
+        return {
+            "partition_id": pid,
+            "num_rows": table.num_rows,
+            "input_bytes": table.nbytes,
+            "chunk_bytes": len(blob),
+            "wall_time_s": rec.wall_time_s,
+            "codecs": ",".join(f"{c['name']}={c['codec']}" for c in rec.columns),
+        }
+
+    def _encode_with_shared(self, table: pa.Table, plan: CodecPlan):
+        if not self.shared_dicts:
+            return encode_table(table, plan)
+        for name, values in self.shared_dicts.items():
+            if name in plan.columns:
+                cp = plan.columns[name]
+                cp.codec = "dict"
+                cp.kwargs = {"values_codec": "plain", "dictionary": values}
+        return encode_table(table, plan)
+
+
+def encode_job(
+    input_paths: list[str] | str,
+    out_dir: str,
+    *,
+    resume: bool = True,
+    shared_dict_columns: list[str] | str | None = None,
+    concurrency: int | tuple | None = None,
+    stats_sample_frags: int = 4,
+) -> dict:
+    """Run the full encode pipeline; returns a summary dict.
+
+    Ray must already be initialised by the caller (driver contract).
+    """
+    import ray
+
+    frags = list_fragments(input_paths)
+    total = len(frags)
+    done: set[int] = completed_partitions(out_dir) if resume else set()
+    work = [
+        {"partition_id": i, "path": f.path, "row_group": f.row_group,
+         "num_rows": f.num_rows}
+        for i, f in enumerate(frags)
+        if i not in done
+    ]
+    shared: dict[str, pa.Array] = {}
+    shared_ref = None
+    if work and shared_dict_columns:
+        ds_in = ray.data.read_parquet([f.path for f in frags])
+        if shared_dict_columns == "auto":
+            stats = compute_stats(ds_in)
+            shared_dict_columns = [
+                n for n, st in stats.items()
+                if st.type_str in ("string", "large_string")
+                and 1 < st.cardinality <= SHARED_DICT_MAX_CARD
+            ]
+        for coln in shared_dict_columns:
+            shared[coln] = distinct_values(ds_in, coln)
+        if shared:
+            shared_ref = ray.put(shared)
+
+    summary_rows = []
+    if work:
+        items = ray.data.from_items(work)
+        conc = concurrency or (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        results = items.map_batches(
+            EncodePartition,
+            fn_constructor_kwargs={"out_dir": out_dir, "shared_dicts_ref": shared_ref},
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=conc,
+        )
+        summary_rows = results.take_all()
+
+    manifest = load_manifest(out_dir)
+    input_bytes = sum(r["input_bytes"] for r in summary_rows)
+    chunk_bytes = sum(r["chunk_bytes"] for r in summary_rows)
+    plan_note = {
+        "partitions_total": total,
+        "partitions_skipped_resume": len(done),
+        "partitions_encoded": len(summary_rows),
+        "input_bytes": input_bytes,
+        "chunk_bytes": chunk_bytes,
+        "ratio": round(chunk_bytes / input_bytes, 4) if input_bytes else None,
+        "shared_dict_columns": sorted(shared),
+        "manifest_records": len(manifest),
+    }
+    write_atomic(
+        os.path.join(out_dir, "_manifest", "job.json"),
+        __import__("json").dumps(plan_note, indent=1).encode(),
+    )
+    return plan_note
+
+
+def decode_dataset(out_dir: str, columns: list[str] | None = None):
+    """Ray Dataset over the encoded chunks → decoded Arrow rows (streaming)."""
+    import ray
+
+    manifest = load_manifest(out_dir)
+    items = [
+        {"path": os.path.join(out_dir, rec.chunk_file)}
+        for _, rec in sorted(manifest.items())
+    ]
+
+    def decode_item(batch: pa.Table) -> pa.Table:
+        tables = []
+        for path in batch.column("path").to_pylist():
+            with open(path, "rb") as f:
+                tables.append(decode_table(f.read(), columns=columns))
+        return pa.concat_tables(tables)
+
+    return ray.data.from_items(items).map_batches(
+        decode_item, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def verify_job(out_dir: str) -> dict:
+    """Distributed bit-identical verification: decode every chunk and compare
+    against its recorded input fragment. Returns {partitions, ok, failed:[...]}.
+    """
+    import ray
+
+    manifest = load_manifest(out_dir)
+    items = [
+        {"partition_id": pid, "chunk": os.path.join(out_dir, rec.chunk_file),
+         "path": rec.fragment["path"], "row_group": rec.fragment["row_group"]}
+        for pid, rec in sorted(manifest.items())
+    ]
+
+    def check(batch: pa.Table) -> pa.Table:
+        out = []
+        for item in batch.to_pylist():
+            with open(item["chunk"], "rb") as f:
+                decoded = decode_table(f.read(), verify_crc=True)
+            original = pq.ParquetFile(item["path"]).read_row_group(item["row_group"])
+            ok = decoded.equals(original.cast(decoded.schema))
+            out.append({"partition_id": item["partition_id"], "ok": ok})
+        return pa.Table.from_pylist(out)
+
+    res = ray.data.from_items(items).map_batches(
+        check, batch_size=1, batch_format="pyarrow"
+    ).take_all()
+    failed = [r["partition_id"] for r in res if not r["ok"]]
+    return {"partitions": len(res), "ok": len(res) - len(failed), "failed": failed}

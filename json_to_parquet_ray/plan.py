@@ -1,0 +1,155 @@
+"""Codec auto-selection: per-column-chunk codec plan driven by the merged
+statistics plus trial encodes on the stats sample (BASELINE.json: "auto-
+selects and applies dictionary, RLE, FSST, bit-packing, or frame-of-
+reference codecs per column chunk").
+
+The selector always keeps "plain"/"zstd" in the candidate set, so a
+lightweight codec is chosen only when it actually wins on the sampled
+data (SURVEY.md §7.5: "auto-selection must include 'plain' as a
+candidate"). Heavy-to-encode codecs (pure-Python FSST) carry a cost
+weight so they are chosen only when their size win clears the extra
+encode cost — a deliberately honest cost model for the sandbox, where
+FSST has no C kernel.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from .codecs import encode_array, get_codec
+from .codecs.base import is_int_like
+from .stats import ColumnStats
+
+# encode-throughput penalty multipliers (relative to plain ≈ 1.0): a codec
+# is picked only if size_ratio * weight is the minimum.
+COST_WEIGHT = {
+    "plain": 1.00,
+    "zstd": 1.02,
+    "lz4": 1.01,
+    "constant": 0.50,
+    "forbp": 0.98,
+    "delta": 0.98,
+    "rle": 0.98,
+    "dict": 1.00,
+    "bss": 1.02,
+    "fsst": 1.35,  # pure-Python encoder: needs a real size win to justify
+}
+
+
+@dataclass
+class ColumnPlan:
+    column: str
+    codec: str
+    kwargs: dict = field(default_factory=dict)
+    est_ratio: float = 1.0
+    candidates: dict = field(default_factory=dict)  # codec → sampled ratio
+
+    def to_json(self) -> dict:
+        return {"column": self.column, "codec": self.codec, "kwargs": self.kwargs,
+                "est_ratio": round(self.est_ratio, 4),
+                "candidates": {k: round(v, 4) for k, v in self.candidates.items()}}
+
+
+@dataclass
+class CodecPlan:
+    columns: dict[str, ColumnPlan]
+
+    def codec_for(self, column: str) -> ColumnPlan:
+        return self.columns.get(column) or ColumnPlan(column, "plain")
+
+    def to_json(self) -> dict:
+        return {c: p.to_json() for c, p in self.columns.items()}
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_json(), indent=1, sort_keys=True)
+
+    @staticmethod
+    def loads(s: str) -> "CodecPlan":
+        raw = json.loads(s)
+        cols = {
+            c: ColumnPlan(c, v["codec"], v.get("kwargs", {}), v.get("est_ratio", 1.0),
+                          v.get("candidates", {}))
+            for c, v in raw.items()
+        }
+        return CodecPlan(cols)
+
+
+def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, dict]]:
+    out: list[tuple[str, dict]] = [("plain", {}), ("zstd", {})]
+    string_like = (pa.types.is_string(t) or pa.types.is_large_string(t)
+                   or pa.types.is_binary(t) or pa.types.is_large_binary(t))
+    if is_int_like(t):
+        out += [("forbp", {}), ("delta", {})]
+        if st.avg_run_len >= 2.0:
+            out.append(("rle", {}))
+        if st.cardinality and st.cardinality <= max(64, st.n * 0.01):
+            out.append(("dict", {}))
+    elif pa.types.is_floating(t):
+        out.append(("bss", {}))
+        if st.avg_run_len >= 2.0:
+            out.append(("rle", {}))
+    elif string_like:
+        card = st.cardinality
+        if card and card <= st.n * 0.5:
+            # dictionary; FSST on the dictionary values when they are long-ish
+            avg_len = (st.nbytes / max(1, st.n - st.null_count)) if st.n else 0
+            vcodec = "fsst" if avg_len >= 16 and card >= 32 else "plain"
+            out.append(("dict", {"values_codec": vcodec}))
+        if st.avg_run_len >= 2.0 and not pa.types.is_binary(t) and not pa.types.is_large_binary(t):
+            out.append(("rle", {}))
+        if st.entropy < 7.0:  # compressible at all
+            out.append(("fsst", {}))
+    return out
+
+
+def _sample_array(st: ColumnStats, t: pa.DataType) -> pa.Array | None:
+    if not st.sample:
+        return None
+    try:
+        return pa.array(st.sample, type=t)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        return None
+
+
+def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
+    n_valid = st.n - st.null_count
+    if st.n and (n_valid == 0 or (st.cardinality <= 1 and st.null_count in (0, st.n))):
+        # all-null or single-distinct-no-null chunk
+        try:
+            sample = _sample_array(st, t)
+            if sample is not None and get_codec("constant").is_applicable(sample):
+                return ColumnPlan(st.name, "constant", {}, 0.0, {"constant": 0.0})
+        except Exception:
+            pass
+    sample = _sample_array(st, t)
+    if sample is None or len(sample) == 0:
+        return ColumnPlan(st.name, "zstd", {}, 1.0, {})
+    base = max(1, sample.nbytes)
+    ratios: dict[str, float] = {}
+    best_name, best_kwargs, best_score = "plain", {}, float("inf")
+    for name, kwargs in _candidates_for(t, st):
+        codec = get_codec(name)
+        if not codec.can_encode(t):
+            continue
+        try:
+            payload, _ = encode_array(sample, name, **kwargs)
+        except Exception:
+            continue
+        ratio = len(payload) / base
+        ratios[name] = ratio
+        score = ratio * COST_WEIGHT.get(name, 1.0)
+        if score < best_score:
+            best_name, best_kwargs, best_score = name, kwargs, score
+    return ColumnPlan(st.name, best_name, best_kwargs, ratios.get(best_name, 1.0), ratios)
+
+
+def plan_from_stats(stats: dict[str, ColumnStats], schema: pa.Schema) -> CodecPlan:
+    cols = {}
+    for name in schema.names:
+        t = schema.field(name).type
+        st = stats.get(name) or ColumnStats(name, str(t))
+        cols[name] = plan_column(st, t)
+    return CodecPlan(cols)

@@ -1,0 +1,101 @@
+"""Skew-aware wide operations: salted group-count, distributed distinct,
+heavy hitters, and url-host extraction.
+
+The north rule calls for "skewed columns (e.g., heavy-hitter hostnames in
+url, near-constant lang) ... handled by salted groupby/repartition before
+dictionary build" (BASELINE.json). The pattern implemented here:
+
+1. pre-aggregate inside ``map_batches`` (one partial row per distinct
+   value per batch — the combiner), and
+2. attach a salt ``hash(value) % S`` so a heavy-hitter value's partials
+   spread over S reducers in the first (wide) groupby,
+3. a second, tiny groupby over ≤ S rows per value merges the salted
+   partials.
+
+Because step 1 bounds the data entering the shuffle by (cardinality x
+batches), the all-to-all exchange moves partial counts, never raw rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def extract_host(batch: pa.Table, url_col: str = "url",
+                 out_col: str = "host") -> pa.Table:
+    """Vectorized url → hostname (scheme://host/...)."""
+    host = pc.replace_substring_regex(
+        batch.column(url_col), pattern=r"^[a-z][a-z0-9+.-]*://([^/]*).*$",
+        replacement=r"\1", max_replacements=1,
+    )
+    return batch.append_column(out_col, host)
+
+
+def _partial_counts(batch: pa.Table, col: str, salt_buckets: int) -> pa.Table:
+    arr = batch.column(col)
+    vc = arr.value_counts()
+    values = vc.field("values")
+    counts = vc.field("counts")
+    salts = pd.util.hash_array(
+        np.asarray(values.to_pandas(), dtype=object), categorize=False
+    ) % salt_buckets
+    return pa.table({
+        "value": values,
+        "partial_count": counts.cast(pa.int64()),
+        "salt": pa.array(salts.astype(np.int64), pa.int64()),
+    })
+
+
+def salted_group_count(ds, col: str, salt_buckets: int = 8):
+    """Exact per-value counts via combiner + two-level salted groupby.
+
+    Returns a Ray Dataset with columns (value, count).
+    """
+    partials = ds.map_batches(
+        lambda b: _partial_counts(b, col, salt_buckets), batch_format="pyarrow"
+    )
+    # wide (salted) aggregation: heavy values spread over salt_buckets groups
+    from ray.data.aggregate import Sum
+
+    salted = partials.groupby(["value", "salt"]).aggregate(
+        Sum("partial_count", alias_name="salted_count")
+    )
+    # final merge: ≤ salt_buckets rows per value
+    out = salted.groupby("value").aggregate(Sum("salted_count", alias_name="count"))
+    return out
+
+
+def heavy_hitters(ds, col: str, k: int = 20, salt_buckets: int = 8) -> pa.Table:
+    """Top-k values by count (small result → materialized on the driver)."""
+    counts = salted_group_count(ds, col, salt_buckets)
+    top = counts.sort("count", descending=True).limit(k)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+def distinct_values(ds, col: str, salt_buckets: int = 8) -> pa.Array:
+    """Global distinct values of a (low-cardinality) column, deterministic order.
+
+    Per-batch unique → salted groupby dedup → driver-side sort. Intended
+    for dictionary builds where cardinality << row count; the shuffle
+    only ever moves per-batch uniques.
+    """
+
+    def batch_unique(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column(col).combine_chunks())
+        salts = pd.util.hash_array(
+            np.asarray(u.to_pandas(), dtype=object), categorize=False
+        ) % salt_buckets
+        return pa.table({"value": u, "salt": pa.array(salts.astype(np.int64))})
+
+    partials = ds.map_batches(batch_unique, batch_format="pyarrow")
+
+    def group_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset="value")[["value"]]
+
+    deduped = partials.groupby("salt").map_groups(group_dedup, batch_format="pandas")
+    vals = deduped.to_pandas()["value"].dropna().unique()
+    arr = pa.array(sorted(vals))
+    return arr

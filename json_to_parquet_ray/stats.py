@@ -1,0 +1,268 @@
+"""Per-column statistics: the partial-per-batch + final-merge aggregation
+required by the north rule (BASELINE.json: "schema inference and per-column
+statistics (cardinality, run-length, value-range, sample entropy) via
+map_batches over zero-copy Arrow").
+
+The reference's only "statistics" are the per-document peer walks for
+nullability/type (JsonFactory.java:489-574); here statistics are mergeable
+partials computed per Arrow batch inside ``map_batches`` and merged in one
+tiny driver-side step — the canonical pre-aggregation pattern, so the wide
+input is never shuffled for stats.
+
+Cardinality uses a KMV (k-minimum-values) sketch over a deterministic
+64-bit hash (``pandas.util.hash_array``, fixed key) — mergeable, bounded
+memory, ~1/sqrt(k) relative error. Samples are stride-based (every k-th
+row), so they are deterministic under Ray task retries.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KMV_K = 2048
+SAMPLE_CAP = 512  # sampled raw values kept per column for trial encodes
+
+
+def _stable_hash(arr: pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash per value (nulls dropped)."""
+    a = arr.drop_null()
+    if len(a) == 0:
+        return np.zeros(0, np.uint64)
+    t = a.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_temporal(t) or pa.types.is_boolean(t):
+        np_vals = a.to_numpy(zero_copy_only=False)
+        return pd.util.hash_array(np.ascontiguousarray(np_vals))
+    # strings / binary / nested → hash the string repr through pandas
+    obj = a.to_pandas()
+    return pd.util.hash_array(np.asarray(obj, dtype=object), categorize=False)
+
+
+@dataclass
+class ColumnStats:
+    name: str
+    type_str: str = ""
+    n: int = 0
+    null_count: int = 0
+    nbytes: int = 0
+    runs: int = 0                      # per-batch runs summed (upper bound on true runs)
+    min_val: object = None
+    max_val: object = None
+    sorted_batches: int = 0
+    total_batches: int = 0
+    kmv: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
+    sample: list = field(default_factory=list)
+    distinct_exact_cap: int = 0        # max per-batch exact distinct seen
+
+    # ---------------------------------------------------------------- derived
+    @property
+    def cardinality(self) -> float:
+        """Estimated global distinct count (KMV estimator)."""
+        k = len(self.kmv)
+        if k == 0:
+            return 0.0
+        if k < KMV_K:  # saw fewer than K distinct hashes → exact
+            return float(k)
+        kth = float(self.kmv[-1])
+        return (KMV_K - 1) * (2.0**64) / kth
+
+    @property
+    def avg_run_len(self) -> float:
+        return self.n / self.runs if self.runs else float(self.n or 1)
+
+    @property
+    def null_frac(self) -> float:
+        return self.null_count / self.n if self.n else 0.0
+
+    @property
+    def sorted_frac(self) -> float:
+        return self.sorted_batches / self.total_batches if self.total_batches else 0.0
+
+    @property
+    def entropy(self) -> float:
+        """Shannon entropy (bits/byte) of the sampled values' bytes."""
+        buf = _sample_bytes(self.sample)
+        if not buf:
+            return 0.0
+        counts = np.bincount(np.frombuffer(buf, np.uint8), minlength=256)
+        p = counts[counts > 0] / len(buf)
+        return float(-(p * np.log2(p)).sum())
+
+    @property
+    def value_range(self) -> object:
+        if self.min_val is None or self.max_val is None:
+            return None
+        try:
+            return self.max_val - self.min_val
+        except TypeError:
+            return None
+
+    # ------------------------------------------------------------------ merge
+    def merge(self, other: "ColumnStats") -> "ColumnStats":
+        assert self.name == other.name
+        out = ColumnStats(self.name, self.type_str or other.type_str)
+        out.n = self.n + other.n
+        out.null_count = self.null_count + other.null_count
+        out.nbytes = self.nbytes + other.nbytes
+        out.runs = self.runs + other.runs
+        out.sorted_batches = self.sorted_batches + other.sorted_batches
+        out.total_batches = self.total_batches + other.total_batches
+        out.min_val = _merge_minmax(self.min_val, other.min_val, min)
+        out.max_val = _merge_minmax(self.max_val, other.max_val, max)
+        merged = np.unique(np.concatenate([self.kmv, other.kmv]))
+        out.kmv = merged[:KMV_K]
+        out.sample = (self.sample + other.sample)[:SAMPLE_CAP]
+        out.distinct_exact_cap = max(self.distinct_exact_cap, other.distinct_exact_cap)
+        return out
+
+    def summary(self) -> dict:
+        return {
+            "column": self.name,
+            "type": self.type_str,
+            "n": self.n,
+            "null_count": self.null_count,
+            "nbytes": self.nbytes,
+            "cardinality_est": round(self.cardinality, 1),
+            "avg_run_len": round(self.avg_run_len, 2),
+            "sorted_frac": round(self.sorted_frac, 3),
+            "entropy_bits_per_byte": round(self.entropy, 3),
+            "value_range": str(self.value_range),
+        }
+
+
+def _merge_minmax(a, b, f):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    try:
+        return f(a, b)
+    except TypeError:
+        return a
+
+
+def _sample_bytes(sample: list) -> bytes:
+    parts = []
+    for v in sample:
+        if v is None:
+            continue
+        if isinstance(v, bytes):
+            parts.append(v)
+        else:
+            parts.append(str(v).encode("utf-8", "replace"))
+    return b"".join(parts)
+
+
+def _is_orderable(t: pa.DataType) -> bool:
+    return (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_temporal(t) or pa.types.is_string(t)
+            or pa.types.is_large_string(t) or pa.types.is_boolean(t))
+
+
+def column_stats_partial(arr: pa.Array, name: str) -> ColumnStats:
+    """One batch's partial stats for one column. Pure + deterministic."""
+    st = ColumnStats(name, str(arr.type))
+    st.n = len(arr)
+    st.null_count = arr.null_count
+    st.nbytes = arr.nbytes
+    st.total_batches = 1
+    if len(arr) == 0:
+        return st
+    # runs: count of value-change boundaries + 1 (vectorized)
+    try:
+        if len(arr) > 1:
+            neq = pc.not_equal(arr.slice(1), arr.slice(0, len(arr) - 1))
+            changes = pc.sum(neq).as_py() or 0
+            # null boundaries count as changes too (not_equal → null); count them
+            nulls_in_cmp = neq.null_count
+            st.runs = 1 + int(changes) + nulls_in_cmp
+        else:
+            st.runs = 1
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        st.runs = len(arr)
+    if _is_orderable(arr.type):
+        try:
+            mm = pc.min_max(arr)
+            st.min_val = mm["min"].as_py()
+            st.max_val = mm["max"].as_py()
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            pass
+        try:
+            vals = arr.drop_null()
+            if len(vals) > 1 and not pa.types.is_string(arr.type):
+                diffs_ok = pc.all(
+                    pc.greater_equal(vals.slice(1), vals.slice(0, len(vals) - 1))
+                ).as_py()
+                st.sorted_batches = 1 if diffs_ok else 0
+            elif len(vals) <= 1:
+                st.sorted_batches = 1
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            pass
+    try:
+        hashes = np.unique(_stable_hash(arr))
+        st.kmv = hashes[:KMV_K]
+        st.distinct_exact_cap = len(hashes)
+    except (TypeError, pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        pass
+    stride = max(1, len(arr) // SAMPLE_CAP)
+    st.sample = arr.take(pa.array(range(0, len(arr), stride))).to_pylist()[:SAMPLE_CAP]
+    return st
+
+
+def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """map_batches fn: emit one pickled partial per column (tiny output)."""
+    cols = columns or batch.column_names
+    partials = [
+        pickle.dumps(column_stats_partial(batch.column(c).combine_chunks(), c))
+        for c in cols
+    ]
+    return pa.table({"column": pa.array(cols, pa.string()),
+                     "partial": pa.array(partials, pa.binary())})
+
+
+def merge_partials(rows: list[bytes]) -> dict[str, ColumnStats]:
+    merged: dict[str, ColumnStats] = {}
+    for raw in rows:
+        st = pickle.loads(raw)
+        merged[st.name] = merged[st.name].merge(st) if st.name in merged else st
+    return merged
+
+
+def compute_stats(ds, columns: list[str] | None = None) -> dict[str, ColumnStats]:
+    """Distributed stats: map_batches partials → tiny driver-side merge.
+
+    The full dataset streams through stateless tasks; only the per-batch
+    partials (a few KB each) reach the driver.
+    """
+    parts = ds.map_batches(
+        lambda b: stats_partial_batch(b, columns), batch_format="pyarrow"
+    )
+    raws: list[bytes] = []
+    for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        raws.extend(b.column("partial").to_pylist())
+    return merge_partials(raws)
+
+
+def compute_stats_table(table: pa.Table, batch_rows: int = 65536) -> dict[str, ColumnStats]:
+    """Local (non-Ray) variant for tests and per-partition planning."""
+    merged: dict[str, ColumnStats] = {}
+    for off in range(0, max(table.num_rows, 1), batch_rows):
+        chunk = table.slice(off, batch_rows)
+        for c in chunk.column_names:
+            st = column_stats_partial(chunk.column(c).combine_chunks(), c)
+            merged[c] = merged[c].merge(st) if c in merged else st
+    return merged
+
+
+def entropy_of_bytes(buf: bytes) -> float:
+    if not buf:
+        return 0.0
+    counts = np.bincount(np.frombuffer(buf, np.uint8), minlength=256)
+    p = counts[counts > 0] / len(buf)
+    return float(-(p * np.log2(p)).sum())

@@ -1,0 +1,110 @@
+"""End-to-end encode pipeline tests: bit-identical round-trip, column
+pruning, resume-from-manifest, shared dictionaries, size gate vs the
+pyarrow Parquet default writer (SURVEY.md §5.2 items 1, 4, 6)."""
+
+import glob
+import io
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from json_to_parquet_ray.encode import decode_table, encode_table
+from json_to_parquet_ray.fixtures import make_cc_table, stress_tables, write_cc_parquet
+from json_to_parquet_ray.manifest import completed_partitions, load_manifest
+from json_to_parquet_ray.pipelines.encode_job import (
+    decode_dataset,
+    encode_job,
+    list_fragments,
+    verify_job,
+)
+
+
+def test_encode_table_roundtrip_and_pruning():
+    t = make_cc_table(800, seed=3)
+    blob, header = encode_table(t)
+    assert decode_table(blob, verify_crc=True).equals(t)
+    sub = decode_table(blob, columns=["lang", "warc_ts"])
+    assert sub.equals(t.select(["lang", "warc_ts"]))
+
+
+def test_encode_stress_tables():
+    for name, t in stress_tables().items():
+        blob, _ = encode_table(t)
+        assert decode_table(blob).equals(t), name
+
+
+def test_size_gate_vs_pyarrow_parquet_default():
+    """North-rule size gate: ≤ the reference Parquet encoder's output
+    (pyarrow default writer is the sandbox stand-in, BASELINE.md)."""
+    t = make_cc_table(3000, seed=42)
+    blob, _ = encode_table(t)
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert len(blob) <= buf.tell()
+
+
+@pytest.fixture()
+def cc_parquet(tmp_path):
+    path = str(tmp_path / "cc.parquet")
+    write_cc_parquet(path, 2000, seed=42, row_group_size=500)  # 4 row groups
+    return path
+
+
+def test_encode_job_roundtrip(ray_session, cc_parquet, tmp_path):
+    out = str(tmp_path / "enc")
+    summary = encode_job(cc_parquet, out, shared_dict_columns=None)
+    assert summary["partitions_encoded"] == 4
+    assert summary["ratio"] < 0.7
+    ver = verify_job(out)
+    assert ver == {"partitions": 4, "ok": 4, "failed": []}
+    # streaming decode matches the source
+    decoded = decode_dataset(out).take_all()
+    src = pq.read_table(cc_parquet)
+    assert len(decoded) == src.num_rows
+
+
+def test_encode_job_resume(ray_session, cc_parquet, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    # simulate a killed job: delete two chunk files + their manifest records
+    for pid in (1, 3):
+        os.remove(os.path.join(out, f"part-{pid:05d}.rde"))
+        os.remove(os.path.join(out, "_manifest", f"part-{pid:05d}.json"))
+    assert completed_partitions(out) == {0, 2}
+    summary = encode_job(cc_parquet, out, shared_dict_columns=None)
+    assert summary["partitions_skipped_resume"] == 2
+    assert summary["partitions_encoded"] == 2
+    assert verify_job(out)["failed"] == []
+
+
+def test_encode_job_torn_chunk_detected(ray_session, cc_parquet, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    # truncate one chunk → completeness check must catch the size mismatch
+    p = os.path.join(out, "part-00002.rde")
+    with open(p, "r+b") as f:
+        f.truncate(100)
+    assert 2 not in completed_partitions(out)
+    summary = encode_job(cc_parquet, out, shared_dict_columns=None)
+    assert summary["partitions_encoded"] == 1
+    assert verify_job(out)["failed"] == []
+
+
+def test_encode_job_shared_dicts(ray_session, cc_parquet, tmp_path):
+    out = str(tmp_path / "enc_sd")
+    summary = encode_job(cc_parquet, out, shared_dict_columns=["lang"])
+    assert summary["shared_dict_columns"] == ["lang"]
+    assert verify_job(out)["failed"] == []
+    # every partition's lang column used the dict codec
+    for rec in load_manifest(out).values():
+        codecs = {c["name"]: c["codec"] for c in rec.columns}
+        assert codecs["lang"] == "dict"
+
+
+def test_list_fragments_deterministic(cc_parquet):
+    a = list_fragments(cc_parquet)
+    b = list_fragments(cc_parquet)
+    assert [f.fragment_id for f in a] == [f.fragment_id for f in b]
+    assert len(a) == 4
