@@ -1,0 +1,191 @@
+"""JSON → Arrow schema inference with reference-conformant semantics.
+
+Reproduces the *semantics* of the reference's inference pipeline
+(SURVEY.md §1.3, §7.3 rules R1-R8) on Arrow, replacing its per-document
+odometer peer-walk (JsonFactory.java:327-626) with per-batch Arrow
+inference + ``pa.unify_schemas(promote_options="permissive")`` — the
+cross-document unification the reference *intended* but got wrong by
+writing every document with the last document's schema (Writer.java:24,
+quirk Q1; fixed here per README.md:4's stated intent).
+
+Two modes:
+
+- ``engine`` (default): int64 / float64, all JSON structure preserved.
+- ``conformance``: reproduces the reference write-path narrowing and
+  normalization —
+  R2/R3  ints narrowed to int32, floats to float32 (Writer.java:99,102;
+         int64 truncation quirk Q3 reproduced bit-for-bit via wraparound)
+  R4     keys that are null in every occurrence are dropped
+         (SchemaBuilder.java:92-94)
+  R6     nested arrays flattened (SchemaBuilder.java:33-36, Writer.java:48-50)
+  R7     empty objects → null (JsonFactory.java:34-48, Writer.java:88-91)
+
+Divergences from the reference are deliberate bug-fixes, documented in
+SURVEY.md §7.4: Q1 (last-doc schema), Q5 (quote stripping), Q6 (brace
+splitter not quote-aware), Q7 (lexical typing crashes).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+# ----------------------------------------------------- conformance transforms
+
+
+def _flatten_lists(v):
+    """R6: nested arrays are flattened ([[1,2],[3]] → [1,2,3])."""
+    if isinstance(v, list):
+        out = []
+        for e in v:
+            e = _flatten_lists(e)
+            if isinstance(e, list):
+                out.extend(e)
+            else:
+                out.append(e)
+        return out
+    if isinstance(v, dict):
+        return {k: _flatten_lists(x) for k, x in v.items()}
+    return v
+
+
+def _empty_objects_to_null(v):
+    """R7: {} → null, recursively (post-order so {"a":{}} → {"a": null})."""
+    if isinstance(v, dict):
+        out = {k: _empty_objects_to_null(x) for k, x in v.items()}
+        return None if not out else out
+    if isinstance(v, list):
+        return [_empty_objects_to_null(e) for e in v]
+    return v
+
+
+def normalize_doc(doc: dict, mode: str = "engine") -> dict:
+    if mode != "conformance":
+        return doc
+    d = _empty_objects_to_null(_flatten_lists(doc))
+    return d if isinstance(d, dict) else {}
+
+
+# -------------------------------------------------------------- type surgery
+
+
+def _drop_null_fields(t: pa.DataType) -> pa.DataType | None:
+    """R4: drop fields whose unified type is null (never had a value)."""
+    if pa.types.is_struct(t):
+        fields = []
+        for f in t:
+            ft = _drop_null_fields(f.type)
+            if ft is not None:
+                fields.append(pa.field(f.name, ft, nullable=True))
+        return pa.struct(fields) if fields else None
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vt = _drop_null_fields(t.value_type)
+        return pa.list_(vt) if vt is not None else None
+    if pa.types.is_null(t):
+        return None
+    return t
+
+
+def _narrow_type(t: pa.DataType) -> pa.DataType:
+    """R2/R3: int64→int32, float64→float32, recursively."""
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _narrow_type(f.type), nullable=f.nullable)
+                          for f in t])
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_narrow_type(t.value_type))
+    if t == pa.int64():
+        return pa.int32()
+    if t == pa.float64():
+        return pa.float32()
+    return t
+
+
+def _align_array(arr: pa.Array, target: pa.DataType) -> pa.Array:
+    """Cast with struct-widening (missing child fields → all-null child)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type.equals(target):
+        return arr
+    if pa.types.is_null(arr.type):
+        return pa.nulls(len(arr), target)
+    if pa.types.is_struct(target) and pa.types.is_struct(arr.type):
+        have = {f.name: i for i, f in enumerate(arr.type)}
+        children = []
+        for f in target:
+            if f.name in have:
+                children.append(_align_array(arr.field(f.name), f.type))
+            else:
+                children.append(pa.nulls(len(arr), f.type))
+        validity = arr.is_valid() if arr.null_count else None
+        return pa.StructArray.from_arrays(
+            children, names=[f.name for f in target],
+            mask=None if validity is None else pa.compute.invert(validity))
+    if (pa.types.is_list(target) or pa.types.is_large_list(target)) and (
+            pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+        values = _align_array(arr.flatten(), target.value_type)
+        offsets = arr.offsets
+        validity = None
+        if arr.null_count:
+            validity = pa.compute.invert(arr.is_valid())
+        # rebuild (offsets already account for slicing via flatten? use from_arrays)
+        la = pa.ListArray.from_arrays(offsets, values)
+        if validity is not None:
+            la = pa.compute.if_else(arr.is_valid(), la, pa.nulls(len(arr), la.type))
+        return la.cast(target) if not la.type.equals(target) else la
+    if pa.types.is_int32(target) and pa.types.is_int64(arr.type):
+        # Q3 conformance: Java Long.intValue() truncation (wraparound)
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = vals.astype(np.int32)  # C-style wraparound, matches intValue()
+        mask = None
+        if arr.null_count:
+            mask = pa.compute.invert(arr.is_valid()).to_numpy(zero_copy_only=False)
+        return pa.array(out, pa.int32(), mask=mask)
+    return arr.cast(target)
+
+
+def align_table(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    arrays = []
+    for f in schema:
+        if f.name in table.column_names:
+            arrays.append(_align_array(table.column(f.name), f.type))
+        else:
+            arrays.append(pa.nulls(table.num_rows, f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+# ------------------------------------------------------------------ inference
+
+
+def infer_batch_schema(docs: list[dict], mode: str = "engine") -> pa.Schema:
+    docs = [normalize_doc(d, mode) for d in docs]
+    return pa.Table.from_pylist(docs).schema
+
+
+def unify(schemas: list[pa.Schema], mode: str = "engine") -> pa.Schema:
+    """Cross-document/batch unification (supersedes quirk Q1)."""
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    if mode == "conformance":
+        fields = []
+        for f in unified:
+            t = _drop_null_fields(f.type)
+            if t is None:
+                continue  # R4: all-null key dropped
+            fields.append(pa.field(f.name, _narrow_type(t), nullable=True))
+        unified = pa.schema(fields)
+    return unified
+
+
+def docs_to_table(docs: list[dict], schema: pa.Schema | None = None,
+                  mode: str = "engine") -> pa.Table:
+    docs = [normalize_doc(d, mode) for d in docs]
+    t = pa.Table.from_pylist(docs)
+    if schema is None:
+        schema = unify([t.schema], mode)
+    return align_table(t, schema)
+
+
+def infer_json_schema(json_texts: list[str], mode: str = "engine") -> pa.Schema:
+    docs = [json.loads(s) for s in json_texts]
+    return unify([infer_batch_schema(docs, mode)], mode)

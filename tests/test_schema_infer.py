@@ -1,0 +1,129 @@
+"""Schema-inference conformance corpus (FIXTURES.md F2): every reference
+semantic from SURVEY.md §1.3/§7.3, with golden expected Arrow schemas."""
+
+import pyarrow as pa
+import pytest
+
+from json_to_parquet_ray.json_source import json_docs_to_table, split_documents
+from json_to_parquet_ray.schema_infer import infer_json_schema
+
+
+def conf_schema(*docs):
+    return infer_json_schema(list(docs), mode="conformance")
+
+
+def test_flat_scalars():
+    s = conf_schema('{"a":1,"b":2.5,"c":"s","d":true}')
+    assert s.field("a").type == pa.int32()
+    assert s.field("b").type == pa.float32()
+    assert s.field("c").type == pa.string()
+    assert s.field("d").type == pa.bool_()
+
+
+def test_int_float_peers_widen():
+    s = conf_schema('{"xs":[{"v":1},{"v":2.5}]}')
+    assert s.field("xs").type == pa.list_(pa.struct([pa.field("v", pa.float32())]))
+
+
+def test_mixed_array_widens_trailing_ints():
+    s = conf_schema('{"xs":[1, 2.5, 3]}')
+    assert s.field("xs").type == pa.list_(pa.float32())
+
+
+def test_missing_key_across_array_elems_optional():
+    t = json_docs_to_table(['{"xs":[{"a":1},{"b":2}]}'], mode="conformance")
+    xs = t.column("xs").combine_chunks()
+    elems = xs.flatten()
+    assert elems.type == pa.struct([pa.field("a", pa.int32()), pa.field("b", pa.int32())])
+    assert elems.field("a").to_pylist() == [1, None]
+    assert elems.field("b").to_pylist() == [None, 2]
+
+
+def test_explicit_null_plus_value_peer():
+    t = json_docs_to_table(['{"xs":[{"a":null},{"a":1}]}'], mode="conformance")
+    elems = t.column("xs").combine_chunks().flatten()
+    assert elems.field("a").to_pylist() == [None, 1]
+    assert elems.field("a").type == pa.int32()
+
+
+def test_all_null_key_dropped():
+    s = conf_schema('{"a":null,"b":1}')
+    assert s.names == ["b"]
+
+
+def test_empty_object_dropped():
+    s = conf_schema('{"a":{},"b":1}')
+    assert s.names == ["b"]
+
+
+def test_nested_object():
+    s = conf_schema('{"a":{"b":1}}')
+    assert s.field("a").type == pa.struct([pa.field("b", pa.int32())])
+
+
+def test_array_of_objects():
+    s = conf_schema('{"a":[{"b":1}]}')
+    assert s.field("a").type == pa.list_(pa.struct([pa.field("b", pa.int32())]))
+
+
+def test_nested_arrays_flattened():
+    s = conf_schema('{"a":[[1,2],[3]]}')
+    assert s.field("a").type == pa.list_(pa.int32())
+    t = json_docs_to_table(['{"a":[[1,2],[3]]}'], mode="conformance")
+    assert t.column("a").to_pylist() == [[1, 2, 3]]
+
+
+def test_nulls_inside_arrays_kept_as_null():
+    t = json_docs_to_table(['{"a":[1,null,2]}'], mode="conformance")
+    assert t.column("a").to_pylist() == [[1, None, 2]]
+
+
+def test_quotes_in_strings_preserved():
+    t = json_docs_to_table(['{"a":"x\\"y"}'], mode="conformance")
+    assert t.column("a").to_pylist() == ['x"y']
+
+
+def test_int32_truncation_conformance_q3():
+    # Java Long.intValue() wraps: 3_000_000_000 → -1294967296
+    t = json_docs_to_table(['{"a": 3000000000}'], mode="conformance")
+    assert t.column("a").to_pylist() == [-1294967296]
+    # engine mode keeps int64
+    t2 = json_docs_to_table(['{"a": 3000000000}'], mode="engine")
+    assert t2.column("a").type == pa.int64()
+    assert t2.column("a").to_pylist() == [3000000000]
+
+
+def test_multi_doc_unification_supersedes_q1():
+    t = json_docs_to_table(
+        ['{"a":1}', '{"b":"x"}', '{"a":2.5,"c":[1]}'], mode="conformance"
+    )
+    assert set(t.column_names) == {"a", "b", "c"}
+    assert t.column("a").type == pa.float32()
+    assert t.column("a").to_pylist() == [1.0, None, 2.5]
+
+
+def test_engine_mode_preserves_structure():
+    t = json_docs_to_table(['{"a":{},"b":[[1]],"c":null}'], mode="engine")
+    assert t.column("b").to_pylist() == [[[1]]]  # no flattening in engine mode
+
+
+# -------------------------------------------------------- document splitter S1
+
+def test_split_documents_basic():
+    assert split_documents('{"a":1}{"b":2}') == ['{"a":1}', '{"b":2}']
+
+
+def test_split_documents_multiline_and_noise():
+    text = 'junk\n{"a":\n 1}\nmore junk {"b":{"c":2}} trailing'
+    assert split_documents(text) == ['{"a":\n 1}', '{"b":{"c":2}}']
+
+
+def test_split_documents_quote_aware_q6():
+    # braces inside strings must not break the split (reference quirk Q6)
+    text = '{"a":"}{"}{"b":"{\\"}"}'
+    assert split_documents(text) == ['{"a":"}{"}', '{"b":"{\\"}"}']
+
+
+def test_split_documents_nested():
+    text = '{"a":{"b":{"c":[1,2,{"d":3}]}}}'
+    assert split_documents(text) == [text]
