@@ -1,44 +1,54 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (partitioned codec-auto-selected
+encode → manifest → decode → verify) on /root/testdata/sf0.001.
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 plus the training-data-pipeline extras (dedup, ANN, text
+analysis, multimodal stubs).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: encode sf0.001 documents with per-chunk codec selection,
+    verify bit-identical decode, and return the decoded rows as a Dataset."""
+    import os
+
+    from json_to_parquet_ray.pipelines.encode_job import (
+        decode_dataset,
+        encode_job,
+        verify_job,
+    )
+
+    out_dir = os.path.join(tempfile.gettempdir(), "jtpr_entry_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    summary = encode_job(
+        os.path.join(SF_SMOKE, "documents.parquet"), out_dir,
+        shared_dict_columns=["lang"],
+    )
+    ver = verify_job(out_dir)
+    assert ver["failed"] == [], f"bit-identical verification failed: {ver}"
+    return decode_dataset(out_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from json_to_parquet_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from json_to_parquet_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

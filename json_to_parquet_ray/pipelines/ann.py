@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  ONCE via ``ray.put``; every ``map_batches`` task computes a numpy
+  matmul against its batch and emits only its local top-k rows — the
+  driver merges #batches x k rows, never the corpus. This is the
+  baseline and the oracle for the approximate variants.
+- ``ivf_topk``: IVF-style scale path — seeded k-means (few Lloyd
+  iterations on a sample) builds coarse centroids; vectors carry a
+  bucket id; a query probes only the ``nprobe`` nearest buckets. At
+  cluster scale the bucket id becomes the partition key so probes touch
+  a subset of partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     vec_col: str = "embedding", key: str = "vec_id") -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Returns (query_id, vec_id, cosine)."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, np.float64))
+    q_ref = ray.put(qn)
+
+    class TopKBatch:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.asarray(batch.column(vec_col).to_pylist(), np.float64)
+            keys = batch.column(key).to_numpy(zero_copy_only=False)
+            sims = self.q @ _normalize(emb).T  # (Q, B)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"query_id": [], key: [], "cosine": []}
+            for qi in range(sims.shape[0]):
+                rows["query_id"].extend([qi] * kk)
+                rows[key].extend(keys[idx[qi]].tolist())
+                rows["cosine"].extend(sims[qi, idx[qi]].tolist())
+            return pa.table({c: pa.array(v) for c, v in rows.items()})
+
+    parts = ds.map_batches(TopKBatch, batch_format="pyarrow", concurrency=(1, 8))
+    df = parts.to_pandas()  # ≤ #batches x Q x k rows
+    df = (df.sort_values(["query_id", "cosine", key],
+                         ascending=[True, False, True])
+            .groupby("query_id", as_index=False).head(k)
+            .reset_index(drop=True))
+    return df
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 8,
+               seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd's k-means on a sample (deterministic)."""
+    rng = np.random.default_rng(seed)
+    X = _normalize(np.asarray(sample, np.float64))
+    idx = rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)
+    C = X[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def assign_buckets(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Add an ``ivf_bucket`` column (id of the nearest centroid)."""
+    import ray
+
+    c_ref = ray.put(_normalize(centroids))
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(np.asarray(batch.column(vec_col).to_pylist(), np.float64))
+            bucket = (emb @ self.C.T).argmax(axis=1).astype(np.int64)
+            return batch.append_column("ivf_bucket", pa.array(bucket))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding", key: str = "vec_id",
+             sample_rows: int = 4096, seed: int = 42) -> pd.DataFrame:
+    """Approximate cosine top-k probing only ``nprobe`` IVF buckets per query."""
+    sample = np.asarray(
+        ds.limit(sample_rows).to_pandas()[vec_col].tolist(), np.float64)
+    C = kmeans_fit(sample, n_clusters, seed=seed)
+    bucketed = assign_buckets(ds, C, vec_col)
+    qn = _normalize(np.asarray(queries, np.float64))
+    probes = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = sorted({int(b) for row in probes for b in row})
+
+    import pyarrow.compute as pc
+
+    want_arr = pa.array(wanted, pa.int64())
+    filtered = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("ivf_bucket"), value_set=want_arr)),
+        batch_format="pyarrow",
+    )
+
+    out = brute_force_topk(filtered, qn, k=k, vec_col=vec_col, key=key)
+    # restrict each query to its own probed buckets? brute force over the
+    # union is a superset → recall can only improve; keep it simple+exactish
+    return out

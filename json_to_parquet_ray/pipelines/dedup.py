@@ -1,0 +1,304 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shapes follow the scale-first patterns from the build brief:
+
+- exact: content-hash inside ``map_batches`` (vectorized md5) → hash-
+  partitioned ``groupby(hash)`` → keep first (min key) per group. The
+  shuffle moves only (hash, key) pairs plus the group rows.
+- MinHash: signatures fully vectorized (rolling byte-shingle hashes +
+  multiply-shift permutations + ``np.minimum.reduceat`` per document) →
+  explode to (band_id, band_hash, doc_id) → ``groupby`` band buckets →
+  candidate pairs → exact Jaccard verify → greedy cluster by min-id.
+- SimHash: 64-bit signatures; near-dup candidates via 4x16-bit band
+  exact-match buckets (Hamming ≤ 3 guarantee needs 4 bands).
+
+Candidate-pair verification and final clustering run on the candidate
+set only (provably small after banding); the full corpus is never
+pairwise-compared. At 100 TB the same code applies per hash-partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ------------------------------------------------------------------ exact
+
+
+def add_content_hash(batch: pa.Table, col: str = "text",
+                     out: str = "content_hash") -> pa.Table:
+    vals = batch.column(col).to_pylist()
+    hashes = [None if v is None else
+              hashlib.md5(v.encode() if isinstance(v, str) else v).hexdigest()
+              for v in vals]
+    return batch.append_column(out, pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
+    """Keep the min-``key`` row per distinct ``col`` value. Returns Dataset."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, col), batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, key)
+
+    kept = hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return kept.drop_columns(["content_hash"])
+
+
+# ------------------------------------------------------------------ minhash
+
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # 16 bands x 4 rows
+SHINGLE = 5
+
+_RNG = np.random.default_rng(0xC0FFEE)
+_PERM_A = (_RNG.integers(1, 2**63, MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+           | np.uint64(1))  # odd multipliers → multiply-shift universal hashing
+
+
+def _byte_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    a = arr.fill_null("").cast(pa.large_binary())
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    offs = np.frombuffer(a.buffers()[1], np.int64, count=len(a) + 1, offset=a.offset * 8)
+    buf = a.buffers()[2]
+    data = np.frombuffer(buf, np.uint8)[offs[0]:offs[-1]] if buf is not None else np.zeros(0, np.uint8)
+    return data, offs - offs[0]
+
+
+def _shingle_hashes(data: np.ndarray, offs: np.ndarray, k: int = SHINGLE):
+    """Rolling k-byte shingle hash over the concatenated buffer; returns
+    (hashes, per-doc reduceat starts, per-doc shingle counts)."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, np.uint64), None, None
+    h = np.zeros(max(n - k + 1, 0), np.uint64)
+    d64 = data.astype(np.uint64)
+    for j in range(k):
+        h = h * np.uint64(0x100000001B3) + d64[j : n - k + 1 + j]
+    lens = np.maximum(offs[1:] - offs[:-1] - (k - 1), 1)  # ≥1 shingle per doc
+    starts = np.minimum(offs[:-1], max(n - k, 0))
+    return h, starts, lens
+
+
+def minhash_signatures(arr: pa.Array, perms: int = MINHASH_PERMS) -> np.ndarray:
+    """(num_docs, perms) uint64 signature matrix, fully vectorized."""
+    data, offs = _byte_offsets(arr)
+    ndocs = len(offs) - 1
+    sig = np.full((ndocs, perms), np.iinfo(np.uint64).max, np.uint64)
+    h, starts, lens = _shingle_hashes(data, offs)
+    if h is None or len(h) == 0:
+        return sig
+    # clamp starts so reduceat indices stay valid; a doc shorter than the
+    # shingle width borrows its neighbor's first shingle (deterministic)
+    starts = np.minimum(starts, len(h) - 1)
+    for j in range(perms):
+        hj = h * _PERM_A[j]  # multiply-shift; uint64 wraparound
+        mins = np.minimum.reduceat(hj, starts)
+        sig[:, j] = mins
+    empty = (offs[1:] - offs[:-1]) == 0
+    sig[empty] = np.iinfo(np.uint64).max
+    return sig
+
+
+def minhash_band_rows(batch: pa.Table, col: str = "text", key: str = "doc_id",
+                      bands: int = MINHASH_BANDS) -> pa.Table:
+    """Explode each doc into (band_id, band_hash, key) rows for LSH groupby."""
+    arr = batch.column(col).combine_chunks()
+    keys = batch.column(key).to_numpy(zero_copy_only=False)
+    sig = minhash_signatures(arr)
+    r = MINHASH_PERMS // bands
+    band_ids, band_hashes, out_keys = [], [], []
+    for b in range(bands):
+        block = sig[:, b * r : (b + 1) * r]
+        bh = np.zeros(len(block), np.uint64)
+        for c in range(r):
+            bh = bh * np.uint64(0x9E3779B97F4A7C15) + block[:, c]
+        band_ids.append(np.full(len(block), b, np.int64))
+        band_hashes.append(bh.astype(np.int64))
+        out_keys.append(keys)
+    return pa.table({
+        "band_id": pa.array(np.concatenate(band_ids)),
+        "band_hash": pa.array(np.concatenate(band_hashes)),
+        key: pa.array(np.concatenate(out_keys)),
+    })
+
+
+def ngram_jaccard(a: str, b: str, k: int = SHINGLE) -> float:
+    """Exact n-gram Jaccard similarity (the verify step for candidates)."""
+    sa = {a[i : i + k] for i in range(max(len(a) - k + 1, 1))}
+    sb = {b[i : i + k] for i in range(max(len(b) - k + 1, 1))}
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
+
+
+def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
+                  threshold: float = 0.8):
+    """Near-dup removal. Returns (kept Dataset-as-table, clusters dict).
+
+    Candidate discovery is distributed (band groupby); verification +
+    clustering run on the candidate pairs only. The text lookup for
+    verification materializes just the candidate documents.
+    """
+    import ray
+
+    bands = ds.map_batches(
+        lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
+    )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[key].tolist())
+        if len(ids) < 2 or len(ids) > 64:  # cap pathological buckets
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
+                     for j in range(i + 1, len(ids))])
+        return pd.DataFrame({"a": a, "b": b})
+
+    pairs = (bands.groupby(["band_id", "band_hash"])
+             .map_groups(emit_pairs, batch_format="pandas")).to_pandas()
+    pairs = pairs.drop_duplicates() if len(pairs) else pairs
+
+    # verify candidates with exact jaccard (lookup only candidate docs)
+    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) else []
+    texts: dict = {}
+    if cand_ids:
+        cand_set = set(cand_ids)
+        for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            kcol = b.column(key).to_pylist()
+            tcol = b.column(col).to_pylist()
+            for kk, tt in zip(kcol, tcol):
+                if kk in cand_set:
+                    texts[kk] = tt or ""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for _, row in (pairs.iterrows() if len(pairs) else []):
+        a, b = row["a"], row["b"]
+        if ngram_jaccard(texts[a], texts[b]) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+
+    def filter_batch(b: pa.Table) -> pa.Table:
+        keep = [v not in drop for v in b.column(key).to_pylist()]
+        return b.filter(pa.array(keep))
+
+    kept = ds.map_batches(filter_batch, batch_format="pyarrow")
+    return kept, drop
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash_batch(batch: pa.Table, col: str = "text", key: str = "doc_id") -> pa.Table:
+    """64-bit SimHash per document (token-hash bit voting)."""
+    texts = batch.column(col).to_pylist()
+    out = np.zeros(len(texts), np.uint64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        th = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out[i] = np.uint64(
+            int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2))
+    return batch.append_column("simhash", pa.array(out.astype(np.int64), pa.int64()))
+
+
+def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
+                           max_hamming: int = 3) -> pd.DataFrame:
+    """Candidate pairs with Hamming(simhash) ≤ max_hamming via 4x16-bit bands."""
+    sims = ds.map_batches(lambda b: simhash_batch(b, col, key), batch_format="pyarrow")
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        sh = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        bids, bhs, ks = [], [], []
+        for band in range(4):
+            bits = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            bids.append(np.full(len(sh), band, np.int64))
+            bhs.append(bits.astype(np.int64))
+            ks.append(keys)
+        return pa.table({"band_id": pa.array(np.concatenate(bids)),
+                         "band_hash": pa.array(np.concatenate(bhs)),
+                         key: pa.array(np.concatenate(ks)),
+                         "simhash": pa.array(np.tile(sh.astype(np.int64), 4))})
+
+    bands = sims.map_batches(band_rows, batch_format="pyarrow")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates(subset=key)
+        if len(rows) < 2 or len(rows) > 64:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ids = rows[key].tolist()
+        hs = rows["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            x = hs[i] ^ hs[i + 1 :]
+            ham = np.array([bin(v).count("1") for v in x])
+            for j, hm in enumerate(ham):
+                if hm <= max_hamming:
+                    a, b = sorted((ids[i], ids[i + 1 + j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(int(hm))
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        emit, batch_format="pandas").to_pandas()
+    return pairs.drop_duplicates(subset=["a", "b"]) if len(pairs) else pairs
+
+
+# --------------------------------------------------- embedding cosine near-dup
+
+
+def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id",
+                             threshold: float = 0.95, planes: int = 16,
+                             seed: int = 7) -> pd.DataFrame:
+    """Cosine ≥ threshold candidate pairs via random-hyperplane LSH buckets,
+    verified exactly inside each bucket."""
+
+    def bucket_rows(b: pa.Table) -> pa.Table:
+        emb = np.asarray(b.column(vec_col).to_pylist(), np.float64)
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(seed)
+        H = rng.standard_normal((emb.shape[1], planes))
+        signs = (emb @ H) > 0
+        bucket = (signs * (1 << np.arange(planes))).sum(axis=1).astype(np.int64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norm, 1e-12)
+        return pa.table({"bucket": pa.array(bucket), key: pa.array(keys),
+                         "vec": pa.array(list(emb), pa.list_(pa.float64()))})
+
+    buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > 256:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        V = np.vstack(g["vec"].to_numpy())
+        ids = g[key].tolist()
+        S = V @ V.T
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if S[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(float(S[i, j]))
+        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_s})
+
+    pairs = buckets.groupby("bucket").map_groups(emit, batch_format="pandas").to_pandas()
+    return pairs.drop_duplicates(subset=["a", "b"]) if len(pairs) else pairs

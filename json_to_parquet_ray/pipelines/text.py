@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms over Arrow batches;
+the language-ID stage is a stateful actor-pool class (profiles built once
+per actor in ``__init__``). None of these exist in the reference (it has
+no per-record functions beyond trim/quote-strip, SURVEY.md §2.2); they
+are first-class components of the new engine per the build brief.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --------------------------------------------------------------- token count
+
+_TOKEN_RE = r"\S+"
+# BPE-ish word/number/punct splitter (GPT-2-style contractions simplified)
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace tokens + BPE-ish subword-ish counts, vectorized."""
+    text = batch.column(col)
+    ws = pc.count_substring_regex(text, _TOKEN_RE)
+    bpe = pc.count_substring_regex(text, _BPE_RE)
+    return (batch
+            .append_column("ws_tokens", ws.cast(pa.int64()))
+            .append_column("bpe_tokens", bpe.cast(pa.int64())))
+
+
+# ------------------------------------------------------------ quality scores
+
+_STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "that", "it", "for"]
+_STOP_RE = r"(?i)\b(?:" + "|".join(_STOPWORDS) + r")\b"
+
+
+def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Length / punctuation / uppercase / stopword ratios (all Arrow kernels)."""
+    text = batch.column(col)
+    n_chars = pc.utf8_length(text).cast(pa.float64())
+    safe = pc.max_element_wise(n_chars, 1.0)
+    punct = pc.count_substring_regex(text, r"[!-/:-@\[-`{-~]").cast(pa.float64())
+    upper = pc.count_substring_regex(text, r"[A-Z]").cast(pa.float64())
+    words = pc.count_substring_regex(text, _TOKEN_RE).cast(pa.float64())
+    stops = pc.count_substring_regex(text, _STOP_RE).cast(pa.float64())
+    safe_words = pc.max_element_wise(words, 1.0)
+    return (batch
+            .append_column("n_chars", n_chars.cast(pa.int64()))
+            .append_column("punct_ratio", pc.divide(punct, safe))
+            .append_column("upper_ratio", pc.divide(upper, safe))
+            .append_column("stopword_ratio", pc.divide(stops, safe_words)))
+
+
+# -------------------------------------------------------------- language id
+
+
+class LangId:
+    """Actor-pool stage: n-gram-profile language heuristic.
+
+    Profiles (common-word and character-class evidence for en/de/fr/es/zh)
+    are compiled ONCE per actor in ``__init__``; ``__call__`` scores each
+    batch vectorized with Arrow regex kernels.
+    """
+
+    PROFILES = {
+        "en": r"(?i)\b(?:the|and|of|to|is|that|you|with|for|this)\b",
+        "de": r"(?i)\b(?:der|die|und|das|ist|nicht|ein|mit|für|ich)\b",
+        "fr": r"(?i)\b(?:le|la|les|et|est|une|pour|que|dans|vous)\b",
+        "es": r"(?i)\b(?:el|los|las|es|una|para|que|con|por|como)\b",
+    }
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.patterns = dict(self.PROFILES)  # compiled by Arrow's RE2 on use
+        self.cjk = r"[一-鿿]"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.col)
+        n = pc.max_element_wise(pc.utf8_length(text).cast(pa.float64()), 1.0)
+        scores = {}
+        for lang, pat in self.patterns.items():
+            scores[lang] = pc.divide(
+                pc.count_substring_regex(text, pat).cast(pa.float64()), n)
+        # CJK characters dominate if present
+        scores["zh"] = pc.divide(
+            pc.multiply(pc.count_substring_regex(text, self.cjk).cast(pa.float64()), 5.0),
+            n)
+        langs = list(scores)
+        mat = np.vstack([scores[l].to_numpy(zero_copy_only=False) for l in langs])
+        best = mat.argmax(axis=0)
+        conf = mat.max(axis=0)
+        pred = np.array(langs, dtype=object)[best]
+        pred[conf <= 0.0] = "unknown"
+        return (batch
+                .append_column("lang_pred", pa.array(pred, pa.string()))
+                .append_column("lang_conf", pa.array(conf, pa.float64())))
+
+
+# ------------------------------------------------------------- fingerprints
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Deterministic document fingerprints: md5 (oracle-checkable via
+    DuckDB's md5()) + a 64-bit polynomial rolling hash of the utf-8 bytes."""
+    texts = batch.column(col).to_pylist()
+    md5s = [None if t is None else hashlib.md5(t.encode()).hexdigest()
+            for t in texts]
+    return batch.append_column("fp_md5", pa.array(md5s, pa.string()))
+
+
+def fingerprint_batch_fast(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Vectorized 64-bit FNV-1a over utf-8 bytes per row (no Python loop)."""
+    arr = batch.column(col).combine_chunks().cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], np.int64, count=len(arr) + 1,
+                         offset=arr.offset * 8)
+    data_buf = arr.buffers()[2]
+    data = (np.frombuffer(data_buf, np.uint8)[offs[0]:offs[-1]]
+            if data_buf is not None else np.zeros(0, np.uint8))
+    offs = offs - offs[0]
+    h = np.full(len(arr), np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    maxlen = int((offs[1:] - offs[:-1]).max()) if len(arr) else 0
+    starts = offs[:-1].copy()
+    lens = offs[1:] - offs[:-1]
+    for i in range(maxlen):
+        active = lens > i
+        idx = starts[active] + i
+        h[active] = (h[active] ^ data[idx].astype(np.uint64)) * prime
+    return batch.append_column("fp_fnv", pa.array(h.astype(np.int64), pa.int64()))

@@ -1,0 +1,453 @@
+"""Driver-contract queries: one entry per implemented operator/pipeline
+(SURVEY.md §2), each with a DuckDB oracle where SQL can express it.
+
+Every callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table. Column names match the oracle SQL aliases exactly (the
+driver hash-compares values after sorting columns by name).
+
+Ray is initialised by the driver — nothing here calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .encode import decode_table, encode_table
+from .pipelines import ann, dedup, multimodal, text
+from .schema_infer import infer_json_schema
+from .shuffle import heavy_hitters, salted_group_count
+from .stats import compute_stats
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+# ------------------------------------------------------------ codec roundtrips
+
+
+def _roundtrip_ds(sf_dir: str, table: str):
+    """Distributed per-batch encode→decode: proves bit-identical codecs on
+    real tables; the oracle is simply SELECT * FROM table."""
+    ds = _read(sf_dir, table)
+
+    def rt(batch: pa.Table) -> pa.Table:
+        blob, _ = encode_table(batch)
+        return decode_table(blob, verify_crc=True)
+
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
+def q_roundtrip_documents(sf_dir: str):
+    return _roundtrip_ds(sf_dir, "documents")
+
+
+def q_roundtrip_events(sf_dir: str):
+    return _roundtrip_ds(sf_dir, "events")
+
+
+def q_roundtrip_lineitem(sf_dir: str):
+    return _roundtrip_ds(sf_dir, "lineitem")
+
+
+def q_roundtrip_embeddings(sf_dir: str):
+    return _roundtrip_ds(sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------------ statistics
+
+
+def q_stats_documents(sf_dir: str):
+    stats = compute_stats(_read(sf_dir, "documents"))
+    return pa.table({
+        "n_rows": pa.array([stats["doc_id"].n], pa.int64()),
+        "lang_card": pa.array([int(round(stats["lang"].cardinality))], pa.int64()),
+        "source_card": pa.array([int(round(stats["source"].cardinality))], pa.int64()),
+        "min_n_chars": pa.array([stats["n_chars"].min_val], pa.int64()),
+        "max_n_chars": pa.array([stats["n_chars"].max_val], pa.int64()),
+    })
+
+
+def q_codec_plan_documents(sf_dir: str):
+    """Codec auto-selection summary (no SQL equivalent → rows-only check)."""
+    from .plan import plan_from_stats
+
+    ds = _read(sf_dir, "documents")
+    stats = compute_stats(ds)
+    schema = pa.schema([pa.field(n, ds.schema().base_schema.field(n).type)
+                        for n in ds.schema().names])
+    plan = plan_from_stats(stats, schema)
+    rows = [{"column": c, "codec": p.codec,
+             "est_ratio": round(p.est_ratio, 4)} for c, p in plan.columns.items()]
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["column"]))
+
+
+# ---------------------------------------------------------- shuffle/skew ops
+
+
+def q_source_counts(sf_dir: str):
+    """Salted two-level group-count (skew-safe aggregation)."""
+    out = salted_group_count(_read(sf_dir, "documents", ["source"]), "source")
+    df = out.to_pandas().rename(columns={"value": "source"})
+    return df[["source", "count"]]
+
+
+def q_heavy_sources(sf_dir: str):
+    t = heavy_hitters(_read(sf_dir, "documents", ["source"]), "source", k=5)
+    df = t.to_pandas().rename(columns={"value": "source"})
+    df = df.sort_values(["count", "source"], ascending=[False, True]).reset_index(drop=True)
+    return df[["source", "count"]]
+
+
+def q_distinct_lang(sf_dir: str):
+    from .shuffle import distinct_values
+
+    vals = distinct_values(_read(sf_dir, "documents", ["lang"]), "lang")
+    return pa.table({"lang": vals})
+
+
+# ----------------------------------------------------------------- text ops
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(lambda b: text.token_count_batch(b), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "ws_tokens"])
+
+
+def q_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(lambda b: text.quality_score_batch(b), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_chars", "punct_ratio", "upper_ratio"])
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(lambda b: text.fingerprint_batch(b), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fp_md5"])
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def q_exact_dedup(sf_dir: str):
+    kept = dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return kept.select_columns(["doc_id"])
+
+
+def q_minhash_dedup(sf_dir: str):
+    kept, dropped = dedup.minhash_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
+    return kept.select_columns(["doc_id"])
+
+
+def q_simhash_pairs(sf_dir: str):
+    pairs = dedup.simhash_near_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pairs.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+
+
+def q_embedding_near_dup(sf_dir: str):
+    pairs = dedup.embedding_near_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    return pairs[["a", "b"]].astype("int64").sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------- ann
+
+
+def _first_queries(sf_dir: str, nq: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(nq)
+    return np.asarray(df["embedding"].tolist(), np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    qs = _first_queries(sf_dir, 3)
+    df = ann.brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs, k=5)
+    out = df[["query_id", "vec_id"]].astype("int64")
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    qs = _first_queries(sf_dir, 3)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = ann.brute_force_topk(ds, qs, k=5)
+    approx = ann.ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          qs, k=5, n_clusters=8, nprobe=3)
+    recalls = []
+    for qi in sorted(exact["query_id"].unique()):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    return pd.DataFrame({"query_id": sorted(exact["query_id"].unique()),
+                         "recall": recalls})
+
+
+# -------------------------------------------------------------- json / schema
+
+
+def q_json_roundtrip_documents(sf_dir: str):
+    """documents rows → JSON strings → engine JSON parser+inference →
+    Arrow table. Oracle: SELECT * FROM documents (proves parser parity)."""
+    from .json_source import parse_documents
+    from .schema_infer import align_table
+
+    ds = _read(sf_dir, "documents")
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+    ])
+
+    def via_json(batch: pa.Table) -> pa.Table:
+        docs = [json.dumps(r) for r in batch.to_pylist()]
+        parsed = parse_documents(docs)
+        t = pa.Table.from_pylist(parsed)
+        return align_table(t, schema)
+
+    return ds.map_batches(via_json, batch_format="pyarrow")
+
+
+def q_schema_infer_conformance(sf_dir: str):
+    corpus = [
+        '{"a":1,"b":2.5,"c":"s","d":true}',
+        '{"xs":[{"v":1},{"v":2.5}]}',
+        '{"a":[[1,2],[3]]}',
+        '{"a":null,"b":1}',
+    ]
+    rows = []
+    for doc in corpus:
+        s = infer_json_schema([doc], mode="conformance")
+        rows.append({"doc": doc, "schema": str(s).replace("\n", "; ")})
+    return pa.Table.from_pylist(rows)
+
+
+# ------------------------------------------------------- classic aggregation
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Pre-aggregated wide groupby (partial sums per batch → tiny groupby)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("n", alias_name="count_rows"),
+    )
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df["count_rows"] = df["count_rows"].astype("int64")
+    # float sums are rounded in BOTH the Ray result and the oracle SQL so
+    # the value-hash is insensitive to summation order
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+def q_events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            sum_value=("value", "sum"), n=("value", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("event_type").aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n", alias_name="count_rows"))
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["count_rows"] = df["count_rows"].astype("int64")
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window counts (streaming-shaped workload)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({"hour": hour, "value": batch.column("value")})
+        df = t.to_pandas()
+        g = df.groupby("hour", as_index=False).agg(n=("value", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("hour").aggregate(Sum("n", alias_name="count_rows"))
+    df = out.to_pandas().sort_values("hour").reset_index(drop=True)
+    df["count_rows"] = df["count_rows"].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Binary-payload decode plumbing (stubbed decode, real schema/actors)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payload = pc.cast(batch.column("text"), pa.binary())
+        return pa.table({"media_id": batch.column("doc_id"),
+                         "payload": payload})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = media.map_batches(multimodal.DecodeMedia, batch_size=64,
+                            batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["media_id", "n_bytes", "decode_ok"])
+
+
+def q_multimodal_features(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({"media_id": batch.column("doc_id"),
+                         "payload": pc.cast(batch.column("text"), pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = media.map_batches(multimodal.ExtractFeatures, batch_size=64,
+                            batch_format="pyarrow", concurrency=(1, 4))
+    return out
+
+
+# ----------------------------------------------------------------- registry
+
+
+QUERIES = {
+    "roundtrip_documents": q_roundtrip_documents,
+    "roundtrip_events": q_roundtrip_events,
+    "roundtrip_lineitem": q_roundtrip_lineitem,
+    "roundtrip_embeddings": q_roundtrip_embeddings,
+    "stats_documents": q_stats_documents,
+    "codec_plan_documents": q_codec_plan_documents,
+    "source_counts": q_source_counts,
+    "heavy_sources": q_heavy_sources,
+    "distinct_lang": q_distinct_lang,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "exact_dedup": q_exact_dedup,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "json_roundtrip_documents": q_json_roundtrip_documents,
+    "schema_infer_conformance": q_schema_infer_conformance,
+    "lineitem_agg": q_lineitem_agg,
+    "events_by_type": q_events_by_type,
+    "events_hourly": q_events_hourly,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "roundtrip_documents": "SELECT * FROM documents",
+    "roundtrip_events": "SELECT * FROM events",
+    "roundtrip_lineitem": "SELECT * FROM lineitem",
+    "roundtrip_embeddings": "SELECT * FROM embeddings",
+    "stats_documents": (
+        "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT lang) AS lang_card, "
+        "COUNT(DISTINCT source) AS source_card, MIN(n_chars) AS min_n_chars, "
+        "MAX(n_chars) AS max_n_chars FROM documents"
+    ),
+    "source_counts": (
+        "SELECT source, COUNT(*) AS count FROM documents GROUP BY source"
+    ),
+    "heavy_sources": (
+        "SELECT source, COUNT(*) AS count FROM documents GROUP BY source "
+        "ORDER BY count DESC, source ASC LIMIT 5"
+    ),
+    "distinct_lang": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "token_counts": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+        " AS ws_tokens FROM documents"
+    ),
+    "quality_scores": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE)"
+        " / GREATEST(length(text), 1) AS punct_ratio, "
+        "CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)"
+        " / GREATEST(length(text), 1) AS upper_ratio "
+        "FROM documents"
+    ),
+    "fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "exact_dedup": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    "json_roundtrip_documents": "SELECT * FROM documents",
+    "lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS count_rows "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+    "events_by_type": (
+        "SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS count_rows "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS count_rows "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "ann_topk": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+        "           WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)), "
+        "qn AS (SELECT qid, ROW_NUMBER() OVER (ORDER BY qid) - 1 AS query_id, qe FROM q), "
+        "sims AS (SELECT qn.query_id, e.vec_id, "
+        "         list_cosine_similarity(qn.qe, e.embedding) AS sim "
+        "         FROM qn CROSS JOIN embeddings e), "
+        "ranked AS (SELECT query_id, vec_id, "
+        "           ROW_NUMBER() OVER (PARTITION BY query_id "
+        "               ORDER BY sim DESC, vec_id ASC) AS rk FROM sims) "
+        "SELECT query_id, vec_id FROM ranked WHERE rk <= 5 "
+        "ORDER BY query_id, vec_id"
+    ),
+    "multimodal_decode": (
+        "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)"
+        " AS n_bytes, TRUE AS decode_ok FROM documents"
+    ),
+}

@@ -39,7 +39,9 @@ def _stable_hash(arr: pa.Array) -> np.ndarray:
     if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_temporal(t) or pa.types.is_boolean(t):
         np_vals = a.to_numpy(zero_copy_only=False)
         return pd.util.hash_array(np.ascontiguousarray(np_vals))
-    # strings / binary / nested → hash the string repr through pandas
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        raise TypeError(f"no stable hash for nested type {t}")
     obj = a.to_pandas()
     return pd.util.hash_array(np.asarray(obj, dtype=object), categorize=False)
 
