@@ -1,0 +1,173 @@
+"""Bench harness (driver contract): runs the headline pipelines over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+`python bench.py --scaling` runs the headline CC encode twice in fresh
+processes (num_cpus=8 then 32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox protocol for the north
+rule's N→4N two-cluster-size criterion, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CC_ROWS = int(os.environ.get("GRAFT_CC_ROWS", "40000"))
+CC_BASE = os.environ.get("GRAFT_CC_BASE", "/tmp/jtpr_bench")
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np  # noqa: F401
+    import pyarrow.parquet as pq
+
+    from json_to_parquet_ray.fixtures import cc_dataset_dir
+    from json_to_parquet_ray.pipelines.encode_job import (
+        decode_dataset, encode_job, verify_job,
+    )
+    from json_to_parquet_ray.queries import QUERIES
+    from json_to_parquet_ray.stats import compute_stats
+
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    # warm the worker pool (process spawn + numpy/pandas imports) so timed
+    # stages measure steady-state compute, not one-time cold start
+    def _warm(batch):
+        import pandas  # noqa: F401
+        return batch
+
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm, batch_size=1).materialize()
+
+    # ---- CC-style table (the input_hint shape): generate once, cached ----
+    gen_t0 = time.time()
+    cc_dir = cc_dataset_dir(CC_BASE, CC_ROWS, seed=42)
+    extra["cc_gen_sec"] = round(time.time() - gen_t0, 2)
+    cc_bytes = sum(os.path.getsize(os.path.join(cc_dir, f))
+                   for f in os.listdir(cc_dir) if f.endswith(".parquet"))
+    extra["cc_input_parquet_bytes"] = cc_bytes
+
+    # warm the page cache so we measure compute+shuffle, not first-read disk
+    for f in os.listdir(cc_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(cc_dir, f), "rb") as fh:
+                fh.read()
+
+    # ---- headline: partitioned codec-auto-selected encode of the CC table
+    out_dir = os.path.join(CC_BASE, f"enc_out_{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    sec, summary = timed(lambda: encode_job(cc_dir, out_dir,
+                                            shared_dict_columns=None))
+    queries["encode_cc"] = round(sec, 3)
+    extra["cc_uncompressed_bytes"] = summary["input_bytes"]
+    extra["cc_chunk_bytes"] = summary["chunk_bytes"]
+    extra["cc_ratio_vs_arrow"] = summary["ratio"]
+    extra["cc_encode_MBps"] = round(summary["input_bytes"] / 1e6 / sec, 1)
+    extra["cc_partitions"] = summary["partitions_total"]
+
+    sec, ver = timed(lambda: verify_job(out_dir))
+    queries["verify_cc"] = round(sec, 3)
+    assert ver["failed"] == [], ver
+
+    sec, _ = timed(lambda: decode_dataset(out_dir).count())
+    queries["decode_cc"] = round(sec, 3)
+
+    # ---- stats pass over the CC table (streaming partial+merge)
+    sec, _ = timed(lambda: compute_stats(ray.data.read_parquet(cc_dir)))
+    queries["stats_cc"] = round(sec, 3)
+
+    # ---- pyarrow parquet default writer baseline (size + speed stand-in
+    #      for the reference parquet-mr encoder, BASELINE.md)
+    cc_table = pq.read_table(cc_dir)
+    t0 = time.time()
+    base_path = os.path.join(CC_BASE, "pyarrow_baseline.parquet")
+    pq.write_table(cc_table, base_path)
+    extra["pyarrow_write_sec"] = round(time.time() - t0, 3)
+    extra["pyarrow_parquet_bytes"] = os.path.getsize(base_path)
+    extra["size_vs_pyarrow"] = round(
+        summary["chunk_bytes"] / os.path.getsize(base_path), 4)
+    del cc_table
+
+    # ---- operator pipelines on the driver testdata tables
+    for name in ["roundtrip_lineitem", "lineitem_agg", "events_by_type",
+                 "token_counts", "exact_dedup", "ann_topk", "source_counts"]:
+        fn = QUERIES[name]
+        sec, res = timed(lambda fn=fn: fn(SF_DIR))
+        if hasattr(res, "count"):
+            res.count()  # consume lazily-built datasets
+        queries[name] = round(sec, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "extra": extra,
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo = lo["queries"]["encode_cc"] + lo["queries"]["decode_cc"]
+    t_hi = hi["queries"]["encode_cc"] + hi["queries"]["decode_cc"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    result = {
+        "metric": "scaling efficiency (encode+decode cc)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_lo": round(t_lo, 3),
+        "sec_hi": round(t_hi, 3),
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "throughput_lo_MBps": round(
+            lo["extra"]["cc_uncompressed_bytes"] / 1e6 / t_lo, 1),
+        "throughput_hi_MBps": round(
+            hi["extra"]["cc_uncompressed_bytes"] / 1e6 / t_hi, 1),
+        "full_lo": lo,
+        "full_hi": hi,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

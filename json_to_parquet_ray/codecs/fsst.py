@@ -304,11 +304,14 @@ class FsstCodec(Codec):
 
     @classmethod
     def encode(cls, arr: pa.Array, encoder: FsstEncoder | None = None,
-               post_zstd: bool = False) -> tuple[bytes, dict]:
+               post_zstd: bool = False, quick: bool = False) -> tuple[bytes, dict]:
         validity = pack_validity(arr)
         data, lengths = _concat_binary(arr)
         if encoder is None:
-            encoder = FsstEncoder(train(data))
+            if quick:  # planner trial encodes: smaller sample, fewer rounds
+                encoder = FsstEncoder(train(data[:16384], generations=3))
+            else:
+                encoder = FsstEncoder(train(data))
         enc = encoder.encode(data)
         width = bit_width(int(lengths.max())) if len(lengths) else 0
         lens_packed = pack_bits(lengths.astype(np.uint64), width)

@@ -122,6 +122,44 @@ def write_cc_parquet(path: str, num_rows: int, seed: int = 42,
     return path
 
 
+def cc_dataset_dir(base_dir: str, num_rows: int, seed: int = 42,
+                   shard_rows: int = 5000, row_group_size: int = 2500) -> str:
+    """Generate (once, cached) a sharded CC-style parquet dataset via Ray.
+
+    One file per shard, each generated deterministically from
+    (seed + shard_index) — so any scale is reproducible and generation
+    parallelizes across the cluster. Returns the directory.
+    """
+    import ray
+
+    tag = f"cc_{num_rows}_{seed}_{shard_rows}"
+    out = os.path.join(base_dir, tag)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    shards = [
+        {"shard": i, "rows": min(shard_rows, num_rows - i * shard_rows)}
+        for i in range((num_rows + shard_rows - 1) // shard_rows)
+    ]
+
+    def gen(batch):
+        import pyarrow.parquet as _pq
+
+        for item in batch.to_pylist():
+            t = make_cc_table(item["rows"], seed=seed + item["shard"])
+            _pq.write_table(t, os.path.join(out, f"shard-{item['shard']:04d}.parquet"),
+                            row_group_size=row_group_size)
+        return batch
+
+    ray.data.from_items(shards).map_batches(
+        gen, batch_size=1, batch_format="pyarrow"
+    ).materialize()
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
 # ---------------------------------------------------------------- stress cases
 
 def stress_tables(seed: int = 42) -> dict[str, pa.Table]:

@@ -23,10 +23,12 @@ class FragmentRef:
     path: str
     row_group: int
     num_rows: int
+    row_start: int = 0  # slice offset within the row group (0 = whole group)
 
     @property
     def fragment_id(self) -> str:
-        return f"{os.path.basename(self.path)}#rg{self.row_group}"
+        return (f"{os.path.basename(self.path)}#rg{self.row_group}"
+                f"[{self.row_start}+{self.num_rows}]")
 
 
 @dataclass

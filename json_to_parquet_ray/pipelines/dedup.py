@@ -161,7 +161,9 @@ def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
 
     pairs = (bands.groupby(["band_id", "band_hash"])
              .map_groups(emit_pairs, batch_format="pandas")).to_pandas()
-    pairs = pairs.drop_duplicates() if len(pairs) else pairs
+    if len(pairs) == 0 or "a" not in pairs.columns:
+        pairs = pd.DataFrame({"a": [], "b": []})
+    pairs = pairs.drop_duplicates()
 
     # verify candidates with exact jaccard (lookup only candidate docs)
     cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) else []
@@ -219,22 +221,28 @@ def simhash_batch(batch: pa.Table, col: str = "text", key: str = "doc_id") -> pa
 
 def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
                            max_hamming: int = 3) -> pd.DataFrame:
-    """Candidate pairs with Hamming(simhash) ≤ max_hamming via 4x16-bit bands."""
+    """Candidate pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding uses ``max_hamming + 1`` bands (pigeonhole: any pair within
+    the Hamming budget must agree exactly on at least one band)."""
     sims = ds.map_batches(lambda b: simhash_batch(b, col, key), batch_format="pyarrow")
+    n_bands = min(max_hamming + 1, 8)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
 
     def band_rows(b: pa.Table) -> pa.Table:
         sh = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         keys = b.column(key).to_numpy(zero_copy_only=False)
         bids, bhs, ks = [], [], []
-        for band in range(4):
-            bits = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        for band in range(n_bands):
+            bits = (sh >> np.uint64(band * width)) & mask
             bids.append(np.full(len(sh), band, np.int64))
             bhs.append(bits.astype(np.int64))
             ks.append(keys)
         return pa.table({"band_id": pa.array(np.concatenate(bids)),
                          "band_hash": pa.array(np.concatenate(bhs)),
                          key: pa.array(np.concatenate(ks)),
-                         "simhash": pa.array(np.tile(sh.astype(np.int64), 4))})
+                         "simhash": pa.array(np.tile(sh.astype(np.int64), n_bands))})
 
     bands = sims.map_batches(band_rows, batch_format="pyarrow")
 
@@ -258,7 +266,11 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
 
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         emit, batch_format="pandas").to_pandas()
-    return pairs.drop_duplicates(subset=["a", "b"]) if len(pairs) else pairs
+    if len(pairs) == 0 or "a" not in pairs.columns:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pairs.drop_duplicates(subset=["a", "b"])
 
 
 # --------------------------------------------------- embedding cosine near-dup
@@ -301,4 +313,8 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
         return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_s})
 
     pairs = buckets.groupby("bucket").map_groups(emit, batch_format="pandas").to_pandas()
-    return pairs.drop_duplicates(subset=["a", "b"]) if len(pairs) else pairs
+    if len(pairs) == 0 or "a" not in pairs.columns:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return pairs.drop_duplicates(subset=["a", "b"])

@@ -46,8 +46,13 @@ from ..stats import compute_stats, compute_stats_table
 SHARED_DICT_MAX_CARD = 1024
 
 
-def list_fragments(paths: list[str] | str) -> list[FragmentRef]:
-    """Deterministic fragment list: files sorted, row groups in order."""
+def list_fragments(paths: list[str] | str,
+                   max_rows_per_partition: int | None = None) -> list[FragmentRef]:
+    """Deterministic fragment list: files sorted, row groups in order.
+
+    A row group larger than ``max_rows_per_partition`` is split into row
+    slices so CPU parallelism survives single-row-group inputs (the
+    slicing task re-reads its row group but encodes only its slice)."""
     if isinstance(paths, str):
         paths = [paths]
     files: list[str] = []
@@ -63,7 +68,13 @@ def list_fragments(paths: list[str] | str) -> list[FragmentRef]:
     for f in sorted(files):
         md = pq.read_metadata(f)
         for rg in range(md.num_row_groups):
-            frags.append(FragmentRef(f, rg, md.row_group(rg).num_rows))
+            n = md.row_group(rg).num_rows
+            if max_rows_per_partition and n > max_rows_per_partition:
+                for start in range(0, n, max_rows_per_partition):
+                    frags.append(FragmentRef(
+                        f, rg, min(max_rows_per_partition, n - start), start))
+            else:
+                frags.append(FragmentRef(f, rg, n))
     return frags
 
 
@@ -99,10 +110,13 @@ class EncodePartition:
 
     def _encode_one(self, item: dict) -> dict:
         t0 = time.time()
-        frag = FragmentRef(item["path"], item["row_group"], item["num_rows"])
+        frag = FragmentRef(item["path"], item["row_group"], item["num_rows"],
+                           item.get("row_start", 0))
         pid = item["partition_id"]
         pf = pq.ParquetFile(frag.path)
         table = pf.read_row_group(frag.row_group)
+        if frag.row_start or frag.num_rows < table.num_rows:
+            table = table.slice(frag.row_start, frag.num_rows)
         plan = self._plan_for(table)
         # shared dictionaries override the per-chunk choice where available
         blob, header = self._encode_with_shared(table, plan)
@@ -149,7 +163,7 @@ def encode_job(
     resume: bool = True,
     shared_dict_columns: list[str] | str | None = None,
     concurrency: int | tuple | None = None,
-    stats_sample_frags: int = 4,
+    max_rows_per_partition: int | None = None,
 ) -> dict:
     """Run the full encode pipeline; returns a summary dict.
 
@@ -157,12 +171,12 @@ def encode_job(
     """
     import ray
 
-    frags = list_fragments(input_paths)
+    frags = list_fragments(input_paths, max_rows_per_partition)
     total = len(frags)
     done: set[int] = completed_partitions(out_dir) if resume else set()
     work = [
         {"partition_id": i, "path": f.path, "row_group": f.row_group,
-         "num_rows": f.num_rows}
+         "num_rows": f.num_rows, "row_start": f.row_start}
         for i, f in enumerate(frags)
         if i not in done
     ]
@@ -184,8 +198,9 @@ def encode_job(
 
     summary_rows = []
     if work:
-        items = ray.data.from_items(work)
-        conc = concurrency or (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        items = ray.data.from_items(work, override_num_blocks=len(work))
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        conc = concurrency or max(1, min(len(work), cpus - 1))
         results = items.map_batches(
             EncodePartition,
             fn_constructor_kwargs={"out_dir": out_dir, "shared_dicts_ref": shared_ref},
@@ -246,7 +261,9 @@ def verify_job(out_dir: str) -> dict:
     manifest = load_manifest(out_dir)
     items = [
         {"partition_id": pid, "chunk": os.path.join(out_dir, rec.chunk_file),
-         "path": rec.fragment["path"], "row_group": rec.fragment["row_group"]}
+         "path": rec.fragment["path"], "row_group": rec.fragment["row_group"],
+         "row_start": rec.fragment.get("row_start", 0),
+         "num_rows": rec.num_rows}
         for pid, rec in sorted(manifest.items())
     ]
 
@@ -256,6 +273,7 @@ def verify_job(out_dir: str) -> dict:
             with open(item["chunk"], "rb") as f:
                 decoded = decode_table(f.read(), verify_crc=True)
             original = pq.ParquetFile(item["path"]).read_row_group(item["row_group"])
+            original = original.slice(item["row_start"], item["num_rows"])
             ok = decoded.equals(original.cast(decoded.schema))
             out.append({"partition_id": item["partition_id"], "ok": ok})
         return pa.Table.from_pylist(out)

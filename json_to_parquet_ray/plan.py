@@ -105,11 +105,21 @@ def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, dict]]:
     return out
 
 
+TRIAL_SAMPLE_BYTES = 1 << 16  # 64 KiB cap per trial encode — keeps the
+# planner O(codecs x 64KiB) per column chunk regardless of value sizes
+
+
 def _sample_array(st: ColumnStats, t: pa.DataType) -> pa.Array | None:
     if not st.sample:
         return None
+    vals, total = [], 0
+    for v in st.sample:
+        vals.append(v)
+        total += len(v) if isinstance(v, (str, bytes)) else 8
+        if total >= TRIAL_SAMPLE_BYTES:
+            break
     try:
-        return pa.array(st.sample, type=t)
+        return pa.array(vals, type=t)
     except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
         return None
 
@@ -135,7 +145,10 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
         if not codec.can_encode(t):
             continue
         try:
-            payload, _ = encode_array(sample, name, **kwargs)
+            trial_kwargs = dict(kwargs)
+            if name == "fsst":
+                trial_kwargs["quick"] = True
+            payload, _ = encode_array(sample, name, **trial_kwargs)
         except Exception:
             continue
         ratio = len(payload) / base

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 
 KMV_K = 2048
 SAMPLE_CAP = 512  # sampled raw values kept per column for trial encodes
+SAMPLE_BYTES_CAP = 128 * 1024  # hard byte cap so partials stay shippable
 
 
 def _stable_hash(arr: pa.Array) -> np.ndarray:
@@ -119,7 +120,7 @@ class ColumnStats:
         out.max_val = _merge_minmax(self.max_val, other.max_val, max)
         merged = np.unique(np.concatenate([self.kmv, other.kmv]))
         out.kmv = merged[:KMV_K]
-        out.sample = (self.sample + other.sample)[:SAMPLE_CAP]
+        out.sample = _cap_sample((self.sample + other.sample)[:SAMPLE_CAP])
         out.distinct_exact_cap = max(self.distinct_exact_cap, other.distinct_exact_cap)
         return out
 
@@ -213,8 +214,19 @@ def column_stats_partial(arr: pa.Array, name: str) -> ColumnStats:
     except (TypeError, pa.ArrowNotImplementedError, pa.ArrowInvalid):
         pass
     stride = max(1, len(arr) // SAMPLE_CAP)
-    st.sample = arr.take(pa.array(range(0, len(arr), stride))).to_pylist()[:SAMPLE_CAP]
+    raw = arr.take(pa.array(range(0, len(arr), stride))).to_pylist()[:SAMPLE_CAP]
+    st.sample = _cap_sample(raw)
     return st
+
+
+def _cap_sample(vals: list) -> list:
+    out, total = [], 0
+    for v in vals:
+        out.append(v)
+        total += len(v) if isinstance(v, (str, bytes)) else 8
+        if total >= SAMPLE_BYTES_CAP:
+            break
+    return out
 
 
 def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
@@ -243,7 +255,8 @@ def compute_stats(ds, columns: list[str] | None = None) -> dict[str, ColumnStats
     partials (a few KB each) reach the driver.
     """
     parts = ds.map_batches(
-        lambda b: stats_partial_batch(b, columns), batch_format="pyarrow"
+        lambda b: stats_partial_batch(b, columns), batch_format="pyarrow",
+        batch_size=16384,
     )
     raws: list[bytes] = []
     for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow"):

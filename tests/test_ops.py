@@ -1,0 +1,188 @@
+"""Tests for text analysis, dedup, ANN and multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from json_to_parquet_ray.pipelines import ann, dedup, multimodal, text
+
+
+def make_docs_table():
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "The quick brown fox jumps over the lazy dog",          # exact dup of 0
+        "The quick brown fox jumps over the lazy dog!",         # near dup of 0
+        "Der schnelle braune Fuchs springt über den faulen Hund und der",
+        "Le renard brun rapide saute par dessus le chien est une pour",
+        "这是一段中文文本用于语言识别测试",
+        "completely different content about machine learning pipelines",
+        None,
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_token_count_batch():
+    t = pa.table({"text": pa.array(["a b  c", "", "one"], pa.string())})
+    out = text.token_count_batch(t)
+    assert out.column("ws_tokens").to_pylist() == [3, 0, 1]
+
+
+def test_quality_scores_batch():
+    t = pa.table({"text": pa.array(["Hello, World!", "abc"], pa.string())})
+    out = text.quality_score_batch(t)
+    assert out.column("n_chars").to_pylist() == [13, 3]
+    assert out.column("punct_ratio").to_pylist()[0] == pytest.approx(2 / 13)
+    assert out.column("upper_ratio").to_pylist()[0] == pytest.approx(2 / 13)
+
+
+def test_lang_id_heuristic():
+    out = text.LangId()(make_docs_table())
+    pred = dict(zip(out.column("doc_id").to_pylist(),
+                    out.column("lang_pred").to_pylist()))
+    assert pred[0] == "en"
+    assert pred[3] == "de"
+    assert pred[4] == "fr"
+    assert pred[5] == "zh"
+
+
+def test_fingerprints_deterministic():
+    t = make_docs_table()
+    a = text.fingerprint_batch(t).column("fp_md5").to_pylist()
+    b = text.fingerprint_batch(t).column("fp_md5").to_pylist()
+    assert a == b
+    assert a[0] == a[1] and a[0] != a[2]
+    assert a[7] is None
+    f1 = text.fingerprint_batch_fast(t).column("fp_fnv").to_pylist()
+    assert f1[0] == f1[1] and f1[0] != f1[2]
+
+
+def test_minhash_signatures_similarity():
+    arr = pa.array([
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "the quick brown fox jumps over the lazy dog " * 5 + "extra tail",
+        "completely different text with no overlap at all whatsoever",
+    ])
+    sig = dedup.minhash_signatures(arr)
+    sim01 = (sig[0] == sig[1]).mean()
+    sim02 = (sig[0] == sig[2]).mean()
+    assert sim01 > 0.5
+    assert sim02 < 0.2
+
+
+def test_ngram_jaccard():
+    assert dedup.ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(make_docs_table().drop_null())
+    kept = dedup.exact_dedup(ds).to_pandas()
+    # doc 1 (dup of 0) removed; min doc_id kept
+    assert 0 in set(kept["doc_id"]) and 1 not in set(kept["doc_id"])
+    assert len(kept) == 6
+
+
+def test_minhash_dedup_ray(ray_session):
+    import ray
+
+    texts = ["the quick brown fox jumps over the lazy dog and runs away " * 4]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([texts[0], texts[0] + " tiny change",
+                          "totally different document about something else entirely",
+                          texts[0]]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    kept, dropped = dedup.minhash_dedup(ds, threshold=0.7)
+    kept_ids = set(kept.to_pandas()["doc_id"])
+    assert 0 in kept_ids and 2 in kept_ids
+    assert 3 not in kept_ids  # exact dup via minhash path
+    assert 1 not in kept_ids  # near dup
+
+
+def test_simhash_pairs_ray(ray_session):
+    import ray
+
+    # one word changed in a 40-word doc → Hamming(simhash) = 2 (verified),
+    # within the 4-band pigeonhole guarantee for max_hamming=3
+    words = [f"word{i}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array([base, near, "unrelated totally different short doc"]),
+    })
+    pairs = dedup.simhash_near_dup_pairs(ray.data.from_arrow(tbl), max_hamming=3)
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+
+
+def test_ann_brute_force_and_ivf(ray_session):
+    import ray
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((200, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array(list(emb.astype(float)), pa.list_(pa.float64())),
+    })
+    q = emb[:2]
+    exact = ann.brute_force_topk(ray.data.from_arrow(tbl), q, k=5)
+    # the query vector itself must be its own top hit
+    top0 = exact[exact.query_id == 0].iloc[0]
+    assert top0["vec_id"] == 0 and top0["cosine"] == pytest.approx(1.0)
+    approx = ann.ivf_topk(ray.data.from_arrow(tbl), q, k=5, n_clusters=8, nprobe=4)
+    rec = len(set(exact[exact.query_id == 0]["vec_id"])
+              & set(approx[approx.query_id == 0]["vec_id"])) / 5
+    assert rec >= 0.6
+
+
+def test_embedding_near_dup(ray_session):
+    import ray
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16)
+    emb = np.vstack([base, base + 1e-4 * rng.standard_normal(16),
+                     rng.standard_normal(16)])
+    tbl = pa.table({
+        "vec_id": pa.array(range(3), pa.int64()),
+        "embedding": pa.array(list(emb.astype(float)), pa.list_(pa.float64())),
+    })
+    pairs = dedup.embedding_near_dup_pairs(ray.data.from_arrow(tbl), threshold=0.99)
+    assert {(0, 1)} == {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+
+
+def test_multimodal_stub_plumbing():
+    payloads = [b"\x89PNG fake bytes" * 100, b"", None]
+    t = pa.table({
+        "media_id": pa.array(range(3), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    out = multimodal.DecodeMedia()(t)
+    assert out.column("decode_ok").to_pylist() == [True, True, False]
+    assert out.column("n_bytes").to_pylist() == [1500, 0, 0]
+    feats = multimodal.ExtractFeatures()(t)
+    f = feats.column("features")
+    assert f.type == pa.list_(pa.float32(), 64)
+    # deterministic
+    feats2 = multimodal.ExtractFeatures()(t)
+    assert feats.column("features").equals(feats2.column("features"))
+    frames = multimodal.frame_sample_batch(t, every=128, max_frames=3)
+    assert frames.column_names == ["media_id", "frame_index", "frame"]
+    assert frames.num_rows == 3  # 1500 bytes // 128 → capped at 3 frames
+
+
+def test_multimodal_strict_raises():
+    t = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([b"x"], pa.binary())})
+    stage = multimodal.DecodeMedia(strict=True)
+    if not stage.has_decoder:
+        with pytest.raises(NotImplementedError):
+            stage(t)
