@@ -21,7 +21,13 @@ import json
 
 import pyarrow as pa
 
-from .schema_infer import align_table, infer_batch_schema, normalize_doc, unify
+from .schema_infer import (
+    align_table,
+    infer_batch_schema,
+    normalize_doc,
+    table_from_docs,
+    unify,
+)
 
 
 def split_documents(text: str) -> list[str]:
@@ -109,8 +115,7 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
     def to_arrow(batch: pa.Table) -> pa.Table:
         docs = [normalize_doc(d, mode)
                 for d in parse_documents(batch.column("doc").to_pylist())]
-        t = pa.Table.from_pylist(docs)
-        return align_table(t, schema)
+        return align_table(table_from_docs(docs), schema)
 
     docs_ds2.map_batches(to_arrow, batch_format="pyarrow").write_parquet(out_dir)
     return schema

@@ -29,26 +29,23 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     import ray
 
     qn = _normalize(np.asarray(queries, np.float64))
-    q_ref = ray.put(qn)
+    q_ref = ray.put(qn)  # broadcast once; tasks read zero-copy from the store
 
-    class TopKBatch:
-        def __init__(self):
-            self.q = ray.get(q_ref)  # fetched once per actor
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        emb = np.asarray(batch.column(vec_col).to_pylist(), np.float64)
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        sims = q @ _normalize(emb).T  # (Q, B)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], key: [], "cosine": []}
+        for qi in range(sims.shape[0]):
+            rows["query_id"].extend([qi] * kk)
+            rows[key].extend(keys[idx[qi]].tolist())
+            rows["cosine"].extend(sims[qi, idx[qi]].tolist())
+        return pa.table({c: pa.array(v) for c, v in rows.items()})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.asarray(batch.column(vec_col).to_pylist(), np.float64)
-            keys = batch.column(key).to_numpy(zero_copy_only=False)
-            sims = self.q @ _normalize(emb).T  # (Q, B)
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = {"query_id": [], key: [], "cosine": []}
-            for qi in range(sims.shape[0]):
-                rows["query_id"].extend([qi] * kk)
-                rows[key].extend(keys[idx[qi]].tolist())
-                rows["cosine"].extend(sims[qi, idx[qi]].tolist())
-            return pa.table({c: pa.array(v) for c, v in rows.items()})
-
-    parts = ds.map_batches(TopKBatch, batch_format="pyarrow", concurrency=(1, 8))
+    parts = ds.map_batches(topk_batch, batch_format="pyarrow")
     df = parts.to_pandas()  # ≤ #batches x Q x k rows
     df = (df.sort_values(["query_id", "cosine", key],
                          ascending=[True, False, True])
@@ -80,16 +77,13 @@ def assign_buckets(ds, centroids: np.ndarray, vec_col: str = "embedding"):
 
     c_ref = ray.put(_normalize(centroids))
 
-    class Assign:
-        def __init__(self):
-            self.C = ray.get(c_ref)
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        emb = _normalize(np.asarray(batch.column(vec_col).to_pylist(), np.float64))
+        bucket = (emb @ C.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_bucket", pa.array(bucket))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _normalize(np.asarray(batch.column(vec_col).to_pylist(), np.float64))
-            bucket = (emb @ self.C.T).argmax(axis=1).astype(np.int64)
-            return batch.append_column("ivf_bucket", pa.array(bucket))
-
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,

@@ -199,15 +199,24 @@ def encode_job(
     summary_rows = []
     if work:
         items = ray.data.from_items(work, override_num_blocks=len(work))
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        conc = concurrency or max(1, min(len(work), cpus - 1))
-        results = items.map_batches(
-            EncodePartition,
-            fn_constructor_kwargs={"out_dir": out_dir, "shared_dicts_ref": shared_ref},
-            batch_size=1,
-            batch_format="pyarrow",
-            concurrency=conc,
-        )
+        if shared_ref is None:
+            # stateless → plain tasks reuse the already-warm worker pool
+            def encode_item(batch: pa.Table) -> pa.Table:
+                return EncodePartition(out_dir)(batch)
+
+            results = items.map_batches(encode_item, batch_size=1,
+                                        batch_format="pyarrow")
+        else:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            conc = concurrency or max(1, min(len(work), cpus - 1))
+            results = items.map_batches(
+                EncodePartition,
+                fn_constructor_kwargs={"out_dir": out_dir,
+                                       "shared_dicts_ref": shared_ref},
+                batch_size=1,
+                batch_format="pyarrow",
+                concurrency=conc,
+            )
         summary_rows = results.take_all()
 
     manifest = load_manifest(out_dir)

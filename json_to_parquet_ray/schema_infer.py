@@ -158,9 +158,22 @@ def align_table(table: pa.Table, schema: pa.Schema) -> pa.Table:
 # ------------------------------------------------------------------ inference
 
 
+def table_from_docs(docs: list[dict]) -> pa.Table:
+    """``pa.Table.from_pylist`` with the top-level key UNION across all
+    docs (pyarrow 16 takes only the first row's keys at the top level —
+    nested structs already union). Without this, a key missing from doc 0
+    would be silently dropped — the reference's quirk Q1 reborn."""
+    keys: dict[str, None] = {}
+    for d in docs:
+        for k in d:
+            keys.setdefault(k)
+    filled = [{k: d.get(k) for k in keys} for d in docs]
+    return pa.Table.from_pylist(filled)
+
+
 def infer_batch_schema(docs: list[dict], mode: str = "engine") -> pa.Schema:
     docs = [normalize_doc(d, mode) for d in docs]
-    return pa.Table.from_pylist(docs).schema
+    return table_from_docs(docs).schema
 
 
 def unify(schemas: list[pa.Schema], mode: str = "engine") -> pa.Schema:
@@ -180,7 +193,7 @@ def unify(schemas: list[pa.Schema], mode: str = "engine") -> pa.Schema:
 def docs_to_table(docs: list[dict], schema: pa.Schema | None = None,
                   mode: str = "engine") -> pa.Table:
     docs = [normalize_doc(d, mode) for d in docs]
-    t = pa.Table.from_pylist(docs)
+    t = table_from_docs(docs)
     if schema is None:
         schema = unify([t.schema], mode)
     return align_table(t, schema)
