@@ -137,6 +137,48 @@ def ngram_jaccard(a: str, b: str, k: int = SHINGLE) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
 
 
+def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
+                        threshold: float = 0.5) -> pd.DataFrame:
+    """Verified (a, b, jaccard) pairs: MinHash-LSH candidates → exact
+    n-gram Jaccard ≥ threshold. The standalone n-gram-Jaccard operator."""
+    import math
+
+    bands = ds.map_batches(
+        lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
+    )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[key].tolist()))
+        if len(ids) < 2 or len(ids) > 64:
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
+                     for j in range(i + 1, len(ids))])
+        return pd.DataFrame({"a": a, "b": b})
+
+    pairs = (bands.groupby(["band_id", "band_hash"])
+             .map_groups(emit_pairs, batch_format="pandas")).to_pandas()
+    if len(pairs) == 0 or "a" not in pairs.columns:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    pairs = pairs.drop_duplicates()
+    cand = set(pairs["a"]) | set(pairs["b"])
+    texts: dict = {}
+    for bt in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for kk, tt in zip(bt.column(key).to_pylist(), bt.column(col).to_pylist()):
+            if kk in cand:
+                texts[kk] = tt or ""
+    out_a, out_b, out_j = [], [], []
+    for _, row in pairs.iterrows():
+        j = ngram_jaccard(texts[row["a"]], texts[row["b"]])
+        if j >= threshold:
+            out_a.append(int(row["a"]))
+            out_b.append(int(row["b"]))
+            out_j.append(math.floor(j * 1e6) / 1e6)
+    df = pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
                   threshold: float = 0.8):
     """Near-dup removal. Returns (kept Dataset-as-table, clusters dict).

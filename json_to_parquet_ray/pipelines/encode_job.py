@@ -81,20 +81,30 @@ def list_fragments(paths: list[str] | str,
 class EncodePartition:
     """Actor-pool stage: encodes one partition (row group) per work item.
 
-    Stateful on purpose: shared dictionaries (and any future shared FSST
-    tables) are fetched from the object store ONCE per actor in
-    ``__init__`` — not per batch (BASELINE.json: "dictionaries built in
+    Stateful on purpose: shared dictionaries and shared FSST symbol tables
+    are fetched from the object store ONCE per actor in ``__init__`` — not
+    per batch (BASELINE.json: "FSST symbol tables and dictionaries built in
     stateful actor pools so tables are shared across batches of the same
-    partition").
+    partition"). A partition is encoded as one chunk, so within a
+    partition the tables are shared by construction; across partitions the
+    broadcast refs make them shared cluster-wide.
     """
 
-    def __init__(self, out_dir: str, shared_dicts_ref=None):
+    def __init__(self, out_dir: str, shared_dicts_ref=None, shared_fsst_ref=None):
         import ray
+
+        from ..codecs.fsst import FsstEncoder
 
         self.out_dir = out_dir
         self.shared_dicts: dict[str, pa.Array] = (
             ray.get(shared_dicts_ref) if shared_dicts_ref is not None else {}
         )
+        # column → compiled FsstEncoder, built once per actor from the
+        # broadcast symbol tables
+        self.shared_fsst: dict[str, object] = {}
+        if shared_fsst_ref is not None:
+            tables: dict[str, list[bytes]] = ray.get(shared_fsst_ref)
+            self.shared_fsst = {c: FsstEncoder(t) for c, t in tables.items()}
 
     def _plan_for(self, table: pa.Table) -> CodecPlan:
         stats = compute_stats_table(table)
@@ -146,13 +156,16 @@ class EncodePartition:
         }
 
     def _encode_with_shared(self, table: pa.Table, plan: CodecPlan):
-        if not self.shared_dicts:
-            return encode_table(table, plan)
         for name, values in self.shared_dicts.items():
             if name in plan.columns:
                 cp = plan.columns[name]
                 cp.codec = "dict"
                 cp.kwargs = {"values_codec": "plain", "dictionary": values}
+        for name, encoder in self.shared_fsst.items():
+            if name in plan.columns:
+                cp = plan.columns[name]
+                cp.codec = "fsst"
+                cp.kwargs = {"encoder": encoder}
         return encode_table(table, plan)
 
 
@@ -162,6 +175,7 @@ def encode_job(
     *,
     resume: bool = True,
     shared_dict_columns: list[str] | str | None = None,
+    shared_fsst_columns: list[str] | None = None,
     concurrency: int | tuple | None = None,
     max_rows_per_partition: int | None = None,
 ) -> dict:
@@ -195,11 +209,27 @@ def encode_job(
             shared[coln] = distinct_values(ds_in, coln)
         if shared:
             shared_ref = ray.put(shared)
+    fsst_ref = None
+    if work and shared_fsst_columns:
+        from ..codecs.fsst import train
+
+        tables: dict[str, list[bytes]] = {}
+        sample_ds = ray.data.read_parquet(
+            [f.path for f in frags], columns=list(shared_fsst_columns)
+        ).limit(2048)
+        sample_rows = sample_ds.take_all()
+        for coln in shared_fsst_columns:
+            buf = b"".join(
+                (r[coln].encode() if isinstance(r[coln], str) else (r[coln] or b""))
+                for r in sample_rows if r.get(coln) is not None
+            )
+            tables[coln] = train(buf)
+        fsst_ref = ray.put(tables)
 
     summary_rows = []
     if work:
         items = ray.data.from_items(work, override_num_blocks=len(work))
-        if shared_ref is None:
+        if shared_ref is None and fsst_ref is None:
             # stateless → plain tasks reuse the already-warm worker pool
             def encode_item(batch: pa.Table) -> pa.Table:
                 return EncodePartition(out_dir)(batch)
@@ -212,7 +242,8 @@ def encode_job(
             results = items.map_batches(
                 EncodePartition,
                 fn_constructor_kwargs={"out_dir": out_dir,
-                                       "shared_dicts_ref": shared_ref},
+                                       "shared_dicts_ref": shared_ref,
+                                       "shared_fsst_ref": fsst_ref},
                 batch_size=1,
                 batch_format="pyarrow",
                 concurrency=conc,

@@ -166,6 +166,16 @@ def q_simhash_pairs(sf_dir: str):
     return pairs.astype({"a": "int64", "b": "int64", "hamming": "int64"})
 
 
+def q_jaccard_pairs(sf_dir: str):
+    pairs = dedup.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return pairs
+
+
 def q_embedding_near_dup(sf_dir: str):
     pairs = dedup.embedding_near_dup_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
@@ -374,6 +384,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk": q_ann_topk,
     "ann_ivf_recall": q_ann_ivf_recall,

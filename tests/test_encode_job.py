@@ -108,3 +108,38 @@ def test_list_fragments_deterministic(cc_parquet):
     b = list_fragments(cc_parquet)
     assert [f.fragment_id for f in a] == [f.fragment_id for f in b]
     assert len(a) == 4
+
+
+def test_encode_job_shared_fsst(ray_session, cc_parquet, tmp_path):
+    out = str(tmp_path / "enc_sf")
+    summary = encode_job(cc_parquet, out, shared_dict_columns=None,
+                         shared_fsst_columns=["text"])
+    assert summary["partitions_encoded"] == 4
+    assert verify_job(out)["failed"] == []
+    for rec in load_manifest(out).values():
+        codecs = {c["name"]: c["codec"] for c in rec.columns}
+        assert codecs["text"] == "fsst"
+
+
+def test_manifest_torn_record_skipped(tmp_path):
+    import os
+
+    from json_to_parquet_ray.manifest import (
+        PartitionRecord, completed_partitions, load_manifest, write_record,
+    )
+
+    out = str(tmp_path / "m")
+    rec = PartitionRecord(partition_id=0, fragment={"path": "x", "row_group": 0,
+                                                    "num_rows": 1, "row_start": 0},
+                          num_rows=1, chunk_file="part-00000.rde", chunk_size=3)
+    write_record(out, rec)
+    with open(os.path.join(out, "part-00000.rde"), "wb") as f:
+        f.write(b"abc")
+    # torn (half-written) record for partition 1 must be ignored
+    with open(os.path.join(out, "_manifest", "part-00001.json"), "w") as f:
+        f.write('{"partition_id": 1, "frag')
+    # stray tmp file must be ignored too
+    with open(os.path.join(out, "_manifest", "part-00002.json.tmp.123"), "w") as f:
+        f.write("junk")
+    assert set(load_manifest(out)) == {0}
+    assert completed_partitions(out) == {0}
