@@ -175,6 +175,8 @@ class FsstEncoder:
             out.append(self._encode_chunk(data[off : off + self._CHUNK]))
         return b"".join(out)
 
+    _BLOCK = 1024  # parse-reset granularity; enables block-parallel chaining
+
     def _encode_chunk(self, data: bytes) -> bytes:
         a = np.frombuffer(data, np.uint8)
         n = len(a)
@@ -188,37 +190,57 @@ class FsstEncoder:
             # candidate positions: 2-byte prefix starts some multi-byte symbol
             two = (a64[:-1] << np.uint64(8)) | a64[1:]
             cand = np.flatnonzero(self._pre2[two.astype(np.int64)])
-            for L in range(2, MAX_SYMBOL_LEN + 1):  # ascending → longest wins last
-                entry = self._by_len.get(L)
-                if entry is None or n < L:
-                    continue
-                c = cand[cand <= n - L]
-                if not len(c):
-                    continue
-                svals, scodes = entry
-                wv = np.zeros(len(c), np.uint64)
-                for j in range(L):
-                    wv = (wv << np.uint64(8)) | a64[c + j]
-                pos = np.searchsorted(svals, wv)
-                pos_c = np.minimum(pos, len(svals) - 1)
-                hit = svals[pos_c] == wv
-                idx = c[hit]
-                best_len[idx] = L
-                best_code[idx] = scodes[pos_c[hit]]
+            if len(cand):
+                # one 8-byte big-endian window per candidate; per-length
+                # values are just shifts of it (no per-length gathers)
+                a64p = np.concatenate([a64, np.zeros(8, np.uint64)])
+                w8 = np.zeros(len(cand), np.uint64)
+                for j in range(8):
+                    w8 = (w8 << np.uint64(8)) | a64p[cand + j]
+                for L in range(2, MAX_SYMBOL_LEN + 1):  # ascending → longest wins
+                    entry = self._by_len.get(L)
+                    if entry is None or n < L:
+                        continue
+                    cut = np.searchsorted(cand, n - L + 1)
+                    if cut == 0:
+                        continue
+                    svals, scodes = entry
+                    wv = w8[:cut] >> np.uint64(8 * (8 - L))
+                    pos = np.searchsorted(svals, wv)
+                    pos_c = np.minimum(pos, len(svals) - 1)
+                    hit = svals[pos_c] == wv
+                    idx = cand[:cut][hit]
+                    best_len[idx] = L
+                    best_code[idx] = scodes[pos_c[hit]]
+        # demote matches that would cross a parse-block boundary to literals
+        # (tiny ratio cost; makes block parses independent → parallel chain)
+        B = self._BLOCK
+        idx_all = np.arange(n, dtype=np.int64)
+        blk_end = np.minimum(((idx_all // B) + 1) * B, n)
+        crossing = (best_len >= 2) & (idx_all + best_len > blk_end)
+        best_len[crossing] = 0
+        best_code[crossing] = np.where(
+            self._lut1[a[crossing]] >= 0, self._lut1[a[crossing]], -1)
+        best_len[crossing] = np.where(best_code[crossing] >= 0, 1, 0)
         step = np.where(best_len > 0, best_len, 1)
-        # greedy parse chain from position 0 via pointer doubling
-        nxt = np.minimum(np.arange(n, dtype=np.int64) + step, n)
-        nxt = np.append(nxt, n)  # nxt[n] = n (fixpoint)
-        chain = np.array([0], np.int64)
-        jump = nxt
-        while chain[-1] < n and len(chain) < n:
-            nxt_part = jump[chain]
-            chain = np.concatenate([chain, nxt_part])
-            if nxt_part[-1] >= n:
-                break
-            jump = jump[jump]
-        chain = np.unique(chain)
-        chain = chain[chain < n]
+        nxt = idx_all + step
+        # block-parallel greedy chain: advance one token per round in EVERY
+        # block simultaneously (n/avg_len gathers total, batched block-wide)
+        nblk = (n + B - 1) // B
+        pos = np.arange(nblk, dtype=np.int64) * B
+        ends = np.minimum(pos + B, n)
+        rounds: list[np.ndarray] = []
+        active = pos < ends
+        while active.any():
+            rounds.append(np.where(active, pos, np.int64(-1)))
+            pos = np.where(active, nxt[np.minimum(pos, n - 1)], pos)
+            active = pos < ends
+        if rounds:
+            mat = np.stack(rounds, axis=1)  # (nblk, rounds) block-major order
+            chain = mat.ravel()
+            chain = chain[chain >= 0]
+        else:
+            chain = np.zeros(0, np.int64)
         codes = best_code[chain]
         is_lit = codes < 0
         out_len = np.where(is_lit, 2, 1)
