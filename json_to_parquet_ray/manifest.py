@@ -45,18 +45,24 @@ class PartitionRecord:
         return json.dumps(asdict(self), sort_keys=True)
 
 
+MANIFEST_SHARD = 10_000  # records per manifest subdirectory — keeps any
+# one directory listable even at 10^7+ partitions (100 TB-scale runs)
+
+
 def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
 def record_path(out_dir: str, partition_id: int) -> str:
-    return os.path.join(manifest_dir(out_dir), f"part-{partition_id:05d}.json")
+    shard = partition_id // MANIFEST_SHARD
+    return os.path.join(manifest_dir(out_dir), f"shard-{shard:04d}",
+                        f"part-{partition_id:08d}.json")
 
 
 def write_record(out_dir: str, rec: PartitionRecord) -> None:
     """Atomic commit: the record only appears once the chunk file is durable."""
-    os.makedirs(manifest_dir(out_dir), exist_ok=True)
     path = record_path(out_dir, rec.partition_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(rec.to_json())
@@ -80,16 +86,21 @@ def load_manifest(out_dir: str) -> dict[int, PartitionRecord]:
     out: dict[int, PartitionRecord] = {}
     if not os.path.isdir(mdir):
         return out
-    for name in sorted(os.listdir(mdir)):
-        if not (name.startswith("part-") and name.endswith(".json")):
+    shard_dirs = [os.path.join(mdir, d) for d in sorted(os.listdir(mdir))
+                  if d.startswith("shard-")]
+    for sd in shard_dirs or [mdir]:
+        if not os.path.isdir(sd):
             continue
-        try:
-            with open(os.path.join(mdir, name)) as f:
-                raw = json.load(f)
-            rec = PartitionRecord(**raw)
-        except (json.JSONDecodeError, TypeError):
-            continue  # torn record → partition will be re-encoded
-        out[rec.partition_id] = rec
+        for name in sorted(os.listdir(sd)):
+            if not (name.startswith("part-") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(sd, name)) as f:
+                    raw = json.load(f)
+                rec = PartitionRecord(**raw)
+            except (json.JSONDecodeError, TypeError):
+                continue  # torn record → partition will be re-encoded
+            out[rec.partition_id] = rec
     return out
 
 

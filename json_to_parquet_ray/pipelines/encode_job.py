@@ -130,7 +130,10 @@ class EncodePartition:
         plan = self._plan_for(table)
         # shared dictionaries override the per-chunk choice where available
         blob, header = self._encode_with_shared(table, plan)
-        chunk_file = f"part-{pid:05d}.rde"
+        from ..manifest import MANIFEST_SHARD
+
+        chunk_file = os.path.join(f"shard-{pid // MANIFEST_SHARD:04d}",
+                                  f"part-{pid:08d}.rde")
         write_atomic(os.path.join(self.out_dir, chunk_file), blob)
         rec = PartitionRecord(
             partition_id=pid,
@@ -248,15 +251,25 @@ def encode_job(
                 batch_format="pyarrow",
                 concurrency=conc,
             )
-        summary_rows = results.take_all()
+        # distributed summary aggregation — per-partition rows never
+        # materialize on the driver (there may be millions at full scale)
+        from ray.data.aggregate import Count, Sum
+
+        agg = results.aggregate(
+            Sum("input_bytes", alias_name="input_bytes"),
+            Sum("chunk_bytes", alias_name="chunk_bytes"),
+            Count(alias_name="n"),
+        )
+        summary_rows = [agg] if agg else []
 
     manifest = load_manifest(out_dir)
-    input_bytes = sum(r["input_bytes"] for r in summary_rows)
-    chunk_bytes = sum(r["chunk_bytes"] for r in summary_rows)
+    input_bytes = int(summary_rows[0]["input_bytes"]) if summary_rows else 0
+    chunk_bytes = int(summary_rows[0]["chunk_bytes"]) if summary_rows else 0
+    encoded_n = int(summary_rows[0]["n"]) if summary_rows else 0
     plan_note = {
         "partitions_total": total,
         "partitions_skipped_resume": len(done),
-        "partitions_encoded": len(summary_rows),
+        "partitions_encoded": encoded_n,
         "input_bytes": input_bytes,
         "chunk_bytes": chunk_bytes,
         "ratio": round(chunk_bytes / input_bytes, 4) if input_bytes else None,

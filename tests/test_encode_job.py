@@ -66,12 +66,16 @@ def test_encode_job_roundtrip(ray_session, cc_parquet, tmp_path):
 
 
 def test_encode_job_resume(ray_session, cc_parquet, tmp_path):
+    from json_to_parquet_ray.manifest import load_manifest as lm
+    from json_to_parquet_ray.manifest import record_path
+
     out = str(tmp_path / "enc")
     encode_job(cc_parquet, out, shared_dict_columns=None)
     # simulate a killed job: delete two chunk files + their manifest records
+    recs = lm(out)
     for pid in (1, 3):
-        os.remove(os.path.join(out, f"part-{pid:05d}.rde"))
-        os.remove(os.path.join(out, "_manifest", f"part-{pid:05d}.json"))
+        os.remove(os.path.join(out, recs[pid].chunk_file))
+        os.remove(record_path(out, pid))
     assert completed_partitions(out) == {0, 2}
     summary = encode_job(cc_parquet, out, shared_dict_columns=None)
     assert summary["partitions_skipped_resume"] == 2
@@ -83,7 +87,9 @@ def test_encode_job_torn_chunk_detected(ray_session, cc_parquet, tmp_path):
     out = str(tmp_path / "enc")
     encode_job(cc_parquet, out, shared_dict_columns=None)
     # truncate one chunk → completeness check must catch the size mismatch
-    p = os.path.join(out, "part-00002.rde")
+    from json_to_parquet_ray.manifest import load_manifest as lm
+
+    p = os.path.join(out, lm(out)[2].chunk_file)
     with open(p, "r+b") as f:
         f.truncate(100)
     assert 2 not in completed_partitions(out)
@@ -128,6 +134,8 @@ def test_manifest_torn_record_skipped(tmp_path):
         PartitionRecord, completed_partitions, load_manifest, write_record,
     )
 
+    from json_to_parquet_ray.manifest import record_path
+
     out = str(tmp_path / "m")
     rec = PartitionRecord(partition_id=0, fragment={"path": "x", "row_group": 0,
                                                     "num_rows": 1, "row_start": 0},
@@ -136,10 +144,10 @@ def test_manifest_torn_record_skipped(tmp_path):
     with open(os.path.join(out, "part-00000.rde"), "wb") as f:
         f.write(b"abc")
     # torn (half-written) record for partition 1 must be ignored
-    with open(os.path.join(out, "_manifest", "part-00001.json"), "w") as f:
+    with open(record_path(out, 1), "w") as f:
         f.write('{"partition_id": 1, "frag')
     # stray tmp file must be ignored too
-    with open(os.path.join(out, "_manifest", "part-00002.json.tmp.123"), "w") as f:
+    with open(record_path(out, 2) + ".tmp.123", "w") as f:
         f.write("junk")
     assert set(load_manifest(out)) == {0}
     assert completed_partitions(out) == {0}
