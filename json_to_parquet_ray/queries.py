@@ -333,6 +333,59 @@ def q_events_hourly(sf_dir: str):
     return df
 
 
+# -------------------------------------------------- relational basics
+
+
+def q_filter_docs_en(sf_dir: str):
+    """Vectorized predicate inside map_batches (no per-row Python)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
+        batch_format="pyarrow")
+
+
+def q_top_docs_by_chars(sf_dir: str):
+    """Distributed sort + limit (top-k)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join: small customer side shipped once via ray.put,
+    probed per batch — no shuffle of the fact table."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        seg = [lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(seg, pa.string())})
+
+    joined = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        join_batch, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+
+    out = joined.groupby("c_mktsegment").aggregate(Count(alias_name="order_count"))
+    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df["order_count"] = df["order_count"].astype("int64")
+    return df
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 1-in-10 sample (stable under retries, unlike RNG)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -390,6 +443,10 @@ QUERIES = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "json_roundtrip_documents": q_json_roundtrip_documents,
     "schema_infer_conformance": q_schema_infer_conformance,
+    "filter_docs_en": q_filter_docs_en,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    "orders_by_segment": q_orders_by_segment,
+    "sample_docs": q_sample_docs,
     "lineitem_agg": q_lineitem_agg,
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
@@ -430,6 +487,21 @@ ORACLE_SQL = {
     "fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
     "exact_dedup": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "json_roundtrip_documents": "SELECT * FROM documents",
+    "filter_docs_en": (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"
+    ),
+    "top_docs_by_chars": (
+        "SELECT doc_id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id ASC LIMIT 10"
+    ),
+    "orders_by_segment": (
+        "SELECT c.c_mktsegment, COUNT(*) AS order_count FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    ),
+    "sample_docs": (
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0"
+    ),
     "lineitem_agg": (
         "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
         "ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS count_rows "
