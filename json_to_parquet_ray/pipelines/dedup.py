@@ -129,6 +129,25 @@ def minhash_band_rows(batch: pa.Table, col: str = "text", key: str = "doc_id",
     })
 
 
+def _collect_candidate_texts(ds, cand_ids: list, col: str, key: str) -> dict:
+    """Broadcast semi-join: ship the candidate-id set once via ``ray.put``,
+    filter every batch distributed (``pc.is_in``), and materialize ONLY the
+    candidate rows (provably small after LSH banding) on the driver."""
+    import pyarrow.compute as pc
+    import ray
+
+    if not cand_ids:
+        return {}
+    ids_ref = ray.put(pa.array(cand_ids))
+
+    def filt(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column(key), value_set=ray.get(ids_ref))
+        return b.select([key, col]).filter(keep)
+
+    rows = ds.map_batches(filt, batch_format="pyarrow").take_all()
+    return {r[key]: (r[col] or "") for r in rows}
+
+
 def ngram_jaccard(a: str, b: str, k: int = SHINGLE) -> float:
     """Exact n-gram Jaccard similarity (the verify step for candidates)."""
     sa = {a[i : i + k] for i in range(max(len(a) - k + 1, 1))}
@@ -162,12 +181,8 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     pairs = pairs.drop_duplicates()
-    cand = set(pairs["a"]) | set(pairs["b"])
-    texts: dict = {}
-    for bt in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for kk, tt in zip(bt.column(key).to_pylist(), bt.column(col).to_pylist()):
-            if kk in cand:
-                texts[kk] = tt or ""
+    texts = _collect_candidate_texts(
+        ds, sorted(set(pairs["a"]) | set(pairs["b"])), col, key)
     out_a, out_b, out_j = [], [], []
     for _, row in pairs.iterrows():
         j = ngram_jaccard(texts[row["a"]], texts[row["b"]])
@@ -207,17 +222,10 @@ def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
         pairs = pd.DataFrame({"a": [], "b": []})
     pairs = pairs.drop_duplicates()
 
-    # verify candidates with exact jaccard (lookup only candidate docs)
+    # verify candidates with exact jaccard: broadcast the (small) candidate
+    # id set, filter distributed, collect only candidate rows
     cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) else []
-    texts: dict = {}
-    if cand_ids:
-        cand_set = set(cand_ids)
-        for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            kcol = b.column(key).to_pylist()
-            tcol = b.column(col).to_pylist()
-            for kk, tt in zip(kcol, tcol):
-                if kk in cand_set:
-                    texts[kk] = tt or ""
+    texts = _collect_candidate_texts(ds, cand_ids, col, key)
     parent: dict = {}
 
     def find(x):

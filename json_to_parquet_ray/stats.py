@@ -229,13 +229,26 @@ def _cap_sample(vals: list) -> list:
     return out
 
 
-def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
-    """map_batches fn: emit one pickled partial per column (tiny output)."""
+def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None,
+                        sample_gate: int = 1) -> pa.Table:
+    """map_batches fn: emit one pickled partial per column (tiny output).
+
+    ``sample_gate`` > 1 keeps the raw-value sample on only ~1/gate of the
+    batches (chosen deterministically from the batch content) so the
+    total partial volume stays bounded at extreme batch counts while
+    cardinality/min-max/runs remain exact."""
     cols = columns or batch.column_names
-    partials = [
-        pickle.dumps(column_stats_partial(batch.column(c).combine_chunks(), c))
-        for c in cols
-    ]
+    keep_sample = True
+    if sample_gate > 1 and batch.num_rows:
+        h = pd.util.hash_array(
+            np.asarray([str(batch.column(cols[0])[0])], dtype=object))[0]
+        keep_sample = (h % sample_gate) == 0
+    partials = []
+    for c in cols:
+        st = column_stats_partial(batch.column(c).combine_chunks(), c)
+        if not keep_sample:
+            st.sample = []
+        partials.append(pickle.dumps(st))
     return pa.table({"column": pa.array(cols, pa.string()),
                      "partial": pa.array(partials, pa.binary())})
 
@@ -248,16 +261,29 @@ def merge_partials(rows: list[bytes]) -> dict[str, ColumnStats]:
     return merged
 
 
-def compute_stats(ds, columns: list[str] | None = None) -> dict[str, ColumnStats]:
-    """Distributed stats: map_batches partials → tiny driver-side merge.
+def compute_stats(ds, columns: list[str] | None = None,
+                  distributed_merge: bool = False,
+                  sample_gate: int = 1) -> dict[str, ColumnStats]:
+    """Distributed stats: map_batches partials → merge.
 
-    The full dataset streams through stateless tasks; only the per-batch
-    partials (a few KB each) reach the driver.
+    Default: partials stream to a driver-side merge (fine up to ~10^5
+    batches). ``distributed_merge=True`` adds a ``groupby(column)`` merge
+    stage so the driver only ever sees one merged partial per column —
+    the shape required at 10^12-document scale (pair with sample_gate).
     """
     parts = ds.map_batches(
-        lambda b: stats_partial_batch(b, columns), batch_format="pyarrow",
-        batch_size=16384,
+        lambda b: stats_partial_batch(b, columns, sample_gate),
+        batch_format="pyarrow", batch_size=16384,
     )
+    if distributed_merge:
+        def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+            merged = merge_partials(list(df["partial"]))
+            (name, st), = merged.items()
+            return pd.DataFrame({"column": [name],
+                                 "partial": [pickle.dumps(st)]})
+
+        parts = parts.groupby("column").map_groups(merge_group,
+                                                   batch_format="pandas")
     raws: list[bytes] = []
     for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow"):
         raws.extend(b.column("partial").to_pylist())

@@ -1,0 +1,107 @@
+"""Unit tests for the stats pass (SURVEY M2: per-stat tests) and the
+codec planner, including the distributed-merge mode."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from json_to_parquet_ray.fixtures import make_cc_table
+from json_to_parquet_ray.plan import plan_column, plan_from_stats
+from json_to_parquet_ray.stats import (
+    ColumnStats,
+    column_stats_partial,
+    compute_stats,
+    compute_stats_table,
+    entropy_of_bytes,
+)
+
+
+def test_counts_and_nulls():
+    st = column_stats_partial(pa.array([1, None, 3, None], pa.int64()), "x")
+    assert st.n == 4 and st.null_count == 2
+    assert st.null_frac == 0.5
+
+
+def test_min_max_range():
+    st = column_stats_partial(pa.array([5, 1, 9], pa.int64()), "x")
+    assert st.min_val == 1 and st.max_val == 9 and st.value_range == 8
+
+
+def test_run_length():
+    st = column_stats_partial(pa.array(["a"] * 10 + ["b"] * 10), "x")
+    assert st.runs == 2
+    assert st.avg_run_len == 10.0
+
+
+def test_sortedness():
+    sorted_st = column_stats_partial(pa.array([1, 2, 2, 5], pa.int64()), "x")
+    unsorted_st = column_stats_partial(pa.array([3, 1, 2], pa.int64()), "x")
+    assert sorted_st.sorted_frac == 1.0
+    assert unsorted_st.sorted_frac == 0.0
+
+
+def test_cardinality_exact_small():
+    st = column_stats_partial(pa.array(list("abcab")), "x")
+    assert round(st.cardinality) == 3
+
+
+def test_cardinality_estimate_large():
+    vals = pa.array([f"v{i}" for i in range(50_000)])
+    st = column_stats_partial(vals, "x")
+    assert abs(st.cardinality - 50_000) / 50_000 < 0.1  # KMV ~1/sqrt(2048)
+
+
+def test_entropy():
+    assert entropy_of_bytes(b"aaaa") == 0.0
+    assert 7.9 < entropy_of_bytes(bytes(range(256)) * 4) <= 8.0
+    st = column_stats_partial(pa.array(["aaaa"] * 4), "x")
+    assert st.entropy == 0.0
+
+
+def test_merge_associativity():
+    a = column_stats_partial(pa.array([1, 2, 2], pa.int64()), "x")
+    b = column_stats_partial(pa.array([2, 3, None], pa.int64()), "x")
+    m = a.merge(b)
+    assert m.n == 6 and m.null_count == 1
+    assert m.min_val == 1 and m.max_val == 3
+    assert round(m.cardinality) == 3
+
+
+def test_plan_constant_column():
+    st = column_stats_partial(pa.array(["en"] * 100), "lang")
+    p = plan_column(st, pa.string())
+    assert p.codec == "constant"
+
+
+def test_plan_includes_plain_candidates():
+    t = make_cc_table(500, seed=1)
+    stats = compute_stats_table(t)
+    plan = plan_from_stats(stats, t.schema)
+    for cp in plan.columns.values():
+        if cp.codec != "constant":
+            assert "plain" in cp.candidates and "zstd" in cp.candidates
+
+
+def test_plan_json_roundtrip():
+    from json_to_parquet_ray.plan import CodecPlan
+
+    t = make_cc_table(200, seed=2)
+    plan = plan_from_stats(compute_stats_table(t), t.schema)
+    back = CodecPlan.loads(plan.dumps())
+    assert {c: p.codec for c, p in back.columns.items()} == \
+        {c: p.codec for c, p in plan.columns.items()}
+
+
+def test_compute_stats_ray_and_distributed_merge(ray_session):
+    import ray
+
+    t = make_cc_table(2000, seed=5)
+    ds = ray.data.from_arrow(t)
+    st1 = compute_stats(ds)
+    st2 = compute_stats(ray.data.from_arrow(t), distributed_merge=True,
+                        sample_gate=4)
+    assert st1["lang"].n == st2["lang"].n == 2000
+    assert round(st1["lang"].cardinality) == round(st2["lang"].cardinality)
+    assert st1["warc_ts"].min_val == st2["warc_ts"].min_val
+    # distributed merge must still carry some sample for the planner
+    assert st2["text"].sample or st2["lang"].sample
