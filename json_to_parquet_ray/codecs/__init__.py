@@ -13,7 +13,14 @@ from .base import Codec
 from .dictionary import DictCodec
 from .forbp import DeltaCodec, ForBitPackCodec
 from .fsst import FsstCodec, FsstEncoder, fsst_decode, train
-from .plain import BssCodec, ConstantCodec, Lz4Codec, PlainCodec, ZstdCodec
+from .plain import (
+    BssCodec,
+    ConstantCodec,
+    Lz4Codec,
+    PlainCodec,
+    ZstdCodec,
+    ZstdHiCodec,
+)
 from .rle import RleCodec
 
 _REGISTRY: dict[str, type[Codec]] = {}
@@ -23,8 +30,9 @@ def register(codec: type[Codec]) -> None:
     _REGISTRY[codec.name] = codec
 
 
-for _c in (PlainCodec, ZstdCodec, Lz4Codec, ConstantCodec, BssCodec,
-           ForBitPackCodec, DeltaCodec, RleCodec, DictCodec, FsstCodec):
+for _c in (PlainCodec, ZstdCodec, ZstdHiCodec, Lz4Codec, ConstantCodec,
+           BssCodec, ForBitPackCodec, DeltaCodec, RleCodec, DictCodec,
+           FsstCodec):
     register(_c)
 
 

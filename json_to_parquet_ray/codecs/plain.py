@@ -56,6 +56,27 @@ class ZstdCodec(PlainCodec):
     _compression = "zstd"
 
 
+class ZstdHiCodec(Codec):
+    """IPC + zstd level 9 — slower encode, better ratio; the planner's
+    cost weight decides when the extra CPU is worth it."""
+
+    name = "zstd9"
+    _level = 9
+
+    @classmethod
+    def can_encode(cls, t: pa.DataType) -> bool:
+        return True
+
+    @classmethod
+    def encode(cls, arr: pa.Array) -> tuple[bytes, dict]:
+        codec = pa.Codec("zstd", compression_level=cls._level)
+        return ipc_write(arr, compression=codec), {}
+
+    @classmethod
+    def decode(cls, payload: bytes, meta: dict) -> pa.Array:
+        return ipc_read(payload)
+
+
 class Lz4Codec(PlainCodec):
     name = "lz4"
     _compression = "lz4"

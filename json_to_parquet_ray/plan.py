@@ -28,6 +28,7 @@ from .stats import ColumnStats
 COST_WEIGHT = {
     "plain": 1.00,
     "zstd": 1.02,
+    "zstd9": 1.12,  # level-9 zstd: ~3-5x slower encode than level 1
     "lz4": 1.01,
     "constant": 0.50,
     "forbp": 0.98,
@@ -35,7 +36,8 @@ COST_WEIGHT = {
     "rle": 0.98,
     "dict": 1.00,
     "bss": 1.02,
-    "fsst": 1.35,  # pure-Python encoder: needs a real size win to justify
+    "fsst": 1.35,   # pure-Python encoder: needs a real size win to justify
+    "fsst+z": 1.40,
 }
 
 
@@ -77,31 +79,35 @@ class CodecPlan:
         return CodecPlan(cols)
 
 
-def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, dict]]:
-    out: list[tuple[str, dict]] = [("plain", {}), ("zstd", {})]
+def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, str, dict]]:
+    """(label, codec_name, kwargs) candidate triples."""
+    out: list[tuple[str, str, dict]] = [
+        ("plain", "plain", {}), ("zstd", "zstd", {}), ("zstd9", "zstd9", {}),
+    ]
     string_like = (pa.types.is_string(t) or pa.types.is_large_string(t)
                    or pa.types.is_binary(t) or pa.types.is_large_binary(t))
     if is_int_like(t):
-        out += [("forbp", {}), ("delta", {})]
+        out += [("forbp", "forbp", {}), ("delta", "delta", {})]
         if st.avg_run_len >= 2.0:
-            out.append(("rle", {}))
+            out.append(("rle", "rle", {}))
         if st.cardinality and st.cardinality <= max(64, st.n * 0.01):
-            out.append(("dict", {}))
+            out.append(("dict", "dict", {}))
     elif pa.types.is_floating(t):
-        out.append(("bss", {}))
+        out.append(("bss", "bss", {}))
         if st.avg_run_len >= 2.0:
-            out.append(("rle", {}))
+            out.append(("rle", "rle", {}))
     elif string_like:
         card = st.cardinality
         if card and card <= st.n * 0.5:
             # dictionary; FSST on the dictionary values when they are long-ish
             avg_len = (st.nbytes / max(1, st.n - st.null_count)) if st.n else 0
             vcodec = "fsst" if avg_len >= 16 and card >= 32 else "plain"
-            out.append(("dict", {"values_codec": vcodec}))
+            out.append(("dict", "dict", {"values_codec": vcodec}))
         if st.avg_run_len >= 2.0 and not pa.types.is_binary(t) and not pa.types.is_large_binary(t):
-            out.append(("rle", {}))
+            out.append(("rle", "rle", {}))
         if st.entropy < 7.0:  # compressible at all
-            out.append(("fsst", {}))
+            out.append(("fsst", "fsst", {}))
+            out.append(("fsst+z", "fsst", {"post_zstd": True}))
     return out
 
 
@@ -139,8 +145,8 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
         return ColumnPlan(st.name, "zstd", {}, 1.0, {})
     base = max(1, sample.nbytes)
     ratios: dict[str, float] = {}
-    best_name, best_kwargs, best_score = "plain", {}, float("inf")
-    for name, kwargs in _candidates_for(t, st):
+    best_label, best_name, best_kwargs, best_score = "plain", "plain", {}, float("inf")
+    for label, name, kwargs in _candidates_for(t, st):
         codec = get_codec(name)
         if not codec.can_encode(t):
             continue
@@ -152,11 +158,12 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
         except Exception:
             continue
         ratio = len(payload) / base
-        ratios[name] = ratio
-        score = ratio * COST_WEIGHT.get(name, 1.0)
+        ratios[label] = ratio
+        score = ratio * COST_WEIGHT.get(label, 1.0)
         if score < best_score:
-            best_name, best_kwargs, best_score = name, kwargs, score
-    return ColumnPlan(st.name, best_name, best_kwargs, ratios.get(best_name, 1.0), ratios)
+            best_label, best_name, best_kwargs, best_score = label, name, kwargs, score
+    return ColumnPlan(st.name, best_name, best_kwargs,
+                      ratios.get(best_label, 1.0), ratios)
 
 
 def plan_from_stats(stats: dict[str, ColumnStats], schema: pa.Schema) -> CodecPlan:
