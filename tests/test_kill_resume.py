@@ -1,0 +1,64 @@
+"""SURVEY §5.2(6): kill the encode job mid-run (SIGKILL, no cleanup),
+restart, and assert completed partitions are not re-encoded and the final
+output is identical to an uninterrupted run."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from json_to_parquet_ray.fixtures import write_cc_parquet
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_kill9_mid_encode_then_resume(tmp_path):
+    src = str(tmp_path / "cc.parquet")
+    write_cc_parquet(src, 3000, seed=11, row_group_size=250)  # 12 partitions
+    out = str(tmp_path / "enc")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "json_to_parquet_ray.cli", "encode", src, out],
+        cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # wait until at least one partition committed, then SIGKILL the job
+    deadline = time.time() + 180
+    committed = 0
+    from json_to_parquet_ray.manifest import completed_partitions
+
+    while time.time() < deadline:
+        committed = len(completed_partitions(out))
+        if committed >= 2:
+            break
+        if proc.poll() is not None:
+            break  # finished before we could kill it — still a valid resume test
+        time.sleep(0.3)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+    time.sleep(2.0)  # let orphaned Ray workers drain/die
+    survived = completed_partitions(out)
+
+    # resume run (fresh process, like a restarted job)
+    res = subprocess.run(
+        [sys.executable, "-m", "json_to_parquet_ray.cli", "encode", src, out],
+        cwd=REPO, capture_output=True, text=True, timeout=240,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["partitions_total"] == 12
+    # completed partitions at kill time must NOT have been re-encoded
+    assert summary["partitions_skipped_resume"] >= len(survived) >= 2
+    assert summary["partitions_skipped_resume"] + summary["partitions_encoded"] == 12
+
+    # bit-identical verification of the combined (survived + resumed) output
+    ver = subprocess.run(
+        [sys.executable, "-m", "json_to_parquet_ray.cli", "verify", out],
+        cwd=REPO, capture_output=True, text=True, timeout=240,
+    )
+    assert ver.returncode == 0, ver.stderr[-2000:]
+    assert json.loads(ver.stdout.strip().splitlines()[-1])["failed"] == []
