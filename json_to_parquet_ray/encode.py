@@ -83,6 +83,33 @@ def read_chunk_header(blob: bytes) -> tuple[dict, int]:
     return header, 12 + hlen
 
 
+def read_chunk_file(path: str, columns: list[str] | None = None,
+                    verify_crc: bool = False) -> pa.Table:
+    """Decode a chunk file from disk; with ``columns`` given, only the
+    header and the selected columns' byte ranges are read (seek-based) —
+    column pruning at the I/O level, not just the decode level."""
+    with open(path, "rb") as f:
+        if columns is None:
+            return decode_table(f.read(), verify_crc=verify_crc)
+        head = f.read(12)
+        assert head[:4] == MAGIC, "not an RDE1 chunk file"
+        hlen = int.from_bytes(head[4:12], "little")
+        header = json.loads(f.read(hlen))
+        base = 12 + hlen
+        schema = schema_from_b64(header["schema"])
+        by_name = {c["name"]: c for c in header["columns"]}
+        arrays, fields = [], []
+        for name in columns:
+            col = by_name[name]
+            f.seek(base + col["offset"])
+            payload = f.read(col["size"])
+            if verify_crc and zlib.crc32(payload) != col["crc32"]:
+                raise IOError(f"CRC mismatch for column {name}")
+            arrays.append(decode_array(payload, col["meta"]))
+            fields.append(schema.field(name))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
 def decode_table(blob: bytes, columns: list[str] | None = None,
                  verify_crc: bool = False) -> pa.Table:
     """Decode a chunk file back to an Arrow table (optionally a column subset)."""

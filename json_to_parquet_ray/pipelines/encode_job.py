@@ -293,11 +293,12 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None):
         for _, rec in sorted(manifest.items())
     ]
 
+    from ..encode import read_chunk_file
+
     def decode_item(batch: pa.Table) -> pa.Table:
         tables = []
         for path in batch.column("path").to_pylist():
-            with open(path, "rb") as f:
-                tables.append(decode_table(f.read(), columns=columns))
+            tables.append(read_chunk_file(path, columns=columns))
         return pa.concat_tables(tables)
 
     return ray.data.from_items(items).map_batches(

@@ -150,6 +150,10 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
         codec = get_codec(name)
         if not codec.can_encode(t):
             continue
+        if (name == "fsst" and ratios.get("zstd", 1.0) < 0.5):
+            # pure-Python FSST almost never beats a sub-0.5 zstd ratio once
+            # its 1.35-1.4x cost weight applies — skip the expensive trial
+            continue
         try:
             trial_kwargs = dict(kwargs)
             if name == "fsst":

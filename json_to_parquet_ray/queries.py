@@ -63,6 +63,30 @@ def q_roundtrip_embeddings(sf_dir: str):
     return _roundtrip_ds(sf_dir, "embeddings")
 
 
+def q_roundtrip_documents_pruned(sf_dir: str):
+    """Encode the full table, decode ONLY two columns via seek-based
+    byte-range reads — proves I/O-level column pruning is lossless."""
+    import tempfile
+
+    from .encode import read_chunk_file
+    from .manifest import write_atomic
+
+    ds = _read(sf_dir, "documents")
+
+    def rt(batch: pa.Table) -> pa.Table:
+        blob, _ = encode_table(batch)
+        with tempfile.NamedTemporaryFile(suffix=".rde", delete=False) as f:
+            path = f.name
+        write_atomic(path, blob)
+        try:
+            return read_chunk_file(path, columns=["doc_id", "lang"],
+                                   verify_crc=True)
+        finally:
+            os.unlink(path)
+
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ statistics
 
 
@@ -425,6 +449,7 @@ QUERIES = {
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_embeddings": q_roundtrip_embeddings,
+    "roundtrip_documents_pruned": q_roundtrip_documents_pruned,
     "stats_documents": q_stats_documents,
     "codec_plan_documents": q_codec_plan_documents,
     "source_counts": q_source_counts,
@@ -459,6 +484,7 @@ ORACLE_SQL = {
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
+    "roundtrip_documents_pruned": "SELECT doc_id, lang FROM documents",
     "stats_documents": (
         "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT lang) AS lang_card, "
         "COUNT(DISTINCT source) AS source_card, MIN(n_chars) AS min_n_chars, "
