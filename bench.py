@@ -136,8 +136,13 @@ def main() -> None:
 
 
 def scaling() -> None:
+    # the scaling runs use a 4x larger input than the plain bench so the
+    # measured window is compute-bound, not fixed-overhead-bound
+    scaling_rows = str(max(CC_ROWS * 4, 160_000))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_CC_ROWS=scaling_rows)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -151,3 +151,18 @@ def test_manifest_torn_record_skipped(tmp_path):
         f.write("junk")
     assert set(load_manifest(out)) == {0}
     assert completed_partitions(out) == {0}
+
+
+def test_per_row_invariant_byte_identical_text_per_url():
+    """BASELINE.json input_hint: 'byte-identical extracted text per url'."""
+    t = make_cc_table(400, seed=9)
+    blob, _ = encode_table(t)
+    back = decode_table(blob)
+    src = {u: tx for u, tx in zip(t.column("url").to_pylist(),
+                                  t.column("text").to_pylist())}
+    for u, tx in zip(back.column("url").to_pylist(),
+                     back.column("text").to_pylist()):
+        assert src[u].encode() == tx.encode()
+    # html binary payloads byte-identical as well
+    assert back.column("html").combine_chunks().equals(
+        t.column("html").combine_chunks())
