@@ -337,6 +337,40 @@ def q_events_by_type(sf_dir: str):
     return df
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows per user (streaming-shaped, SURVEY §2.2):
+    events are hash-partitioned by user_id; each group is sorted by ts and
+    split at >30-minute gaps. The partitioning assumption (all events of a
+    user fit one group) is the standard sessionization contract."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds() > 1800
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "session_count": [int(1 + gaps.sum())]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    df["session_count"] = df["session_count"].astype("int64")
+    return df
+
+
+def q_union_distinct_nations(sf_dir: str):
+    """Union + distinct across two tables (set ops coverage)."""
+    import ray  # noqa: F401
+
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda b: pa.table({"nationkey": b.column("c_nationkey").cast(pa.int32())}),
+        batch_format="pyarrow")
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda b: pa.table({"nationkey": b.column("s_nationkey").cast(pa.int32())}),
+        batch_format="pyarrow")
+    u = c.union(s)
+    vals = sorted(u.unique("nationkey"))
+    return pa.table({"nationkey": pa.array(vals, pa.int32())})
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling 1-hour window counts (streaming-shaped workload)."""
     ds = _read(sf_dir, "events", ["ts", "value"])
@@ -475,6 +509,8 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "union_distinct_nations": q_union_distinct_nations,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
 }
@@ -541,6 +577,19 @@ ORACLE_SQL = {
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS count_rows "
         "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "sessionize": (
+        "SELECT user_id, CAST(1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS session_count FROM ("
+        "  SELECT user_id, EXTRACT(EPOCH FROM ts - LAG(ts) OVER ("
+        "    PARTITION BY user_id ORDER BY ts)) AS gap_s FROM events"
+        ") GROUP BY user_id ORDER BY user_id"
+    ),
+    "union_distinct_nations": (
+        "SELECT DISTINCT nationkey FROM ("
+        "  SELECT c_nationkey AS nationkey FROM customer"
+        "  UNION ALL SELECT s_nationkey FROM supplier"
+        ") ORDER BY nationkey"
     ),
     "ann_topk": (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "

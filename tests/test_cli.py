@@ -1,0 +1,54 @@
+"""End-to-end CLI test: JSON docs → parquet (reference capability C1) →
+partitioned encode → bit-identical verify → decode back to parquet.
+Each CLI call is a fresh process owning its own Ray session."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, timeout=240):
+    res = subprocess.run(
+        [sys.executable, "-m", "json_to_parquet_ray.cli", *args],
+        cwd=REPO, capture_output=True, text=True, timeout=timeout,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def test_cli_json_to_encoded_and_back(tmp_path):
+    docs = tmp_path / "docs.jsonl"
+    docs.write_text(
+        '{"id":1,"text":"hello world","tags":["a","b"],"score":0.5}\n'
+        '{"id":2,"text":"second doc","tags":[],"meta":{"k":"v"}}\n'
+        '{"id":3,"text":"third","score":2}\n'
+    )
+    pq_dir = str(tmp_path / "pq")
+    out = run_cli("json2parquet", str(docs), pq_dir)
+    assert any(s.startswith("id:int64") for s in out["schema"])
+    assert any(s.startswith("score:double") for s in out["schema"])  # 0.5+2 widened
+
+    t = pq.read_table(pq_dir)
+    assert t.num_rows == 3
+    by_id = {r["id"]: r for r in t.to_pylist()}
+    assert by_id[1]["tags"] == ["a", "b"]
+    assert by_id[2]["meta"] == {"k": "v"}
+    assert by_id[3]["score"] == 2.0
+
+    enc_dir = str(tmp_path / "enc")
+    summary = run_cli("encode", pq_dir, enc_dir)
+    assert summary["partitions_encoded"] >= 1
+
+    ver = run_cli("verify", enc_dir)
+    assert ver["failed"] == []
+
+    dec_dir = str(tmp_path / "dec")
+    run_cli("decode", enc_dir, dec_dir)
+    t2 = pq.read_table(dec_dir)
+    assert t2.num_rows == 3
+    assert {r["id"] for r in t2.to_pylist()} == {1, 2, 3}
