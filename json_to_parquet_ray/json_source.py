@@ -124,6 +124,11 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
 def json_docs_to_table(json_texts: list[str], mode: str = "engine") -> pa.Table:
     """Local helper: documents → one unified Arrow table (tests/conformance)."""
     docs = [normalize_doc(json.loads(t), mode) for t in json_texts]
-    per_doc = [pa.Table.from_pylist([d]) for d in docs]
+    per_doc = [table_from_docs([d]) for d in docs]
     schema = unify([t.schema for t in per_doc], mode)
+    if not schema.names:
+        # pa.concat_tables drops rows of 0-column tables — count directly
+        from .schema_infer import _rows_only_table
+
+        return _rows_only_table(len(docs))
     return pa.concat_tables([align_table(t, schema) for t in per_doc])

@@ -146,6 +146,8 @@ def _align_array(arr: pa.Array, target: pa.DataType) -> pa.Array:
 
 
 def align_table(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    if not schema.names:
+        return _rows_only_table(table.num_rows)
     arrays = []
     for f in schema:
         if f.name in table.column_names:
@@ -167,8 +169,15 @@ def table_from_docs(docs: list[dict]) -> pa.Table:
     for d in docs:
         for k in d:
             keys.setdefault(k)
+    if not keys:  # all docs empty → 0-column table that still has the rows
+        return _rows_only_table(len(docs))
     filled = [{k: d.get(k) for k in keys} for d in docs]
     return pa.Table.from_pylist(filled)
+
+
+def _rows_only_table(n: int) -> pa.Table:
+    rb = pa.RecordBatch.from_struct_array(pa.array([{}] * n, pa.struct([])))
+    return pa.Table.from_batches([rb], schema=pa.schema([]))
 
 
 def infer_batch_schema(docs: list[dict], mode: str = "engine") -> pa.Schema:

@@ -1,0 +1,95 @@
+"""Property-based fuzz of JSON → Arrow inference (engine mode): for any
+batch of JSON-serializable documents, ``json_docs_to_table`` must produce
+a table whose rows round-trip the documents (missing keys as None)."""
+
+import json
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_to_parquet_ray.json_source import json_docs_to_table, split_documents
+
+# scalars that survive JSON + Arrow unification deterministically:
+# ints within int64, finite floats, strings, bools, None
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=12),
+)
+
+values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=6), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+documents = st.dictionaries(st.text(min_size=1, max_size=6), values, max_size=5)
+
+
+def normalize(v):
+    """Expected engine-mode value after Arrow round-trip."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, dict):
+        return {k: normalize(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [normalize(x) for x in v]
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def compatible(a, b) -> bool:
+    """Loose equality: Arrow may widen int→float when peers mix, struct
+    fields gain None for missing keys, empty containers may carry unified
+    child schemas."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(a, dict) and isinstance(b, dict):
+        keys = set(a) | set(b)
+        return all(compatible(a.get(k), b.get(k)) for k in keys)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(compatible(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+@given(st.lists(documents, min_size=1, max_size=5))
+@settings(max_examples=120, deadline=None)
+def test_fuzz_engine_mode_roundtrip(docs):
+    texts = [json.dumps(d) for d in docs]
+    try:
+        table = json_docs_to_table(texts, mode="engine")
+    except Exception as e:
+        # unification can genuinely fail on incompatible types across docs
+        # (e.g. "k": 1 vs "k": {"a": 2}); that must raise cleanly, not corrupt
+        import pyarrow as pa
+
+        assert isinstance(e, (pa.ArrowInvalid, pa.ArrowTypeError,
+                              pa.ArrowNotImplementedError, ValueError,
+                              TypeError)), type(e)
+        return
+    assert table.num_rows == len(docs)
+    back = table.to_pylist()
+    for doc, row in zip(docs, back):
+        for k, v in doc.items():
+            assert compatible(normalize(v), row.get(k)), (k, v, row.get(k))
+
+
+@given(st.lists(documents, min_size=1, max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_fuzz_splitter_roundtrip(docs):
+    texts = [json.dumps(d) for d in docs]
+    joined = " junk ".join(texts)
+    assert split_documents(joined) == texts
