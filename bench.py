@@ -113,6 +113,23 @@ def main() -> None:
         summary["chunk_bytes"] / os.path.getsize(base_path), 4)
     del cc_table
 
+    # ---- the reference's own capability: JSON docs → Parquet (C1), but
+    #      distributed. The reference is single-threaded Java with no
+    #      published numbers (BASELINE.md); this records ours.
+    jsonl = os.path.join(CC_BASE, "docs.jsonl")
+    if not os.path.exists(jsonl):
+        t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+        with open(jsonl, "w") as f:
+            for row in t.to_pylist():
+                f.write(json.dumps(row, default=str) + "\n")
+    from json_to_parquet_ray.json_source import json_to_parquet_job
+
+    j2p_out = os.path.join(CC_BASE, "j2p_out")
+    shutil.rmtree(j2p_out, ignore_errors=True)
+    sec, _ = timed(lambda: json_to_parquet_job(jsonl, j2p_out))
+    queries["json2parquet_docs"] = round(sec, 3)
+    extra["json2parquet_MBps"] = round(os.path.getsize(jsonl) / 1e6 / sec, 1)
+
     # ---- operator pipelines on the driver testdata tables
     for name in ["roundtrip_lineitem", "lineitem_agg", "events_by_type",
                  "token_counts", "exact_dedup", "ann_topk", "source_counts"]:

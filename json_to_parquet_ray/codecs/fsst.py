@@ -63,10 +63,20 @@ _GENERATIONS = 5
 # ------------------------------------------------------------------- training
 
 
+def strided_sample(data: bytes, cap: int = _SAMPLE_CAP, pieces: int = 16) -> bytes:
+    """Deterministic sample drawn from ``pieces`` evenly spaced slices —
+    representative of the whole buffer, unlike a head-only sample."""
+    if len(data) <= cap:
+        return data
+    piece = cap // pieces
+    stride = len(data) // pieces
+    return b"".join(data[i * stride : i * stride + piece] for i in range(pieces))
+
+
 def train(sample: bytes, generations: int = _GENERATIONS,
           max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     """Train a symbol table on ``sample``. Deterministic."""
-    sample = sample[:_SAMPLE_CAP]
+    sample = strided_sample(sample)
     if not sample:
         return []
     symbols: list[bytes] = []
