@@ -1,0 +1,52 @@
+"""Unit tests for the skew-aware wide operations (shuffle.py)."""
+
+import pyarrow as pa
+
+from json_to_parquet_ray.shuffle import (
+    distinct_values,
+    extract_host,
+    heavy_hitters,
+    salted_group_count,
+)
+
+
+def _skewed_table(n=1000):
+    # heavy-hitter value "hot" takes ~60% of rows
+    vals = ["hot"] * (n * 6 // 10) + [f"v{i % 37}" for i in range(n * 4 // 10)]
+    return pa.table({"k": pa.array(vals, pa.string())})
+
+
+def test_extract_host():
+    t = pa.table({"url": pa.array([
+        "https://example.com/a/b", "http://x.org/", "https://y.net",
+    ])})
+    out = extract_host(t)
+    assert out.column("host").to_pylist() == ["example.com", "x.org", "y.net"]
+
+
+def test_salted_group_count_exact(ray_session):
+    import ray
+
+    t = _skewed_table()
+    out = salted_group_count(ray.data.from_arrow(t), "k", salt_buckets=4)
+    df = out.to_pandas().set_index("value")["count"]
+    assert df["hot"] == 600
+    assert int(df.sum()) == 1000
+
+
+def test_heavy_hitters(ray_session):
+    import ray
+
+    top = heavy_hitters(ray.data.from_arrow(_skewed_table()), "k", k=3)
+    assert top.column("value").to_pylist()[0] == "hot"
+    assert top.column("count").to_pylist()[0] == 600
+
+
+def test_distinct_values_sorted_deterministic(ray_session):
+    import ray
+
+    t = pa.table({"k": pa.array(["b", "a", "b", "c", "a"])})
+    v1 = distinct_values(ray.data.from_arrow(t), "k")
+    v2 = distinct_values(ray.data.from_arrow(t), "k")
+    assert v1.to_pylist() == ["a", "b", "c"]
+    assert v1.equals(v2)
