@@ -337,6 +337,50 @@ def q_events_by_type(sf_dir: str):
     return df
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-2 documents per source by n_chars (grouped top-k / window fn)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).head(2)
+
+    out = ds.groupby("source").map_groups(top2, batch_format="pandas")
+    df = out.to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    return df[["source", "doc_id", "n_chars"]]
+
+
+def q_asof_latest_order(sf_dir: str):
+    """As-of join: for each event, the latest order of the same customer
+    with o_orderdate <= ts. The small side (orders) is broadcast pre-sorted
+    via ray.put; each batch does a vectorized ``pd.merge_asof``. At scale
+    (both sides large) the same merge runs per key-hash bucket inside
+    ``groupby(bucket).map_groups`` — the partitioning assumption is
+    co-location of a key's rows."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders.sort_values("o_orderdate").reset_index(drop=True)
+    o_ref = ray.put(orders)
+
+    def asof(batch: pa.Table) -> pa.Table:
+        right = ray.get(o_ref)
+        left = batch.to_pandas().sort_values("ts")
+        m = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
+                          left_by="user_id", right_by="o_custkey",
+                          direction="backward")
+        m = m.dropna(subset=["o_orderdate"])
+        return pa.Table.from_pandas(
+            m[["event_id", "o_orderdate"]].rename(
+                columns={"o_orderdate": "order_date"}),
+            preserve_index=False)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = ds.map_batches(asof, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return df
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user (streaming-shaped, SURVEY §2.2):
     events are hash-partitioned by user_id; each group is sorted by ts and
@@ -510,6 +554,8 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "grouped_topk": q_grouped_topk,
+    "asof_latest_order": q_asof_latest_order,
     "union_distinct_nations": q_union_distinct_nations,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
@@ -577,6 +623,18 @@ ORACLE_SQL = {
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS count_rows "
         "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "grouped_topk": (
+        "SELECT source, doc_id, n_chars FROM documents "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY source "
+        "  ORDER BY n_chars DESC, doc_id ASC) <= 2 "
+        "ORDER BY source, doc_id"
+    ),
+    "asof_latest_order": (
+        "SELECT e.event_id, o.o_orderdate AS order_date "
+        "FROM events e ASOF JOIN orders o "
+        "  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
+        "ORDER BY e.event_id"
     ),
     "sessionize": (
         "SELECT user_id, CAST(1 + SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)"
