@@ -132,7 +132,8 @@ def main() -> None:
 
     # ---- operator pipelines on the driver testdata tables
     for name in ["roundtrip_lineitem", "lineitem_agg", "events_by_type",
-                 "token_counts", "exact_dedup", "ann_topk", "source_counts"]:
+                 "token_counts", "exact_dedup", "minhash_dedup", "ann_topk",
+                 "source_counts", "sessionize", "grouped_topk"]:
         fn = QUERIES[name]
         sec, res = timed(lambda fn=fn: fn(SF_DIR))
         if hasattr(res, "count"):
