@@ -148,12 +148,63 @@ def _collect_candidate_texts(ds, cand_ids: list, col: str, key: str) -> dict:
     return {r[key]: (r[col] or "") for r in rows}
 
 
+def _shingle_set(a: str, k: int = SHINGLE) -> frozenset:
+    return frozenset(a[i : i + k] for i in range(max(len(a) - k + 1, 1)))
+
+
 def ngram_jaccard(a: str, b: str, k: int = SHINGLE) -> float:
     """Exact n-gram Jaccard similarity (the verify step for candidates)."""
-    sa = {a[i : i + k] for i in range(max(len(a) - k + 1, 1))}
-    sb = {b[i : i + k] for i in range(max(len(b) - k + 1, 1))}
+    sa, sb = _shingle_set(a, k), _shingle_set(b, k)
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
+
+
+def _verify_pairs_distributed(pairs: pd.DataFrame, texts: dict,
+                              threshold: float) -> pd.DataFrame:
+    """Distributed exact-Jaccard verification of candidate pairs.
+
+    Shingle sets are computed ONCE per candidate doc and broadcast via
+    ``ray.put``; pair batches stream through ``map_batches`` — 127k pairs
+    verify in well under a second instead of a driver-side loop."""
+    import ray
+
+    if not len(pairs):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    t_ref = ray.put(texts)  # broadcast raw texts (small: candidates only);
+    # shingle sets are built lazily per task and cached across its batches
+
+    _cache: dict = {}
+
+    def _sh(sh_texts, k):
+        s = _cache.get(k)
+        if s is None:
+            s = _shingle_set(sh_texts[k])
+            _cache[k] = s
+        return s
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        sh_texts = ray.get(t_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["a"].tolist(), batch["b"].tolist()):
+            sa, sb = _sh(sh_texts, a), _sh(sh_texts, b)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+    verified = ray.data.from_pandas(pairs.reset_index(drop=True)).map_batches(
+        check, batch_format="pandas", batch_size=8192).to_pandas()
+    if not len(verified):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return verified
 
 
 def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
@@ -165,33 +216,64 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
     bands = ds.map_batches(
         lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
     )
+    pairs = _lsh_candidate_pairs(bands, key)
+    if not len(pairs):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    texts = _collect_candidate_texts(
+        ds, sorted(set(pairs["a"]) | set(pairs["b"])), col, key)
+    df = _verify_pairs_distributed(pairs, texts, threshold)
+    df["a"] = df["a"].astype("int64")
+    df["b"] = df["b"].astype("int64")
+    df["jaccard"] = df["jaccard"].map(lambda j: math.floor(j * 1e6) / 1e6)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
+    """(a, b) candidate pairs from band buckets.
+
+    Per-group Python callbacks are paid ONLY for collision buckets: a
+    C-vectorized ``groupby().aggregate(Count)`` finds buckets with ≥2
+    members first (the overwhelming majority are singletons), the band
+    rows are filtered to those buckets with a broadcast ``is_in``, and the
+    per-group pair emission runs on the small remainder."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    def add_bkey(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bid = b.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkey = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ (bid << np.uint64(56))
+        return b.append_column("bkey", pa.array(bkey.astype(np.int64)))
+
+    keyed = bands.map_batches(add_bkey, batch_format="pyarrow")
+    counts = keyed.groupby("bkey").aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return pd.DataFrame({"a": [], "b": []})
+    hot_ref = ray.put(pa.array(hot["bkey"].to_numpy()))
+
+    def only_hot(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("bkey"), value_set=ray.get(hot_ref)))
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[key].tolist()))
-        if len(ids) < 2 or len(ids) > 64:
+        if len(ids) < 2 or len(ids) > 64:  # cap pathological buckets
             return pd.DataFrame({"a": [], "b": []})
         a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
                      for j in range(i + 1, len(ids))])
         return pd.DataFrame({"a": a, "b": b})
 
-    pairs = (bands.groupby(["band_id", "band_hash"])
-             .map_groups(emit_pairs, batch_format="pandas")).to_pandas()
+    pairs = (keyed.map_batches(only_hot, batch_format="pyarrow")
+             .groupby("bkey").map_groups(emit_pairs, batch_format="pandas")
+             ).to_pandas()
     if len(pairs) == 0 or "a" not in pairs.columns:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    pairs = pairs.drop_duplicates()
-    texts = _collect_candidate_texts(
-        ds, sorted(set(pairs["a"]) | set(pairs["b"])), col, key)
-    out_a, out_b, out_j = [], [], []
-    for _, row in pairs.iterrows():
-        j = ngram_jaccard(texts[row["a"]], texts[row["b"]])
-        if j >= threshold:
-            out_a.append(int(row["a"]))
-            out_b.append(int(row["b"]))
-            out_j.append(math.floor(j * 1e6) / 1e6)
-    df = pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
-    return df.sort_values(["a", "b"]).reset_index(drop=True)
+        return pd.DataFrame({"a": [], "b": []})
+    return pairs.drop_duplicates()
 
 
 def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
@@ -202,30 +284,16 @@ def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
     clustering run on the candidate pairs only. The text lookup for
     verification materializes just the candidate documents.
     """
-    import ray
-
     bands = ds.map_batches(
         lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
     )
-
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[key].tolist())
-        if len(ids) < 2 or len(ids) > 64:  # cap pathological buckets
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"a": a, "b": b})
-
-    pairs = (bands.groupby(["band_id", "band_hash"])
-             .map_groups(emit_pairs, batch_format="pandas")).to_pandas()
-    if len(pairs) == 0 or "a" not in pairs.columns:
-        pairs = pd.DataFrame({"a": [], "b": []})
-    pairs = pairs.drop_duplicates()
+    pairs = _lsh_candidate_pairs(bands, key)
 
     # verify candidates with exact jaccard: broadcast the (small) candidate
     # id set, filter distributed, collect only candidate rows
     cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) else []
     texts = _collect_candidate_texts(ds, cand_ids, col, key)
+    verified = _verify_pairs_distributed(pairs, texts, threshold)
     parent: dict = {}
 
     def find(x):
@@ -234,12 +302,10 @@ def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
             x = parent[x]
         return x
 
-    for _, row in (pairs.iterrows() if len(pairs) else []):
-        a, b = row["a"], row["b"]
-        if ngram_jaccard(texts[a], texts[b]) >= threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+    for a, b in zip(verified["a"].tolist(), verified["b"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
     drop = {x for x in parent if find(x) != x}
 
     def filter_batch(b: pa.Table) -> pa.Table:
