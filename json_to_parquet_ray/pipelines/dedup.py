@@ -361,6 +361,28 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
                          "simhash": pa.array(np.tile(sh.astype(np.int64), n_bands))})
 
     bands = sims.map_batches(band_rows, batch_format="pyarrow")
+    # collision-bucket prefilter (same pattern as _lsh_candidate_pairs):
+    # per-group Python runs only where a band bucket has ≥2 members
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    def add_bkey(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bid = b.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkey = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ (bid << np.uint64(56))
+        return b.append_column("bkey", pa.array(bkey.astype(np.int64)))
+
+    keyed = bands.map_batches(add_bkey, batch_format="pyarrow")
+    counts = keyed.groupby("bkey").aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    hot_ref = ray.put(pa.array(hot["bkey"].to_numpy()))
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates(subset=key)
@@ -380,8 +402,12 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
                     out_h.append(int(hm))
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        emit, batch_format="pandas").to_pandas()
+    pairs = (keyed.map_batches(
+                lambda b: b.filter(pc.is_in(b.column("bkey"),
+                                            value_set=ray.get(hot_ref))),
+                batch_format="pyarrow")
+             .groupby("bkey").map_groups(emit, batch_format="pandas")
+             ).to_pandas()
     if len(pairs) == 0 or "a" not in pairs.columns:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
