@@ -166,3 +166,17 @@ def test_per_row_invariant_byte_identical_text_per_url():
     # html binary payloads byte-identical as well
     assert back.column("html").combine_chunks().equals(
         t.column("html").combine_chunks())
+
+
+def test_encode_job_sliced_partitions(ray_session, tmp_path):
+    """A single-row-group file still parallelizes via row-range slices."""
+    src = str(tmp_path / "one_rg.parquet")
+    write_cc_parquet(src, 1200, seed=5, row_group_size=1200)  # 1 row group
+    out = str(tmp_path / "enc_sliced")
+    summary = encode_job(src, out, shared_dict_columns=None,
+                         max_rows_per_partition=300)
+    assert summary["partitions_total"] == 4
+    assert verify_job(out)["failed"] == []
+    decoded = pa.concat_tables(
+        [t for t in [decode_dataset(out).take_batch(2000, batch_format="pyarrow")]])
+    assert decoded.num_rows == 1200
