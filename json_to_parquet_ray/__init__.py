@@ -21,3 +21,26 @@ CLI entry points, and the pytest fixture only.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy re-exports so `import json_to_parquet_ray as jtpr` gives the
+    main surface without paying import cost until used."""
+    surface = {
+        "encode_table": ("json_to_parquet_ray.encode", "encode_table"),
+        "decode_table": ("json_to_parquet_ray.encode", "decode_table"),
+        "read_chunk_file": ("json_to_parquet_ray.encode", "read_chunk_file"),
+        "encode_job": ("json_to_parquet_ray.pipelines.encode_job", "encode_job"),
+        "decode_dataset": ("json_to_parquet_ray.pipelines.encode_job", "decode_dataset"),
+        "verify_job": ("json_to_parquet_ray.pipelines.encode_job", "verify_job"),
+        "compute_stats": ("json_to_parquet_ray.stats", "compute_stats"),
+        "plan_from_stats": ("json_to_parquet_ray.plan", "plan_from_stats"),
+        "json_to_parquet_job": ("json_to_parquet_ray.json_source", "json_to_parquet_job"),
+        "infer_json_schema": ("json_to_parquet_ray.schema_infer", "infer_json_schema"),
+    }
+    if name in surface:
+        import importlib
+
+        mod, attr = surface[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
