@@ -1,0 +1,151 @@
+"""Optional native (C) hot loop for FSST encode/decode.
+
+Pure from-scratch C (~80 lines), compiled on first use with the system
+gcc into a cached shared object; everything degrades gracefully to the
+numpy path when no compiler is present. The encoded stream is the same
+(code | 0xFF-escape) format — the C path does exact greedy longest-match
+per position, so parses may differ from the numpy block-parallel parse,
+but every parse decodes to identical bytes (the bit-identical guarantee
+applies to decoded data, and each environment is internally
+deterministic, so Ray task retries reproduce identical chunks).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+_C_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+#define ESCAPE 255
+
+/* per-first-byte candidate lists, built per call (tiny) */
+typedef struct { int count; int codes[255]; } Bucket;
+
+long long fsst_encode(const uint8_t* in, long long n, uint8_t* out,
+                      const uint8_t* sym_bytes, const uint8_t* sym_lens,
+                      int n_sym) {
+    Bucket buckets[256];
+    int offs[256];
+    memset(buckets, 0, sizeof(buckets));
+    int off = 0;
+    for (int c = 0; c < n_sym; c++) {
+        offs[c] = off;
+        off += sym_lens[c];
+    }
+    /* insert codes per first byte; keep insertion order = caller sorts by
+       length desc so the first match is the longest */
+    for (int c = 0; c < n_sym; c++) {
+        uint8_t fb = sym_bytes[offs[c]];
+        Bucket* b = &buckets[fb];
+        if (b->count < 255) b->codes[b->count++] = c;
+    }
+    long long i = 0, o = 0;
+    while (i < n) {
+        Bucket* b = &buckets[in[i]];
+        int emitted = 0;
+        for (int k = 0; k < b->count; k++) {
+            int c = b->codes[k];
+            int L = sym_lens[c];
+            if (i + L <= n && memcmp(in + i, sym_bytes + offs[c], L) == 0) {
+                out[o++] = (uint8_t)c;
+                i += L;
+                emitted = 1;
+                break;
+            }
+        }
+        if (!emitted) {
+            out[o++] = ESCAPE;
+            out[o++] = in[i++];
+        }
+    }
+    return o;
+}
+
+long long fsst_decode(const uint8_t* in, long long n, uint8_t* out,
+                      const uint8_t* sym_bytes, const uint8_t* sym_lens,
+                      int n_sym) {
+    int offs[256];
+    int off = 0;
+    for (int c = 0; c < n_sym; c++) { offs[c] = off; off += sym_lens[c]; }
+    long long i = 0, o = 0;
+    while (i < n) {
+        uint8_t c = in[i++];
+        if (c == ESCAPE) {
+            out[o++] = in[i++];
+        } else {
+            int L = sym_lens[c];
+            memcpy(out + o, sym_bytes + offs[c], L);
+            o += L;
+        }
+    }
+    return o;
+}
+"""
+
+_lib = None
+_tried = False
+
+
+def _build() -> ctypes.CDLL | None:
+    cache = os.path.join(tempfile.gettempdir(), "jtpr_fsst_native.so")
+    if not os.path.exists(cache):
+        with tempfile.NamedTemporaryFile("w", suffix=".c", delete=False) as f:
+            f.write(_C_SRC)
+            src = f.name
+        try:
+            tmp_so = cache + f".build.{os.getpid()}"
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
+                check=True, capture_output=True, timeout=60,
+            )
+            os.replace(tmp_so, cache)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            return None
+        finally:
+            os.unlink(src)
+    try:
+        lib = ctypes.CDLL(cache)
+    except OSError:
+        return None
+    for fn in (lib.fsst_encode, lib.fsst_decode):
+        fn.restype = ctypes.c_longlong
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+                       ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    return lib
+
+
+def get_lib():
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        _lib = _build()
+    return _lib
+
+
+def native_encode(data: bytes, symbols: list[bytes]) -> bytes | None:
+    """Symbols MUST already be in length-desc code order (train() emits
+    that canonical order), so bucket scan order = longest-first."""
+    lib = get_lib()
+    if lib is None or len(symbols) > 255:
+        return None
+    lens = bytes(len(s) for s in symbols)
+    blob = b"".join(symbols)
+    out = ctypes.create_string_buffer(2 * len(data) + 16)
+    n = lib.fsst_encode(data, len(data), out, blob, lens, len(symbols))
+    return out.raw[:n]
+
+
+def native_decode(enc: bytes, symbols: list[bytes], out_size: int) -> bytes | None:
+    lib = get_lib()
+    if lib is None or len(symbols) > 255:
+        return None
+    lens = bytes(len(s) for s in symbols)
+    blob = b"".join(symbols)
+    out = ctypes.create_string_buffer(max(out_size, 1))
+    n = lib.fsst_decode(enc, len(enc), out, blob, lens, len(symbols))
+    return out.raw[:n]

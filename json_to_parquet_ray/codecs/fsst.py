@@ -114,6 +114,9 @@ def train(sample: bytes, generations: int = _GENERATIONS,
         symbols = [s for s, _ in ranked[:max_symbols]]
         if set(symbols) == code_set:
             break
+    # canonical code order: length-desc then bytes — lets the native
+    # encoder scan first-byte buckets longest-first without code remapping
+    symbols.sort(key=lambda s: (-len(s), s))
     return symbols
 
 
@@ -180,6 +183,11 @@ class FsstEncoder:
     def encode(self, data: bytes) -> bytes:
         if not data:
             return b""
+        from . import _fsst_native
+
+        native = _fsst_native.native_encode(data, self.symbols)
+        if native is not None:
+            return native
         out = []
         for off in range(0, len(data), self._CHUNK):
             out.append(self._encode_chunk(data[off : off + self._CHUNK]))
@@ -267,10 +275,16 @@ class FsstEncoder:
         return out.tobytes()
 
 
-def fsst_decode(enc: bytes, symbols: list[bytes]) -> bytes:
-    """Vectorized decode of an FSST byte stream."""
+def fsst_decode(enc: bytes, symbols: list[bytes], out_size: int | None = None) -> bytes:
+    """Decode an FSST byte stream (native C when available, else numpy)."""
     if not enc:
         return b""
+    if out_size is not None:
+        from . import _fsst_native
+
+        native = _fsst_native.native_decode(enc, symbols, out_size)
+        if native is not None:
+            return native
     arr = np.frombuffer(enc, np.uint8)
     n = len(arr)
     # classify escape bytes: within each maximal run of 0xFF, even offsets
@@ -364,10 +378,10 @@ class FsstCodec(Codec):
         symbols = deserialize_table(table_buf) if table_buf else []
         if meta.get("zstd"):
             enc = decompress(enc, meta["enc_len"], "zstd")
-        data = fsst_decode(enc, symbols)
         lengths = unpack_bits(lens_packed, n, width).astype(np.int64)
         offsets = np.zeros(n + 1, np.int64)
         np.cumsum(lengths, out=offsets[1:])
+        data = fsst_decode(enc, symbols, out_size=int(offsets[-1]))
         valid = unpack_validity(validity, n)
         t = type_from_b64(meta["type"])
         values = pa.LargeBinaryArray.from_buffers(
