@@ -33,7 +33,6 @@ partition").
 from __future__ import annotations
 
 import re
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -75,49 +74,86 @@ def strided_sample(data: bytes, cap: int = _SAMPLE_CAP, pieces: int = 16) -> byt
 
 def train(sample: bytes, generations: int = _GENERATIONS,
           max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
-    """Train a symbol table on ``sample``. Deterministic."""
+    """Train a symbol table on ``sample``. Deterministic and vectorized:
+    each generation parses the sample with the current table (the same
+    fast encoder used for real data), then counts symbol and
+    concatenated-pair frequencies with ``np.bincount`` over the token
+    stream — the FSST paper's iterative construction, no Python byte loop.
+    """
     sample = strided_sample(sample)
     if not sample:
         return []
     symbols: list[bytes] = []
     for _ in range(generations):
-        counts: Counter[bytes] = Counter()
-        pair_counts: Counter[bytes] = Counter()
         if symbols:
-            pattern = _compile(symbols)
-            code_set = set(symbols)
-            parts = pattern.split(sample)
+            # length-desc order REQUIRED for the parse: the native encoder
+            # scans first-byte buckets in code order and takes the first
+            # match, so shorter codes must not shadow longer ones
+            symbols.sort(key=lambda s: (-len(s), s))
+            enc = FsstEncoder(symbols).encode(sample)
+            codes = _token_codes(np.frombuffer(enc, np.uint8))
         else:
-            code_set = set()
-            parts = [sample]
-        prev: bytes | None = None
-        for i, part in enumerate(parts):
-            if i % 2 == 1:  # a matched symbol
-                counts[part] += 1
-                if prev is not None and len(prev) + len(part) <= MAX_SYMBOL_LEN:
-                    pair_counts[prev + part] += 1
-                prev = part
-            else:  # literal gap: single bytes
-                for j in range(len(part)):
-                    b = part[j : j + 1]
-                    counts[b] += 1
-                    if prev is not None and len(prev) + 1 <= MAX_SYMBOL_LEN:
-                        pair_counts[prev + b] += 1
-                    prev = b
+            # generation 0: every byte is a literal token
+            codes = np.frombuffer(sample, np.uint8).astype(np.int64) + 256
+        ext = symbols + [bytes([b]) for b in range(256)]
+        ext_len = np.array([len(s) for s in symbols] + [1] * 256, np.int64)
+        # remap literal codes (256+b) to len(symbols)+b so the code space
+        # is dense: 0..len(symbols)+255
+        dense = np.where(codes >= 256, codes - 256 + len(symbols), codes)
+        n_ext = len(symbols) + 256
         gains: dict[bytes, int] = {}
-        for s, c in counts.items():
-            gains[s] = gains.get(s, 0) + c * len(s)
-        for s, c in pair_counts.items():
-            gains[s] = gains.get(s, 0) + c * len(s)
-        # deterministic: sort by (-gain, symbol)
+        single = np.bincount(dense, minlength=n_ext)
+        for code in np.flatnonzero(single):
+            s = ext[code]
+            gains[s] = gains.get(s, 0) + int(single[code]) * len(s)
+        if len(dense) > 1:
+            a, b = dense[:-1], dense[1:]
+            ok = (ext_len[a] + ext_len[b]) <= MAX_SYMBOL_LEN
+            keys = a[ok] * n_ext + b[ok]
+            pair_counts = np.bincount(keys)
+            hot = np.flatnonzero(pair_counts)
+            # cut to top candidates by GAIN (freq x concatenated length) —
+            # a frequency-only cut starves the long, low-frequency
+            # candidates that matter most
+            pair_len = ext_len[hot // n_ext] + ext_len[hot % n_ext]
+            score = pair_counts[hot] * pair_len
+            order = hot[np.argsort(-score, kind="stable")][: 8 * max_symbols]
+            for key in order:
+                s = ext[int(key) // n_ext] + ext[int(key) % n_ext]
+                gains[s] = gains.get(s, 0) + int(pair_counts[key]) * len(s)
         ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
-        symbols = [s for s, _ in ranked[:max_symbols]]
-        if set(symbols) == code_set:
+        new_symbols = [s for s, _ in ranked[:max_symbols]]
+        if set(new_symbols) == set(symbols):
             break
+        symbols = new_symbols
     # canonical code order: length-desc then bytes — lets the native
     # encoder scan first-byte buckets longest-first without code remapping
     symbols.sort(key=lambda s: (-len(s), s))
     return symbols
+
+
+def _token_codes(arr: np.ndarray) -> np.ndarray:
+    """Extended token codes (0..254 = symbol code, 256+b = literal byte b)
+    of an FSST stream, vectorized (same escape-run logic as the decoder)."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    is_token = np.ones(n, bool)
+    is_escape = np.zeros(n, bool)
+    pos = np.flatnonzero(arr == ESCAPE)
+    if len(pos):
+        new_run = np.concatenate(([True], np.diff(pos) > 1))
+        run_starts = pos[new_run]
+        run_idx = np.cumsum(new_run) - 1
+        offset_in_run = pos - run_starts[run_idx]
+        esc_pos = pos[offset_in_run % 2 == 0]
+        is_escape[esc_pos] = True
+        nxt = esc_pos + 1
+        is_token[nxt[nxt < n]] = False
+    tok = np.flatnonzero(is_token)
+    esc_tok = is_escape[tok]
+    return np.where(esc_tok, 256 + arr[np.minimum(tok + 1, n - 1)].astype(np.int64),
+                    arr[tok].astype(np.int64))
 
 
 def _compile(symbols: list[bytes]) -> re.Pattern:
