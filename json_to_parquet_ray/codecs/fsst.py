@@ -9,20 +9,25 @@ occurrences with 1-byte codes; bytes not covered by the table are
 escaped as (0xFF, byte). pyarrow 16.1.0 ships no FSST kernel (verified),
 so this is hand-rolled (SURVEY.md §7.5).
 
-Engineering choices for a pure-Python/numpy implementation:
+Engineering choices:
 
-- The **encoder** compiles the symbol table into one regex alternation
-  sorted by length (longest first). ``pattern.split`` with a capturing
-  group does the whole scan in C; Python only maps the resulting parts
-  (codes via dict, gaps via a tiny escape cache). This is a deterministic
-  leftmost-longest-ish parse — any deterministic parse decodes exactly.
+- The **trainer** is fully vectorized: each generation parses the sample
+  with the current table, then counts symbol and adjacent-pair
+  frequencies with ``np.bincount`` over the token stream (30-60 ms for a
+  64 KiB sample, 5 generations).
+- The **encoder** has two paths: a from-scratch native C hot loop
+  (``_fsst_native``, compiled with the system gcc on first use, ~15
+  MB/s/core) and a numpy fallback (8-byte window hashes + searchsorted
+  per length + block-parallel greedy chain extraction, ~4 MB/s/core).
+  Symbol codes are canonically length-desc ordered so the native
+  first-byte bucket scan is longest-match without remapping.
 - The **column layout** concatenates all strings of the chunk into one
   buffer, encodes it in a single pass, and stores the *original* string
   lengths (bit-packed) — so symbols may span string boundaries and
   decode restores the exact byte stream, split by the stored lengths.
-- The **decoder** is vectorized: codes → (offset, length) gathers into a
-  concatenated symbol buffer via ``np.repeat`` indexing; escape runs are
-  resolved run-wise (rare in text).
+- The **decoder** likewise has native (~180 MB/s/core) and vectorized
+  numpy paths; any deterministic parse decodes exactly, so the paths are
+  freely interchangeable on the same stream.
 
 The per-partition symbol table is trained once per chunk (or shared via
 the encoder actor pool for all chunks of a partition — BASELINE.json
@@ -32,7 +37,6 @@ partition").
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -154,11 +158,6 @@ def _token_codes(arr: np.ndarray) -> np.ndarray:
     esc_tok = is_escape[tok]
     return np.where(esc_tok, 256 + arr[np.minimum(tok + 1, n - 1)].astype(np.int64),
                     arr[tok].astype(np.int64))
-
-
-def _compile(symbols: list[bytes]) -> re.Pattern:
-    ordered = sorted(symbols, key=len, reverse=True)
-    return re.compile(b"(" + b"|".join(map(re.escape, ordered)) + b")")
 
 
 # ------------------------------------------------------------- table (de)ser
