@@ -190,7 +190,16 @@ def encode_job(
 
     frags = list_fragments(input_paths, max_rows_per_partition)
     total = len(frags)
-    done: set[int] = completed_partitions(out_dir) if resume else set()
+    done: set[int] = set()
+    if resume:
+        prior = load_manifest(out_dir)
+        complete = completed_partitions(out_dir)
+        # a completed partition is reusable only if its recorded fragment
+        # still matches this run's fragment list (guards against the input
+        # set changing between runs, which would shift partition ids)
+        for pid in complete:
+            if pid < total and prior[pid].fragment == asdict(frags[pid]):
+                done.add(pid)
     work = [
         {"partition_id": i, "path": f.path, "row_group": f.row_group,
          "num_rows": f.num_rows, "row_start": f.row_start}

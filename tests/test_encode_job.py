@@ -180,3 +180,17 @@ def test_encode_job_sliced_partitions(ray_session, tmp_path):
     decoded = pa.concat_tables(
         [t for t in [decode_dataset(out).take_batch(2000, batch_format="pyarrow")]])
     assert decoded.num_rows == 1200
+
+
+def test_resume_rejects_changed_input(ray_session, cc_parquet, tmp_path):
+    """If the input fragment set changes between runs, stale completed
+    partitions must NOT be reused (fragment identity check)."""
+    out = str(tmp_path / "enc_chg")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    # second input: different file → partition ids map to different fragments
+    src2 = str(tmp_path / "cc2.parquet")
+    write_cc_parquet(src2, 1000, seed=77, row_group_size=250)
+    summary = encode_job(src2, out, shared_dict_columns=None)
+    assert summary["partitions_skipped_resume"] == 0
+    assert summary["partitions_encoded"] == summary["partitions_total"]
+    assert verify_job(out)["failed"] == []
