@@ -194,3 +194,21 @@ def test_resume_rejects_changed_input(ray_session, cc_parquet, tmp_path):
     assert summary["partitions_skipped_resume"] == 0
     assert summary["partitions_encoded"] == summary["partitions_total"]
     assert verify_job(out)["failed"] == []
+
+
+def test_encode_job_stress_variants(ray_session, tmp_path):
+    """Codec-stress distributions (FIXTURES.md F1) through the FULL
+    partitioned pipeline: constant columns, all-null columns, all-unique
+    urls, weird strings — each must verify bit-identical."""
+    import pyarrow.parquet as pq2
+
+    from json_to_parquet_ray.fixtures import stress_tables
+
+    for name, t in stress_tables().items():
+        if t.num_rows == 0:
+            continue  # parquet row group of 0 rows → no partitions
+        src = str(tmp_path / f"{name}.parquet")
+        pq2.write_table(t, src, row_group_size=max(t.num_rows // 2, 1))
+        out = str(tmp_path / f"enc_{name}")
+        encode_job(src, out, shared_dict_columns=None)
+        assert verify_job(out)["failed"] == [], name
