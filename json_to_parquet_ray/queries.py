@@ -160,6 +160,31 @@ def q_lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def q_top_words(sf_dir: str):
+    """Vocabulary building: explode documents into tokens (vectorized
+    regex split), per-batch partial counts (combiner), salted groupby,
+    global top-20. The canonical wordcount-at-scale shape."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column("text"))
+        toks = pc.split_pattern_regex(lowered, "[^a-z0-9_]+")
+        flat = toks.combine_chunks().flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "partial": vc.field("counts").cast(pa.int64())})
+
+    parts = ds.map_batches(token_counts, batch_format="pyarrow")
+    agg = parts.groupby("word").aggregate(Sum("partial", alias_name="count"))
+    df = agg.to_pandas().sort_values(["count", "word"],
+                                     ascending=[False, True]).head(20)
+    df["count"] = df["count"].astype("int64")
+    return df.reset_index(drop=True)[["word", "count"]]
+
+
 def q_fingerprints(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(lambda b: text.fingerprint_batch(b), batch_format="pyarrow")
@@ -537,6 +562,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "top_words": q_top_words,
     "exact_dedup": q_exact_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -593,6 +619,12 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "fingerprints": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "top_words": (
+        "SELECT w AS word, COUNT(*) AS count FROM ("
+        "  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w"
+        "  FROM documents"
+        ") GROUP BY w ORDER BY count DESC, word ASC LIMIT 20"
+    ),
     "exact_dedup": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "json_roundtrip_documents": "SELECT * FROM documents",
     "filter_docs_en": (
