@@ -212,3 +212,17 @@ def test_encode_job_stress_variants(ray_session, tmp_path):
         out = str(tmp_path / f"enc_{name}")
         encode_job(src, out, shared_dict_columns=None)
         assert verify_job(out)["failed"] == [], name
+
+
+def test_corrupt_chunk_raises_cleanly(tmp_path):
+    import pytest as _pytest
+
+    t = make_cc_table(50, seed=1)
+    blob, _ = encode_table(t)
+    with _pytest.raises(AssertionError):
+        decode_table(b"XXXX" + blob[4:])  # bad magic
+    # flipped payload byte → CRC mismatch
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with _pytest.raises(IOError):
+        decode_table(bytes(bad), verify_crc=True)

@@ -93,3 +93,16 @@ def test_fuzz_splitter_roundtrip(docs):
     texts = [json.dumps(d) for d in docs]
     joined = " junk ".join(texts)
     assert split_documents(joined) == texts
+
+
+@given(st.lists(documents, min_size=1, max_size=4))
+@settings(max_examples=40, deadline=None)
+def test_fuzz_splitter_non_ascii(docs):
+    """Non-ASCII docs (ensure_ascii=False) + non-ASCII inter-doc noise.
+
+    Note: noise must not contain unbalanced braces — a stray ``{`` outside
+    any document defeats every brace-balancing splitter (the reference
+    included); braces *inside strings* are the case our splitter fixes."""
+    texts = [json.dumps(d, ensure_ascii=False) for d in docs]
+    joined = "\n中文 noise — ünïcode ✓\n".join(texts)
+    assert split_documents(joined) == texts
