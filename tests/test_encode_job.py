@@ -226,3 +226,35 @@ def test_corrupt_chunk_raises_cleanly(tmp_path):
     bad[-1] ^= 0xFF
     with _pytest.raises(IOError):
         decode_table(bytes(bad), verify_crc=True)
+
+
+def test_encode_determinism_byte_identical():
+    """Retry determinism (north rule): encoding the same partition twice
+    must produce BYTE-identical chunk files (stable checksums under Ray
+    task retries)."""
+    t = make_cc_table(500, seed=21)
+    blob1, h1 = encode_table(t)
+    blob2, h2 = encode_table(t)
+    assert blob1 == blob2
+    assert h1 == h2
+
+
+def test_plan_determinism():
+    from json_to_parquet_ray.plan import plan_from_stats
+    from json_to_parquet_ray.stats import compute_stats_table
+
+    t = make_cc_table(400, seed=8)
+    p1 = plan_from_stats(compute_stats_table(t), t.schema).dumps()
+    p2 = plan_from_stats(compute_stats_table(t), t.schema).dumps()
+    assert p1 == p2
+
+
+def test_decode_dataset_column_pruning(ray_session, cc_parquet, tmp_path):
+    out = str(tmp_path / "enc_prune")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    sub = decode_dataset(out, columns=["lang", "url"]).take_batch(
+        5000, batch_format="pyarrow")
+    assert sub.column_names == ["lang", "url"]
+    src = pq.read_table(cc_parquet, columns=["lang"])
+    assert sorted(sub.column("lang").to_pylist()) == sorted(
+        src.column("lang").to_pylist())
