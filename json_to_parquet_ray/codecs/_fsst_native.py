@@ -91,8 +91,30 @@ _lib = None
 _tried = False
 
 
+def _cache_dir() -> str:
+    """Per-user, mode-0700 cache dir — never the shared world-writable
+    temp dir, where another local user could pre-plant a malicious .so
+    at the predictable path before we CDLL-load it."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    d = os.path.join(base, "jtpr_fsst")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    try:
+        st = os.stat(d)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            raise OSError("unsafe cache dir ownership/permissions")
+    except OSError:
+        d = tempfile.mkdtemp(prefix="jtpr_fsst_")  # private fallback
+    return d
+
+
 def _build() -> ctypes.CDLL | None:
-    cache = os.path.join(tempfile.gettempdir(), "jtpr_fsst_native.so")
+    try:
+        cache = os.path.join(_cache_dir(), "jtpr_fsst_native.so")
+    except OSError:
+        return None
+    if os.path.exists(cache) and os.stat(cache).st_uid != os.getuid():
+        return None
     if not os.path.exists(cache):
         with tempfile.NamedTemporaryFile("w", suffix=".c", delete=False) as f:
             f.write(_C_SRC)

@@ -45,6 +45,12 @@ class DictCodec(Codec):
                dictionary: pa.Array | None = None) -> tuple[bytes, dict]:
         from . import get_codec
 
+        if dictionary is not None and dictionary.null_count:
+            # A null inside a shared dictionary would let one missing value
+            # plus one genuine null cancel out in the null-count comparison
+            # below and decode the missing value as null. Reject outright —
+            # in-repo dictionary builders strip nulls before sharing.
+            raise ValueError("shared dictionary must not contain nulls")
         if dictionary is not None:
             # Shared (e.g. partition-global) dictionary: map values to codes.
             idx = pc.index_in(arr, value_set=dictionary)

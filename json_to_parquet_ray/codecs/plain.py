@@ -106,6 +106,11 @@ class ConstantCodec(Codec):
 
     @classmethod
     def encode(cls, arr: pa.Array) -> tuple[bytes, dict]:
+        # Guard against stale/external plans marking a non-constant column
+        # 'constant' — storing only row 0 would silently decode wrong data.
+        # encode_table's exception fallback re-encodes as plain instead.
+        if not cls.is_applicable(arr):
+            raise ValueError("ConstantCodec: array is not constant")
         n = len(arr)
         if arr.null_count == n:
             return b"", {"n": n, "all_null": True, "type": type_to_b64(arr.type)}

@@ -77,7 +77,8 @@ def encode_table(table: pa.Table, plan: CodecPlan | None = None) -> tuple[bytes,
 
 
 def read_chunk_header(blob: bytes) -> tuple[dict, int]:
-    assert blob[:4] == MAGIC, "not an RDE1 chunk file"
+    if blob[:4] != MAGIC:  # explicit (assert is stripped under python -O)
+        raise ValueError("not an RDE1 chunk file")
     hlen = int.from_bytes(blob[4:12], "little")
     header = json.loads(blob[12 : 12 + hlen])
     return header, 12 + hlen
@@ -92,7 +93,8 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
         if columns is None:
             return decode_table(f.read(), verify_crc=verify_crc)
         head = f.read(12)
-        assert head[:4] == MAGIC, "not an RDE1 chunk file"
+        if head[:4] != MAGIC:
+            raise ValueError("not an RDE1 chunk file")
         hlen = int.from_bytes(head[4:12], "little")
         header = json.loads(f.read(hlen))
         base = 12 + hlen

@@ -72,37 +72,66 @@ def _byte_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(data: np.ndarray, offs: np.ndarray, k: int = SHINGLE):
-    """Rolling k-byte shingle hash over the concatenated buffer; returns
-    (hashes, per-doc reduceat starts, per-doc shingle counts)."""
+    """Rolling k-byte shingle hashes over the concatenated buffer, compacted
+    to positions that do NOT span a document boundary, so every signature is
+    a pure function of its own document (batch-composition invariant).
+
+    Returns (valid_hashes, per-doc reduceat starts into valid_hashes,
+    per-doc valid-shingle counts)."""
     n = len(data)
-    if n == 0:
-        return np.zeros(0, np.uint64), None, None
-    h = np.zeros(max(n - k + 1, 0), np.uint64)
+    doc_lens = offs[1:] - offs[:-1]
+    nshingles = np.maximum(doc_lens - (k - 1), 0)  # per-doc valid shingles
+    if n == 0 or int(nshingles.sum()) == 0:
+        return np.zeros(0, np.uint64), np.zeros(len(doc_lens), np.int64), nshingles
+    h = np.zeros(n - k + 1, np.uint64)
     d64 = data.astype(np.uint64)
     for j in range(k):
         h = h * np.uint64(0x100000001B3) + d64[j : n - k + 1 + j]
-    lens = np.maximum(offs[1:] - offs[:-1] - (k - 1), 1)  # ≥1 shingle per doc
-    starts = np.minimum(offs[:-1], max(n - k, 0))
-    return h, starts, lens
+    # mask out boundary-spanning positions: shingle at p crosses interior
+    # boundary b iff b-k < p < b  →  difference-array range marking
+    valid = np.ones(len(h), bool)
+    bnd = offs[1:-1]
+    if len(bnd):
+        lo = np.maximum(bnd - (k - 1), 0)
+        hi = np.minimum(bnd, len(h))
+        delta = np.zeros(len(h) + 1, np.int32)
+        np.add.at(delta, lo, 1)
+        np.add.at(delta, hi, -1)
+        valid = np.cumsum(delta[:-1]) == 0
+    h_valid = h[valid]
+    starts = np.concatenate([[0], np.cumsum(nshingles)[:-1]]).astype(np.int64)
+    return h_valid, starts, nshingles
 
 
-def minhash_signatures(arr: pa.Array, perms: int = MINHASH_PERMS) -> np.ndarray:
-    """(num_docs, perms) uint64 signature matrix, fully vectorized."""
+def minhash_signatures(arr: pa.Array, perms: int = MINHASH_PERMS,
+                       k: int = SHINGLE) -> np.ndarray:
+    """(num_docs, perms) uint64 signature matrix, fully vectorized.
+
+    Pure per-document: a doc's signature never depends on batch neighbors.
+    Docs shorter than the shingle width hash their whole content as one
+    shingle; empty docs get the all-MAX sentinel signature."""
     data, offs = _byte_offsets(arr)
     ndocs = len(offs) - 1
-    sig = np.full((ndocs, perms), np.iinfo(np.uint64).max, np.uint64)
-    h, starts, lens = _shingle_hashes(data, offs)
-    if h is None or len(h) == 0:
-        return sig
-    # clamp starts so reduceat indices stay valid; a doc shorter than the
-    # shingle width borrows its neighbor's first shingle (deterministic)
-    starts = np.minimum(starts, len(h) - 1)
-    for j in range(perms):
-        hj = h * _PERM_A[j]  # multiply-shift; uint64 wraparound
-        mins = np.minimum.reduceat(hj, starts)
-        sig[:, j] = mins
-    empty = (offs[1:] - offs[:-1]) == 0
-    sig[empty] = np.iinfo(np.uint64).max
+    umax = np.iinfo(np.uint64).max
+    sig = np.full((ndocs, perms), umax, np.uint64)
+    h, starts, counts = _shingle_hashes(data, offs, k)
+    if len(h):
+        rstarts = np.minimum(starts, len(h) - 1)
+        has = counts > 0
+        for j in range(perms):
+            hj = h * _PERM_A[j]  # multiply-shift; uint64 wraparound
+            mins = np.minimum.reduceat(hj, rstarts)
+            sig[has, j] = mins[has]  # empty segments: reduceat garbage masked
+    # short docs (0 < len < k): single shingle = FNV over the whole doc
+    doc_lens = offs[1:] - offs[:-1]
+    short = np.flatnonzero((doc_lens > 0) & (doc_lens < k))
+    if len(short):
+        hs = np.zeros(len(short), np.uint64)
+        for j in range(k - 1):
+            m = doc_lens[short] > j
+            hs[m] = hs[m] * np.uint64(0x100000001B3) + data[offs[short[m]] + j]
+        for j in range(perms):
+            sig[short, j] = hs * _PERM_A[j]
     return sig
 
 

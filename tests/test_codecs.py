@@ -177,3 +177,46 @@ def test_prop_text_dict(vals):
     arr = pa.array(vals, pa.string())
     for codec in ["dict", "fsst", "zstd"]:
         roundtrip(arr, codec)
+
+
+def test_constant_codec_rejects_nonconstant():
+    """A stale/external plan marking a non-constant column 'constant' must
+    raise (encode_table then falls back to plain) instead of silently
+    storing only row 0."""
+    import pytest
+
+    from json_to_parquet_ray.codecs.plain import ConstantCodec
+
+    with pytest.raises(ValueError):
+        ConstantCodec.encode(pa.array(["a", "b", "a", "c"]))
+
+
+def test_constant_plan_on_nonconstant_falls_back():
+    from json_to_parquet_ray.encode import decode_table, encode_table
+    from json_to_parquet_ray.plan import CodecPlan, ColumnPlan
+
+    t = pa.table({"x": pa.array(["a", "b", "a", "c"])})
+    plan = CodecPlan(columns={"x": ColumnPlan("x", "constant")})
+    blob, header = encode_table(t, plan)
+    assert decode_table(blob).equals(t)
+    assert header["columns"][0]["meta"]["codec"] != "constant"
+
+
+def test_dict_shared_dictionary_with_null_rejected():
+    import pytest
+
+    from json_to_parquet_ray.codecs.dictionary import DictCodec
+
+    shared = pa.array(["en", None, "fr"])
+    arr = pa.array(["en", "missing", None, "fr"])
+    with pytest.raises(ValueError):
+        DictCodec.encode(arr, dictionary=shared)
+
+
+def test_chunk_magic_check_is_explicit():
+    import pytest
+
+    from json_to_parquet_ray.encode import read_chunk_header
+
+    with pytest.raises(ValueError):
+        read_chunk_header(b"XXXX" + b"\x00" * 32)

@@ -219,8 +219,8 @@ def test_corrupt_chunk_raises_cleanly(tmp_path):
 
     t = make_cc_table(50, seed=1)
     blob, _ = encode_table(t)
-    with _pytest.raises(AssertionError):
-        decode_table(b"XXXX" + blob[4:])  # bad magic
+    with _pytest.raises(ValueError):
+        decode_table(b"XXXX" + blob[4:])  # bad magic (explicit, -O safe)
     # flipped payload byte → CRC mismatch
     bad = bytearray(blob)
     bad[-1] ^= 0xFF

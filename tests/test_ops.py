@@ -186,3 +186,18 @@ def test_multimodal_strict_raises():
     if not stage.has_decoder:
         with pytest.raises(NotImplementedError):
             stage(t)
+
+
+def test_minhash_signature_batch_purity():
+    """A doc's signature is a pure function of the doc — independent of
+    which neighbors share its batch (boundary shingles excluded)."""
+    docs = ["the quick brown fox jumps over the lazy dog " * 3,
+            "pack my box with five dozen liquor jugs " * 2,
+            "abc", ""]
+    import itertools
+
+    solo = {d: dedup.minhash_signatures(pa.array([d]))[0] for d in docs}
+    for combo in itertools.permutations(docs, 3):
+        sig = dedup.minhash_signatures(pa.array(list(combo)))
+        for i, d in enumerate(combo):
+            assert (sig[i] == solo[d]).all()
