@@ -23,6 +23,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """``list<float>`` column → (n, dim) matrix via the flattened values
+    buffer — zero-copy out of the Arrow batch (then one cast to the math
+    dtype), never ``to_pylist``."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype)
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if arr.null_count or (lens != lens[0]).any():
+        raise ValueError("embedding column must be non-null fixed-width lists")
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    return vals.astype(dtype, copy=False).reshape(n, int(lens[0]))
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      vec_col: str = "embedding", key: str = "vec_id") -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns (query_id, vec_id, cosine)."""
@@ -33,7 +50,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
     def topk_batch(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        emb = np.asarray(batch.column(vec_col).to_pylist(), np.float64)
+        emb = embedding_matrix(batch.column(vec_col))
         keys = batch.column(key).to_numpy(zero_copy_only=False)
         sims = q @ _normalize(emb).T  # (Q, B)
         kk = min(k, sims.shape[1])
@@ -79,7 +96,7 @@ def assign_buckets(ds, centroids: np.ndarray, vec_col: str = "embedding"):
 
     def assign(batch: pa.Table) -> pa.Table:
         C = ray.get(c_ref)
-        emb = _normalize(np.asarray(batch.column(vec_col).to_pylist(), np.float64))
+        emb = _normalize(embedding_matrix(batch.column(vec_col)))
         bucket = (emb @ C.T).argmax(axis=1).astype(np.int64)
         return batch.append_column("ivf_bucket", pa.array(bucket))
 
@@ -90,8 +107,9 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", key: str = "vec_id",
              sample_rows: int = 4096, seed: int = 42) -> pd.DataFrame:
     """Approximate cosine top-k probing only ``nprobe`` IVF buckets per query."""
-    sample = np.asarray(
-        ds.limit(sample_rows).to_pandas()[vec_col].tolist(), np.float64)
+    sample = embedding_matrix(
+        ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+        .column(vec_col))
     C = kmeans_fit(sample, n_clusters, seed=seed)
     bucketed = assign_buckets(ds, C, vec_col)
     qn = _normalize(np.asarray(queries, np.float64))

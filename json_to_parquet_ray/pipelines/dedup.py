@@ -32,19 +32,24 @@ import pyarrow as pa
 
 def add_content_hash(batch: pa.Table, col: str = "text",
                      out: str = "content_hash") -> pa.Table:
-    vals = batch.column(col).to_pylist()
-    hashes = [None if v is None else
-              hashlib.md5(v.encode() if isinstance(v, str) else v).hexdigest()
-              for v in vals]
-    return batch.append_column(out, pa.array(hashes, pa.string()))
+    """Vectorized 64-bit FNV-1a content hash (no per-row Python). Used as
+    the shuffle partitioning key only — groups verify on the exact value,
+    so a hash collision can never merge distinct texts."""
+    from .text import fingerprint_batch_fast
+
+    t = fingerprint_batch_fast(batch, col)
+    return t.rename_columns([out if n == "fp_fnv" else n for n in t.column_names])
 
 
 def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
-    """Keep the min-``key`` row per distinct ``col`` value. Returns Dataset."""
+    """Keep the min-``key`` row per distinct ``col`` value. Returns Dataset.
+
+    Hash-partitioned shuffle on the vectorized content hash; the per-group
+    step dedups on the exact ``col`` value (collision-safe)."""
     hashed = ds.map_batches(lambda b: add_content_hash(b, col), batch_format="pyarrow")
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, key)
+        return g.sort_values(key).drop_duplicates(subset=col, keep="first")
 
     kept = hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
     return kept.drop_columns(["content_hash"])
@@ -283,7 +288,7 @@ def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
         lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
         batch_format="pyarrow").to_pandas()
     if not len(hot):
-        return pd.DataFrame({"a": [], "b": []})
+        return _empty_df({"a": "int64", "b": "int64"})
     hot_ref = ray.put(pa.array(hot["bkey"].to_numpy()))
 
     def only_hot(b: pa.Table) -> pa.Table:
@@ -292,7 +297,7 @@ def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[key].tolist()))
         if len(ids) < 2 or len(ids) > 64:  # cap pathological buckets
-            return pd.DataFrame({"a": [], "b": []})
+            return _empty_df({"a": "int64", "b": "int64"})
         a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
                      for j in range(i + 1, len(ids))])
         return pd.DataFrame({"a": a, "b": b})
@@ -301,7 +306,7 @@ def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
              .groupby("bkey").map_groups(emit_pairs, batch_format="pandas")
              ).to_pandas()
     if len(pairs) == 0 or "a" not in pairs.columns:
-        return pd.DataFrame({"a": [], "b": []})
+        return _empty_df({"a": "int64", "b": "int64"})
     return pairs.drop_duplicates()
 
 
@@ -337,9 +342,16 @@ def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
             parent[max(ra, rb)] = min(ra, rb)
     drop = {x for x in parent if find(x) != x}
 
+    # broadcast the drop set ONCE (ray.put), filter vectorized per batch —
+    # no closure-captured set re-pickled into every task, no per-row loop
+    import pyarrow.compute as pc
+    import ray
+
+    drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
+
     def filter_batch(b: pa.Table) -> pa.Table:
-        keep = [v not in drop for v in b.column(key).to_pylist()]
-        return b.filter(pa.array(keep))
+        mask = pc.is_in(b.column(key), value_set=ray.get(drop_ref))
+        return b.filter(pc.invert(mask))
 
     kept = ds.map_batches(filter_batch, batch_format="pyarrow")
     return kept, drop
@@ -348,20 +360,79 @@ def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
 # ------------------------------------------------------------------ simhash
 
 
+def _md5_low64(token: bytes) -> int:
+    """Lower 64 bits of md5, matching DuckDB's ``md5_number_lower``
+    (little-endian uint64 of digest bytes 8..16) — gives the SimHash
+    pipeline an exact SQL oracle."""
+    return int.from_bytes(hashlib.md5(token).digest()[8:16], "little")
+
+
+class SimHash:
+    """Actor-pool stage: 64-bit SimHash per document, vectorized.
+
+    Tokenization is lower+whitespace-split via Arrow kernels; token
+    hashes are md5-low64 computed ONCE per unique token and cached
+    across batches in the actor (vocabulary-bounded state). Bit voting
+    is a single ``np.add.reduceat`` over the flattened token-hash bit
+    matrix — no per-row Python in the hot path.
+    """
+
+    def __init__(self, col: str = "text", key: str = "doc_id"):
+        self.col = col
+        self.key = key
+        self._cache: dict[str, int] = {}
+
+    def _hash_tokens(self, uniq: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(uniq), np.uint64)
+        for i, t in enumerate(uniq):
+            h = cache.get(t)
+            if h is None:
+                h = _md5_low64(t.encode())
+                cache[t] = h
+            out[i] = h
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lowered = pc.utf8_lower(batch.column(self.col).fill_null(""))
+        toks = pc.split_pattern_regex(lowered, r"\s+").combine_chunks()
+        flat = toks.flatten()
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # drop empty tokens (leading/trailing whitespace artifacts)
+        nonempty = pc.not_equal(flat, "")
+        ne_np = nonempty.to_numpy(zero_copy_only=False)
+        flat = flat.filter(nonempty)
+        # per-doc token counts after the empty-filter
+        ends = np.cumsum(counts)
+        kept_prefix = np.concatenate([[0], np.cumsum(ne_np)]) if len(ne_np) else np.zeros(1, np.int64)
+        kept_ends = kept_prefix[ends] if len(counts) else np.zeros(0, np.int64)
+        kept_counts = np.diff(np.concatenate([[0], kept_ends])).astype(np.int64)
+
+        ndocs = len(batch)
+        sig = np.zeros(ndocs, np.uint64)
+        if len(flat):
+            uniq = pc.unique(flat)
+            uh = self._hash_tokens(uniq.to_pylist())
+            idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+            th = uh[idx]  # (ntokens,) uint64 per flattened token
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate([[0], kept_ends[:-1]]).astype(np.int64)
+            rstarts = np.minimum(starts, max(len(th) - 1, 0))
+            ones = np.add.reduceat(bits, rstarts, axis=0)  # (ndocs, 64)
+            votes = 2 * ones - kept_counts[:, None]
+            packed = np.left_shift((votes > 0).astype(np.uint64),
+                                   np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+            has = kept_counts > 0
+            sig[has] = packed[has]
+        return batch.append_column(
+            "simhash", pa.array(sig.astype(np.int64), pa.int64()))
+
+
 def simhash_batch(batch: pa.Table, col: str = "text", key: str = "doc_id") -> pa.Table:
-    """64-bit SimHash per document (token-hash bit voting)."""
-    texts = batch.column(col).to_pylist()
-    out = np.zeros(len(texts), np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        th = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        out[i] = np.uint64(
-            int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2))
-    return batch.append_column("simhash", pa.array(out.astype(np.int64), pa.int64()))
+    """Stateless wrapper kept for API/test compatibility."""
+    return SimHash(col, key)(batch)
 
 
 def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
@@ -370,7 +441,8 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
 
     Banding uses ``max_hamming + 1`` bands (pigeonhole: any pair within
     the Hamming budget must agree exactly on at least one band)."""
-    sims = ds.map_batches(lambda b: simhash_batch(b, col, key), batch_format="pyarrow")
+    sims = ds.map_batches(SimHash, fn_constructor_args=(col, key),
+                          batch_format="pyarrow", concurrency=(1, 4))
     n_bands = min(max_hamming + 1, 8)
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
@@ -415,8 +487,8 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates(subset=key)
-        if len(rows) < 2 or len(rows) > 64:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        if len(rows) < 2 or len(rows) > 512:
+            return _empty_df({"a": "int64", "b": "int64", "hamming": "int64"})
         ids = rows[key].tolist()
         hs = rows["simhash"].to_numpy().astype(np.uint64)
         out_a, out_b, out_h = [], [], []
@@ -447,45 +519,67 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
 # --------------------------------------------------- embedding cosine near-dup
 
 
-def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id",
-                             threshold: float = 0.95, planes: int = 16,
-                             seed: int = 7) -> pd.DataFrame:
-    """Cosine ≥ threshold candidate pairs via random-hyperplane LSH buckets,
-    verified exactly inside each bucket."""
+def _empty_df(cols: dict[str, str]) -> pd.DataFrame:
+    """Dtype-typed empty frame — untyped empties from ``map_groups`` emit
+    schema-less blocks that trigger Ray schema-unification warnings and
+    extra unify work at many-group scale."""
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
 
+
+def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id",
+                             threshold: float = 0.95, planes: int = 8,
+                             tables: int = 16, seed: int = 7,
+                             bucket_cap: int = 1024) -> pd.DataFrame:
+    """Cosine ≥ threshold candidate pairs via MULTI-TABLE random-hyperplane
+    LSH, verified exactly inside each bucket.
+
+    A single hyperplane table misses pairs whose vectors straddle one
+    plane; ``tables`` independent sign-hash tables push recall to ~1
+    (P_miss = (1-p^planes)^tables, p = 1 - angle/pi). Each vector emits
+    ``tables`` bucket rows; the in-bucket exact verify keeps precision
+    exact, and duplicates across tables are dropped at the end. At 100 TB
+    the bucket id is the shuffle key — never all-pairs."""
     def bucket_rows(b: pa.Table) -> pa.Table:
-        emb = np.asarray(b.column(vec_col).to_pylist(), np.float64)
+        from .ann import embedding_matrix
+
+        emb = embedding_matrix(b.column(vec_col))
         keys = b.column(key).to_numpy(zero_copy_only=False)
-        rng = np.random.default_rng(seed)
-        H = rng.standard_normal((emb.shape[1], planes))
-        signs = (emb @ H) > 0
-        bucket = (signs * (1 << np.arange(planes))).sum(axis=1).astype(np.int64)
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(norm, 1e-12)
-        return pa.table({"bucket": pa.array(bucket), key: pa.array(keys),
-                         "vec": pa.array(list(emb), pa.list_(pa.float64()))})
+        H = np.random.default_rng(seed).standard_normal(
+            (emb.shape[1], planes * tables))
+        signs = (emb @ H) > 0  # (n, planes*tables)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        weights = (1 << np.arange(planes)).astype(np.int64)
+        out_bkt, out_keys, out_rows = [], [], []
+        for t in range(tables):
+            block = signs[:, t * planes : (t + 1) * planes]
+            bucket = (block * weights).sum(axis=1).astype(np.int64) + (t << planes)
+            out_bkt.append(bucket)
+            out_keys.append(keys)
+            out_rows.append(emb)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_bkt)),
+            key: pa.array(np.concatenate(out_keys)),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.vstack(out_rows).ravel(), pa.float64()),
+                emb.shape[1]),
+        })
 
     buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 256:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        if len(g) < 2 or len(g) > bucket_cap:
+            return _empty_df({"a": "int64", "b": "int64", "cosine": "float64"})
         V = np.vstack(g["vec"].to_numpy())
-        ids = g[key].tolist()
+        ids = np.asarray(g[key].to_numpy(), np.int64)
         S = V @ V.T
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if S[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(float(S[i, j]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_s})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = S[iu, ju] >= threshold
+        a = np.minimum(ids[iu[hit]], ids[ju[hit]])
+        b = np.maximum(ids[iu[hit]], ids[ju[hit]])
+        return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64"),
+                             "cosine": S[iu[hit], ju[hit]].astype("float64")})
 
     pairs = buckets.groupby("bucket").map_groups(emit, batch_format="pandas").to_pandas()
     if len(pairs) == 0 or "a" not in pairs.columns:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
-    return pairs.drop_duplicates(subset=["a", "b"])
+        return _empty_df({"a": "int64", "b": "int64", "cosine": "float64"})
+    return pairs.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

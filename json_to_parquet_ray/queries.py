@@ -26,10 +26,17 @@ from .stats import compute_stats
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # strip the pandas footer metadata: schemas carrying a metadata dict are
+    # unhashable, which defeats Ray's schema-dedup fast path and spams
+    # "Failed to hash the schemas" warnings on every block unification
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 # ------------------------------------------------------------ codec roundtrips
@@ -322,7 +329,7 @@ def q_lineitem_agg(sf_dir: str):
             sum_price=("l_extendedprice", "sum"),
             n=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -348,7 +355,7 @@ def q_events_by_type(sf_dir: str):
         df = batch.to_pandas()
         g = df.groupby("event_type", as_index=False).agg(
             sum_value=("value", "sum"), n=("value", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -449,7 +456,7 @@ def q_events_hourly(sf_dir: str):
         t = pa.table({"hour": hour, "value": batch.column("value")})
         df = t.to_pandas()
         g = df.groupby("hour", as_index=False).agg(n=("value", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -483,13 +490,15 @@ def q_orders_by_segment(sf_dir: str):
     probed per batch — no shuffle of the fact table."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .take_batch(10_000_000, batch_format="pyarrow")
+    cust_ref = ray.put(cust)  # broadcast the small side ONCE as an Arrow table
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_ref)
-        seg = [lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(seg, pa.string())})
+        c = ray.get(cust_ref)
+        idx = pc.index_in(batch.column("o_custkey"), value_set=c.column("c_custkey"))
+        seg = pc.take(c.column("c_mktsegment"), idx)  # vectorized probe
+        return pa.table({"c_mktsegment": seg.combine_chunks()})
 
     joined = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
         join_batch, batch_format="pyarrow")

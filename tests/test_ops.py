@@ -109,9 +109,10 @@ def test_minhash_dedup_ray(ray_session):
 def test_simhash_pairs_ray(ray_session):
     import ray
 
-    # one word changed in a 40-word doc → Hamming(simhash) = 2 (verified),
-    # within the 4-band pigeonhole guarantee for max_hamming=3
-    words = [f"word{i}" for i in range(40)]
+    # one word changed in a 100-word doc → Hamming(simhash) = 2 with the
+    # md5-low64 token hash (verified), within the 4-band pigeonhole
+    # guarantee for max_hamming=3
+    words = [f"word{i}" for i in range(100)]
     base = " ".join(words)
     near = " ".join(words[:-1] + ["changed"])
     tbl = pa.table({
