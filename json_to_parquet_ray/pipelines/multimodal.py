@@ -73,11 +73,16 @@ class DecodeMedia:
 
 
 class ExtractFeatures:
-    """Actor-pool stage: binary payload → fixed-size float32 feature vector.
+    """Actor-pool stage: binary payload → fixed-size float32 feature vector
+    plus integer summary features.
 
     STUB feature extractor: 64-bin byte histogram, L2-normalized — a
     deterministic stand-in with the exact schema (fixed_size list of
-    float32) a real embedding model stage would produce.
+    float32) a real embedding model stage would produce. Fully vectorized:
+    one ``np.bincount`` over (row_index*dim + byte%dim) for the whole
+    batch, no per-row Python. The integer features (``feat_nnz`` occupied
+    bins, ``feat_argmax`` dominant bin, ties → smallest) are
+    SQL-expressible, giving the stage a hard DuckDB oracle.
     """
 
     def __init__(self, payload_col: str = "payload", dim: int = FEATURE_DIM):
@@ -85,17 +90,29 @@ class ExtractFeatures:
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column(self.payload_col).to_pylist()
-        feats = np.zeros((len(payloads), self.dim), np.float32)
-        for i, p in enumerate(payloads):
-            if not p:
-                continue
-            hist = np.bincount(np.frombuffer(p, np.uint8) % self.dim,
-                               minlength=self.dim).astype(np.float32)
-            feats[i] = hist / max(np.linalg.norm(hist), 1e-12)
+        arr = batch.column(self.payload_col).combine_chunks().cast(pa.large_binary())
+        n = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1,
+                             offset=arr.offset * 8)
+        buf = arr.buffers()[2]
+        data = (np.frombuffer(buf, np.uint8)[offs[0]:offs[-1]]
+                if buf is not None else np.zeros(0, np.uint8))
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        row_of = np.repeat(np.arange(n), lens)
+        hist = np.bincount(row_of * self.dim + (data % self.dim).astype(np.int64),
+                           minlength=n * self.dim).reshape(n, self.dim)
+        norms = np.linalg.norm(hist.astype(np.float32), axis=1, keepdims=True)
+        feats = hist.astype(np.float32) / np.maximum(norms, np.float32(1e-12))
+        nnz = (hist > 0).sum(axis=1).astype(np.int64)
+        argmax = hist.argmax(axis=1).astype(np.int64)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.dim)
-        return batch.drop_columns([self.payload_col]).append_column("features", col)
+        return (batch.drop_columns([self.payload_col])
+                .append_column("features", col)
+                .append_column("feat_nnz", pa.array(nnz, pa.int64()))
+                .append_column("feat_argmax",
+                               pa.array(argmax, pa.int64(), mask=nnz == 0)))
 
 
 def frame_sample_batch(batch: pa.Table, payload_col: str = "payload",

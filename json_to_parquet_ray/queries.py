@@ -233,8 +233,30 @@ def q_jaccard_pairs(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    pairs = dedup.embedding_near_dup_pairs(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
+    """Embedding-cosine near-dup with deterministically PLANTED near-dups:
+    the raw synthetic embeddings contain no pairs above cosine 0.52, so the
+    query augments every vec_id % 7 == 0 row with a perturbed copy
+    (v + 0.02, id + 100000; planted cosine ≥ 0.987) — the identical
+    augmentation is expressed in the SQL oracle, making the LSH + exact
+    verify pipeline hard-checked end to end."""
+    from .pipelines.ann import embedding_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        emb = embedding_matrix(b.column("embedding"))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = ids % 7 == 0
+        allm = np.vstack([emb, emb[sel] + 0.02])
+        allids = np.concatenate([ids, ids[sel] + 100000])
+        return pa.table({
+            "vec_id": pa.array(allids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(allm.ravel(), pa.float64()), emb.shape[1]),
+        })
+
+    aug = ds.map_batches(augment, batch_format="pyarrow")
+    pairs = dedup.embedding_near_dup_pairs(aug, threshold=0.9)
     if len(pairs) == 0:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64")})
@@ -550,7 +572,9 @@ def q_multimodal_features(sf_dir: str):
     media = ds.map_batches(to_media, batch_format="pyarrow")
     out = media.map_batches(multimodal.ExtractFeatures, batch_size=64,
                             batch_format="pyarrow", concurrency=(1, 4))
-    return out
+    # the float32 feature vector is exercised by pytest; the driver compare
+    # uses the integer features, which have an exact SQL equivalent
+    return out.select_columns(["media_id", "feat_nnz", "feat_argmax"])
 
 
 # ----------------------------------------------------------------- registry
@@ -702,6 +726,161 @@ ORACLE_SQL = {
         "               ORDER BY sim DESC, vec_id ASC) AS rk FROM sims) "
         "SELECT query_id, vec_id FROM ranked WHERE rk <= 5 "
         "ORDER BY query_id, vec_id"
+    ),
+    # The stub feature extractor is a 64-bin byte histogram over the
+    # (ASCII) text payload: feat_nnz = occupied bins, feat_argmax =
+    # dominant bin (ties → smallest) — both exactly computable in SQL.
+    "multimodal_features": (
+        "WITH b AS ("
+        "  SELECT doc_id, unnest(list_transform(range(1, length(text)+1),"
+        "    j -> ascii(substr(text, j, 1)) % 64)) AS bucket FROM documents), "
+        "c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY doc_id, bucket), "
+        "nn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS feat_nnz FROM c GROUP BY doc_id), "
+        "am AS (SELECT doc_id, CAST(bucket AS BIGINT) AS feat_argmax FROM c"
+        "       QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id"
+        "         ORDER BY cnt DESC, bucket ASC) = 1) "
+        "SELECT d.doc_id AS media_id, COALESCE(nn.feat_nnz, 0) AS feat_nnz, "
+        "       am.feat_argmax "
+        "FROM documents d LEFT JOIN nn ON nn.doc_id = d.doc_id "
+        "LEFT JOIN am ON am.doc_id = d.doc_id"
+    ),
+    # Golden assertion: with nprobe=3 of 8 IVF buckets on this input the
+    # probe must recover the exact top-5 of every query (recall 1.0; the
+    # exact side is itself oracle-checked via ann_topk). A recall
+    # regression → hash mismatch.
+    "ann_ivf_recall": (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(recall AS DOUBLE) AS recall FROM (VALUES "
+        "(0, 1.0), (1, 1.0), (2, 1.0)) AS t(query_id, recall)"
+    ),
+    # Golden plan: codec auto-selection is deterministic (seeded sampling)
+    # — the expected per-column choice and sampled ratio on sf0.01.
+    "codec_plan_documents": (
+        "SELECT * FROM (VALUES "
+        "('doc_id', 'delta', 0.0372), "
+        "('lang', 'dict', 0.1827), "
+        "('n_chars', 'forbp', 0.1467), "
+        "('source', 'dict', 0.1922), "
+        "('text', 'zstd9', 0.2298)"
+        ') AS t("column", codec, est_ratio)'
+    ),
+    # Golden schemas: the conformance corpus exercises the reference's
+    # inference semantics (R1-R8); expected Arrow schemas are fixed.
+    "schema_infer_conformance": (
+        "SELECT * FROM (VALUES "
+        "('{\"a\":1,\"b\":2.5,\"c\":\"s\",\"d\":true}', "
+        " 'a: int32; b: float; c: string; d: bool'), "
+        "('{\"xs\":[{\"v\":1},{\"v\":2.5}]}', "
+        " 'xs: list<item: struct<v: float>>;   child 0, item: struct<v: float>;       child 0, v: float'), "
+        "('{\"a\":[[1,2],[3]]}', "
+        " 'a: list<item: int32>;   child 0, item: int32'), "
+        "('{\"a\":null,\"b\":1}', 'b: int32')"
+        ") AS t(doc, schema)"
+    ),
+    # Same planted-near-dup augmentation as the Ray side (v + 0.02 for
+    # vec_id % 7 == 0), then brute-force cosine ≥ 0.9. Margin is wide
+    # (planted ≥ 0.987, background ≤ 0.513) so numpy-vs-DuckDB summation
+    # order cannot flip a threshold decision.
+    "embedding_near_dup": (
+        "WITH aug AS ("
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "  FROM embeddings"
+        "  UNION ALL"
+        "  SELECT vec_id + 100000, list_transform(embedding,"
+        "    x -> CAST(x AS DOUBLE) + 0.02)"
+        "  FROM embeddings WHERE vec_id % 7 = 0) "
+        "SELECT x.vec_id AS a, y.vec_id AS b FROM aug x JOIN aug y"
+        "  ON x.vec_id < y.vec_id "
+        "WHERE list_cosine_similarity(x.v, y.v) >= 0.9 ORDER BY a, b"
+    ),
+    # The language-ID heuristic is pure regex-count scoring (LangId's
+    # profiles, text.py), so the oracle replicates it: per-language match
+    # counts (common denominator max(len,1) cancels in the argmax), CJK
+    # weighted 5x, first-wins tie-break in profile order en,de,fr,es,zh,
+    # 'unknown' when all scores are zero.
+    "lang_id": (
+        "WITH c AS (SELECT doc_id, "
+        " len(regexp_extract_all(text, '(?i)\\b(?:the|and|of|to|is|that|you|with|for|this)\\b')) AS en, "
+        " len(regexp_extract_all(text, '(?i)\\b(?:der|die|und|das|ist|nicht|ein|mit|für|ich)\\b')) AS de, "
+        " len(regexp_extract_all(text, '(?i)\\b(?:le|la|les|et|est|une|pour|que|dans|vous)\\b')) AS fr, "
+        " len(regexp_extract_all(text, '(?i)\\b(?:el|los|las|es|una|para|que|con|por|como)\\b')) AS es, "
+        " 5 * len(regexp_extract_all(text, '[一-鿿]')) AS zh "
+        "FROM documents) "
+        "SELECT doc_id, CASE "
+        " WHEN greatest(en, de, fr, es, zh) <= 0 THEN 'unknown' "
+        " WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en' "
+        " WHEN de >= fr AND de >= es AND de >= zh THEN 'de' "
+        " WHEN fr >= es AND fr >= zh THEN 'fr' "
+        " WHEN es >= zh THEN 'es' "
+        " ELSE 'zh' END AS lang_pred FROM c"
+    ),
+    # Brute-force 5-gram character-shingle Jaccard over all pairs. The Ray
+    # side (MinHash-LSH candidates → exact verify) computes the identical
+    # set as long as LSH recall is 1 on this deterministic input —
+    # verified: both sides produce the same 25 pairs at sf0.01. floor()
+    # rounding matches the Python `math.floor(j*1e6)/1e6` exactly.
+    "jaccard_pairs": (
+        "WITH sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    range(1, greatest(length(text)-4, 1)+1), i -> substr(text, i, 5))) AS s"
+        "  FROM documents), "
+        "p AS ("
+        "  SELECT x.doc_id AS a, y.doc_id AS b, "
+        "         len(list_intersect(x.s, y.s)) AS i, len(x.s) AS la, len(y.s) AS lb"
+        "  FROM sh x JOIN sh y ON x.doc_id < y.doc_id) "
+        "SELECT a, b, floor((CAST(i AS DOUBLE) / (la + lb - i)) * 1e6) / 1e6 AS jaccard "
+        "FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5 ORDER BY a, b"
+    ),
+    # Connected-component near-dup removal: edges = pairs with exact
+    # 5-gram Jaccard ≥ 0.8; keep the min doc_id of each component
+    # (singletons keep themselves). The recursive CTE propagates reachable
+    # labels; MIN(label) per node is the component min — identical to the
+    # engine's union-find/label-propagation clustering.
+    "minhash_dedup": (
+        "WITH RECURSIVE sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    range(1, greatest(length(text)-4, 1)+1), i -> substr(text, i, 5))) AS s"
+        "  FROM documents), "
+        "e AS ("
+        "  SELECT x.doc_id AS a, y.doc_id AS b"
+        "  FROM sh x JOIN sh y ON x.doc_id < y.doc_id"
+        "  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)"
+        "      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.8), "
+        "sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e), "
+        "reach(node, label) AS ("
+        "  SELECT doc_id, doc_id FROM documents"
+        "  UNION"
+        "  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node) "
+        "SELECT node AS doc_id FROM reach GROUP BY node HAVING node = MIN(label)"
+    ),
+    # SimHash is exactly expressible in SQL because the token hash is
+    # md5_number_lower (DuckDB builtin): tokenize → per-bit vote → pack →
+    # all pairs with Hamming ≤ 3. The Ray side's 4-band bucketing has
+    # recall EXACTLY 1 for Hamming ≤ 3 by pigeonhole, so both sides
+    # compute the identical pair set.
+    "simhash_pairs": (
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(list_filter("
+        "    regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok"
+        "  FROM documents), "
+        "th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks), "
+        "bits AS ("
+        "  SELECT doc_id, b.bit, "
+        "    SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote"
+        "  FROM th, (SELECT unnest(range(0,64)) AS bit) b"
+        "  GROUP BY doc_id, b.bit), "
+        "sig AS ("
+        "  SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN"
+        "    (1::UBIGINT << CAST(bit AS INTEGER))::HUGEINT ELSE 0 END)"
+        "    AS UBIGINT) AS s"
+        "  FROM bits GROUP BY doc_id), "
+        "allsig AS ("
+        "  SELECT d.doc_id, COALESCE(s.s, 0::UBIGINT) AS s"
+        "  FROM documents d LEFT JOIN sig s USING (doc_id)) "
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "  CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming "
+        "FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id "
+        "WHERE bit_count(xor(x.s, y.s)) <= 3 ORDER BY a, b"
     ),
     "multimodal_decode": (
         "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)"
