@@ -116,19 +116,34 @@ def main() -> None:
     # ---- the reference's own capability: JSON docs → Parquet (C1), but
     #      distributed. The reference is single-threaded Java with no
     #      published numbers (BASELINE.md); this records ours.
-    jsonl = os.path.join(CC_BASE, "docs.jsonl")
-    if not os.path.exists(jsonl):
+    # sharded corpus (replicated docs, fresh ids) so the measurement is
+    # sustained parse throughput across parallel read tasks, not Ray fixed
+    # cost on a single tiny file
+    jsonl_dir = os.path.join(CC_BASE, "docs_jsonl")
+    if not os.path.exists(jsonl_dir):
+        os.makedirs(jsonl_dir, exist_ok=True)
         t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
-        with open(jsonl, "w") as f:
-            for row in t.to_pylist():
-                f.write(json.dumps(row, default=str) + "\n")
+        rows = t.to_pylist()
+        shards, reps = 16, max(1, int(64_000_000 / max(
+            sum(len(r.get("text") or "") for r in rows), 1)))
+        doc_id = 0
+        for s in range(shards):
+            with open(os.path.join(jsonl_dir, f"docs-{s:04d}.jsonl"), "w") as f:
+                for _ in range(max(reps // shards, 1)):
+                    for row in rows:
+                        row = dict(row, doc_id=doc_id)
+                        doc_id += 1
+                        f.write(json.dumps(row, default=str) + "\n")
+    jsonl_bytes = sum(os.path.getsize(os.path.join(jsonl_dir, p))
+                      for p in os.listdir(jsonl_dir))
     from json_to_parquet_ray.json_source import json_to_parquet_job
 
     j2p_out = os.path.join(CC_BASE, "j2p_out")
     shutil.rmtree(j2p_out, ignore_errors=True)
-    sec, _ = timed(lambda: json_to_parquet_job(jsonl, j2p_out))
+    sec, _ = timed(lambda: json_to_parquet_job(jsonl_dir, j2p_out))
     queries["json2parquet_docs"] = round(sec, 3)
-    extra["json2parquet_MBps"] = round(os.path.getsize(jsonl) / 1e6 / sec, 1)
+    extra["json2parquet_input_bytes"] = jsonl_bytes
+    extra["json2parquet_MBps"] = round(jsonl_bytes / 1e6 / sec, 1)
 
     # ---- operator pipelines on the driver testdata tables
     for name in ["roundtrip_lineitem", "lineitem_agg", "events_by_type",

@@ -103,9 +103,50 @@ def infer_schema_distributed(docs_ds, mode: str = "engine") -> pa.Schema:
     return unify(schemas, mode)
 
 
+def read_json_arrow(paths: list[str] | str, schema: pa.Schema | None = None):
+    """Bulk JSON source on Arrow's C++ JSON reader (no Python parse loop).
+
+    Handles NDJSON, many documents per line, and documents spanning lines
+    (``newlines_in_values``) — the same inputs as the quote-aware splitter,
+    at C parse speed. With ``schema`` given, values parse directly into the
+    target types (ints promote to float, missing keys null-fill)."""
+    import pyarrow.json as pj
+    import ray
+
+    parse = pj.ParseOptions(newlines_in_values=True, explicit_schema=schema)
+    read = pj.ReadOptions(block_size=8 << 20)  # 8 MB parse blocks
+    return ray.data.read_json(paths, parse_options=parse, read_options=read,
+                              file_extensions=None)
+
+
 def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
                         mode: str = "engine") -> pa.Schema:
-    """The reference's whole CLI as a streaming two-pass Ray pipeline."""
+    """The reference's whole CLI as a streaming two-pass Ray pipeline.
+
+    Engine mode parses with Arrow's C++ JSON reader end to end (pass 1:
+    per-block schema partials → unified schema; pass 2: parse straight
+    into the unified schema and write parquet). Python-level parsing only
+    runs in conformance mode, which reproduces the reference's narrowing
+    semantics exactly (SURVEY.md §7.3 R1-R8). One documented divergence:
+    Arrow infers ISO-8601 strings as timestamps in engine mode; the
+    conformance path keeps them as strings like the reference."""
+    import pickle
+
+    if mode == "engine":
+        ds = read_json_arrow(input_paths)
+
+        def schema_partial(batch: pa.Table) -> pa.Table:
+            return pa.table({"schema": pa.array(
+                [pickle.dumps(batch.schema.remove_metadata())], pa.binary())})
+
+        parts = ds.map_batches(schema_partial, batch_format="pyarrow")
+        schemas = [pickle.loads(r["schema"]) for r in parts.take_all()]
+        schema = unify(schemas, mode)
+        ds2 = read_json_arrow(input_paths, schema=schema)
+        ds2.map_batches(lambda b: align_table(b, schema),
+                        batch_format="pyarrow").write_parquet(out_dir)
+        return schema
+
     docs_ds = read_json_docs(input_paths)
     schema = infer_schema_distributed(docs_ds, mode)
     # pass 2 re-reads the source (cheap vs materializing all docs — and the

@@ -30,10 +30,29 @@ class FragmentRef:
         return (f"{os.path.basename(self.path)}#rg{self.row_group}"
                 f"[{self.row_start}+{self.num_rows}]")
 
+    @property
+    def frag_hash(self) -> str:
+        """Stable content-addressed partition id. Appending input files can
+        never shift another fragment's id (positional ids would force
+        re-encoding every partition after a lexically-early append); the
+        resume path additionally compares the full recorded fragment, so a
+        basename collision across directories falls back to re-encode
+        rather than reusing a wrong chunk."""
+        import hashlib
+
+        return hashlib.sha1(self.fragment_id.encode()).hexdigest()[:16]
+
+    @property
+    def sort_key(self) -> tuple:
+        """Deterministic input order (files lexical, row groups and slices
+        in order) — recomputed from fragment identity at decode time, so
+        output ordering is stable under appends."""
+        return (self.path, self.row_group, self.row_start)
+
 
 @dataclass
 class PartitionRecord:
-    partition_id: int
+    partition_id: str                   # FragmentRef.frag_hash
     fragment: dict                      # FragmentRef asdict
     num_rows: int
     chunk_file: str                     # relative to out_dir
@@ -44,19 +63,27 @@ class PartitionRecord:
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
 
+    @property
+    def sort_key(self) -> tuple:
+        return (self.fragment["path"], self.fragment["row_group"],
+                self.fragment.get("row_start", 0))
 
-MANIFEST_SHARD = 10_000  # records per manifest subdirectory — keeps any
-# one directory listable even at 10^7+ partitions (100 TB-scale runs)
+
+MANIFEST_SHARD = 4096  # hash-prefix shard dirs — keeps any one directory
+# listable even at 10^7+ partitions (100 TB-scale runs)
+
+
+def shard_of(partition_id: str) -> str:
+    return f"shard-{partition_id[:3]}"  # 4096 hex-prefix dirs
 
 
 def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
-def record_path(out_dir: str, partition_id: int) -> str:
-    shard = partition_id // MANIFEST_SHARD
-    return os.path.join(manifest_dir(out_dir), f"shard-{shard:04d}",
-                        f"part-{partition_id:08d}.json")
+def record_path(out_dir: str, partition_id: str) -> str:
+    return os.path.join(manifest_dir(out_dir), shard_of(partition_id),
+                        f"part-{partition_id}.json")
 
 
 def write_record(out_dir: str, rec: PartitionRecord) -> None:
@@ -81,9 +108,9 @@ def write_atomic(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
-def load_manifest(out_dir: str) -> dict[int, PartitionRecord]:
+def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
     mdir = manifest_dir(out_dir)
-    out: dict[int, PartitionRecord] = {}
+    out: dict[str, PartitionRecord] = {}
     if not os.path.isdir(mdir):
         return out
     shard_dirs = [os.path.join(mdir, d) for d in sorted(os.listdir(mdir))
@@ -113,6 +140,6 @@ def is_complete(out_dir: str, rec: PartitionRecord) -> bool:
         return False
 
 
-def completed_partitions(out_dir: str) -> set[int]:
+def completed_partitions(out_dir: str) -> set[str]:
     return {pid for pid, rec in load_manifest(out_dir).items()
             if is_complete(out_dir, rec)}

@@ -130,10 +130,9 @@ class EncodePartition:
         plan = self._plan_for(table)
         # shared dictionaries override the per-chunk choice where available
         blob, header = self._encode_with_shared(table, plan)
-        from ..manifest import MANIFEST_SHARD
+        from ..manifest import shard_of
 
-        chunk_file = os.path.join(f"shard-{pid // MANIFEST_SHARD:04d}",
-                                  f"part-{pid:08d}.rde")
+        chunk_file = os.path.join(shard_of(pid), f"part-{pid}.rde")
         write_atomic(os.path.join(self.out_dir, chunk_file), blob)
         rec = PartitionRecord(
             partition_id=pid,
@@ -190,21 +189,24 @@ def encode_job(
 
     frags = list_fragments(input_paths, max_rows_per_partition)
     total = len(frags)
-    done: set[int] = set()
+    done: set[str] = set()
     if resume:
         prior = load_manifest(out_dir)
         complete = completed_partitions(out_dir)
-        # a completed partition is reusable only if its recorded fragment
-        # still matches this run's fragment list (guards against the input
-        # set changing between runs, which would shift partition ids)
+        # partition ids are content-addressed (FragmentRef.frag_hash), so
+        # appending input files never shifts existing ids; a completed
+        # partition is reusable iff its FULL recorded fragment matches
+        # this run's fragment (guards hash/basename collisions too)
+        by_hash = {f.frag_hash: f for f in frags}
         for pid in complete:
-            if pid < total and prior[pid].fragment == asdict(frags[pid]):
+            f = by_hash.get(pid)
+            if f is not None and prior[pid].fragment == asdict(f):
                 done.add(pid)
     work = [
-        {"partition_id": i, "path": f.path, "row_group": f.row_group,
+        {"partition_id": f.frag_hash, "path": f.path, "row_group": f.row_group,
          "num_rows": f.num_rows, "row_start": f.row_start}
-        for i, f in enumerate(frags)
-        if i not in done
+        for f in frags
+        if f.frag_hash not in done
     ]
     shared: dict[str, pa.Array] = {}
     shared_ref = None
@@ -297,10 +299,16 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None):
     import ray
 
     manifest = load_manifest(out_dir)
+    # input order is recomputed from the recorded fragment identity
+    # (path, row_group, row_start) — stable under appends, unlike ids
     items = [
         {"path": os.path.join(out_dir, rec.chunk_file)}
-        for _, rec in sorted(manifest.items())
+        for rec in sorted(manifest.values(), key=lambda r: r.sort_key)
     ]
+    # decode is the ordering-sensitive pipeline (bit-identical round-trip
+    # preserves input row order); Ray's streaming executor reorders output
+    # blocks unless preserve_order is set
+    ray.data.DataContext.get_current().execution_options.preserve_order = True
 
     from ..encode import read_chunk_file
 
@@ -323,11 +331,12 @@ def verify_job(out_dir: str) -> dict:
 
     manifest = load_manifest(out_dir)
     items = [
-        {"partition_id": pid, "chunk": os.path.join(out_dir, rec.chunk_file),
+        {"partition_id": rec.partition_id,
+         "chunk": os.path.join(out_dir, rec.chunk_file),
          "path": rec.fragment["path"], "row_group": rec.fragment["row_group"],
          "row_start": rec.fragment.get("row_start", 0),
          "num_rows": rec.num_rows}
-        for pid, rec in sorted(manifest.items())
+        for rec in sorted(manifest.values(), key=lambda r: r.sort_key)
     ]
 
     def check(batch: pa.Table) -> pa.Table:

@@ -146,6 +146,8 @@ def _align_array(arr: pa.Array, target: pa.DataType) -> pa.Array:
 
 
 def align_table(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    if table.schema.remove_metadata() == schema:  # fast path: already aligned
+        return table.replace_schema_metadata(None)
     if not schema.names:
         return _rows_only_table(table.num_rows)
     arrays = []

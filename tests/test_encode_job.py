@@ -73,10 +73,11 @@ def test_encode_job_resume(ray_session, cc_parquet, tmp_path):
     encode_job(cc_parquet, out, shared_dict_columns=None)
     # simulate a killed job: delete two chunk files + their manifest records
     recs = lm(out)
-    for pid in (1, 3):
+    victims = sorted(recs)[:2]
+    for pid in victims:
         os.remove(os.path.join(out, recs[pid].chunk_file))
         os.remove(record_path(out, pid))
-    assert completed_partitions(out) == {0, 2}
+    assert completed_partitions(out) == set(sorted(recs)[2:])
     summary = encode_job(cc_parquet, out, shared_dict_columns=None)
     assert summary["partitions_skipped_resume"] == 2
     assert summary["partitions_encoded"] == 2
@@ -89,10 +90,11 @@ def test_encode_job_torn_chunk_detected(ray_session, cc_parquet, tmp_path):
     # truncate one chunk → completeness check must catch the size mismatch
     from json_to_parquet_ray.manifest import load_manifest as lm
 
-    p = os.path.join(out, lm(out)[2].chunk_file)
+    victim = sorted(lm(out))[2]
+    p = os.path.join(out, lm(out)[victim].chunk_file)
     with open(p, "r+b") as f:
         f.truncate(100)
-    assert 2 not in completed_partitions(out)
+    assert victim not in completed_partitions(out)
     summary = encode_job(cc_parquet, out, shared_dict_columns=None)
     assert summary["partitions_encoded"] == 1
     assert verify_job(out)["failed"] == []
@@ -137,20 +139,25 @@ def test_manifest_torn_record_skipped(tmp_path):
     from json_to_parquet_ray.manifest import record_path
 
     out = str(tmp_path / "m")
-    rec = PartitionRecord(partition_id=0, fragment={"path": "x", "row_group": 0,
-                                                    "num_rows": 1, "row_start": 0},
+    rec = PartitionRecord(partition_id="aaa0000000000000",
+                          fragment={"path": "x", "row_group": 0,
+                                    "num_rows": 1, "row_start": 0},
                           num_rows=1, chunk_file="part-00000.rde", chunk_size=3)
     write_record(out, rec)
     with open(os.path.join(out, "part-00000.rde"), "wb") as f:
         f.write(b"abc")
-    # torn (half-written) record for partition 1 must be ignored
-    with open(record_path(out, 1), "w") as f:
-        f.write('{"partition_id": 1, "frag')
+    # torn (half-written) record must be ignored
+    os.makedirs(os.path.dirname(record_path(out, "bbb0000000000000")),
+                exist_ok=True)
+    with open(record_path(out, "bbb0000000000000"), "w") as f:
+        f.write('{"partition_id": "bbb0000000000000", "frag')
     # stray tmp file must be ignored too
-    with open(record_path(out, 2) + ".tmp.123", "w") as f:
+    os.makedirs(os.path.dirname(record_path(out, "ccc0000000000000")),
+                exist_ok=True)
+    with open(record_path(out, "ccc0000000000000") + ".tmp.123", "w") as f:
         f.write("junk")
-    assert set(load_manifest(out)) == {0}
-    assert completed_partitions(out) == {0}
+    assert set(load_manifest(out)) == {"aaa0000000000000"}
+    assert completed_partitions(out) == {"aaa0000000000000"}
 
 
 def test_per_row_invariant_byte_identical_text_per_url():
@@ -258,3 +265,28 @@ def test_decode_dataset_column_pruning(ray_session, cc_parquet, tmp_path):
     src = pq.read_table(cc_parquet, columns=["lang"])
     assert sorted(sub.column("lang").to_pylist()) == sorted(
         src.column("lang").to_pylist())
+
+
+def test_append_safe_partition_identity(ray_session, tmp_path):
+    """Appending a lexically-EARLY input file must not re-encode any
+    existing partition: ids are content-addressed (frag_hash), not
+    positional, and decode order derives from fragment identity."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    write_cc_parquet(str(indir / "b.parquet"), 1000, seed=1, row_group_size=250)
+    out = str(tmp_path / "enc_append")
+    s1 = encode_job(str(indir), out, shared_dict_columns=None)
+    assert s1["partitions_encoded"] == 4
+    # append a file that sorts BEFORE the existing one
+    write_cc_parquet(str(indir / "a.parquet"), 500, seed=2, row_group_size=250)
+    s2 = encode_job(str(indir), out, shared_dict_columns=None)
+    assert s2["partitions_skipped_resume"] == 4   # all prior work reused
+    assert s2["partitions_encoded"] == 2          # only the new fragments
+    assert verify_job(out)["failed"] == []
+    # decode order == input order (files lexical, row groups in order)
+    decoded = decode_dataset(out, columns=["url"]).take_all()
+    expect = pa.concat_tables([
+        pq.read_table(str(indir / "a.parquet"), columns=["url"]),
+        pq.read_table(str(indir / "b.parquet"), columns=["url"]),
+    ])
+    assert [r["url"] for r in decoded] == expect.column("url").to_pylist()
