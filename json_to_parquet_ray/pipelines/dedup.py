@@ -193,19 +193,14 @@ def ngram_jaccard(a: str, b: str, k: int = SHINGLE) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
 
 
-def _verify_pairs_distributed(pairs: pd.DataFrame, texts: dict,
-                              threshold: float) -> pd.DataFrame:
-    """Distributed exact-Jaccard verification of candidate pairs.
+def _verify_pairs_ds(pairs_ds, texts: dict, threshold: float):
+    """Distributed exact-Jaccard verification of a candidate-pair Dataset.
 
     Shingle sets are computed ONCE per candidate doc and broadcast via
     ``ray.put``; pair batches stream through ``map_batches`` — 127k pairs
     verify in well under a second instead of a driver-side loop."""
     import ray
 
-    if not len(pairs):
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
     t_ref = ray.put(texts)  # broadcast raw texts (small: candidates only);
     # shingle sets are built lazily per task and cached across its batches
 
@@ -230,15 +225,27 @@ def _verify_pairs_distributed(pairs: pd.DataFrame, texts: dict,
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(j)
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
 
-    verified = ray.data.from_pandas(pairs.reset_index(drop=True)).map_batches(
-        check, batch_format="pandas", batch_size=8192).to_pandas()
-    if not len(verified):
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    return verified
+    return pairs_ds.map_batches(check, batch_format="pandas", batch_size=8192)
+
+
+def _verify_pairs_distributed(pairs: pd.DataFrame, texts: dict,
+                              threshold: float) -> pd.DataFrame:
+    """Driver-side wrapper over ``_verify_pairs_ds`` (bounded outputs)."""
+    import ray
+
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if not len(pairs):
+        return empty
+    verified = _verify_pairs_ds(
+        ray.data.from_pandas(pairs.reset_index(drop=True)), texts,
+        threshold).to_pandas()
+    return verified if len(verified) else empty
 
 
 def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
@@ -264,14 +271,17 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
-    """(a, b) candidate pairs from band buckets.
+def _lsh_candidate_pairs_ds(bands, key: str):
+    """(a, b) candidate pairs from band buckets, as a Ray Dataset — pairs
+    live in the object store, never on the driver.
 
     Per-group Python callbacks are paid ONLY for collision buckets: a
     C-vectorized ``groupby().aggregate(Count)`` finds buckets with ≥2
     members first (the overwhelming majority are singletons), the band
     rows are filtered to those buckets with a broadcast ``is_in``, and the
-    per-group pair emission runs on the small remainder."""
+    per-group pair emission runs on the small remainder. Cross-band
+    duplicate pairs are removed by a vectorized ``groupby(a,b)`` count
+    (no per-group Python)."""
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
@@ -288,7 +298,7 @@ def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
         lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
         batch_format="pyarrow").to_pandas()
     if not len(hot):
-        return _empty_df({"a": "int64", "b": "int64"})
+        return ray.data.from_pandas(_empty_df({"a": "int64", "b": "int64"}))
     hot_ref = ray.put(pa.array(hot["bkey"].to_numpy()))
 
     def only_hot(b: pa.Table) -> pa.Table:
@@ -296,57 +306,188 @@ def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[key].tolist()))
-        if len(ids) < 2 or len(ids) > 64:  # cap pathological buckets
+        if len(ids) < 2:
             return _empty_df({"a": "int64", "b": "int64"})
+        if len(ids) > 64:
+            # pathological bucket (e.g. a massive duplicate cluster): emit
+            # STAR pairs (min-id, other) — O(n) candidate volume instead of
+            # O(n^2), and exactly the connectivity label propagation needs
+            return pd.DataFrame({"a": pd.Series([ids[0]] * (len(ids) - 1),
+                                                dtype="int64"),
+                                 "b": pd.Series(ids[1:], dtype="int64")})
         a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
                      for j in range(i + 1, len(ids))])
         return pd.DataFrame({"a": a, "b": b})
 
-    pairs = (keyed.map_batches(only_hot, batch_format="pyarrow")
-             .groupby("bkey").map_groups(emit_pairs, batch_format="pandas")
-             ).to_pandas()
-    if len(pairs) == 0 or "a" not in pairs.columns:
+    raw = (keyed.map_batches(only_hot, batch_format="pyarrow")
+           .groupby("bkey").map_groups(emit_pairs, batch_format="pandas"))
+    # distributed pair-dedupe: one row per (a, b), fully vectorized
+    uniq = raw.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+    return uniq.map_batches(lambda b: b.select(["a", "b"]),
+                            batch_format="pyarrow")
+
+
+def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
+    """Driver-side wrapper for the bounded-output pair queries."""
+    df = _lsh_candidate_pairs_ds(bands, key).to_pandas()
+    if len(df) == 0 or "a" not in df.columns:
         return _empty_df({"a": "int64", "b": "int64"})
-    return pairs.drop_duplicates()
+    return df.astype({"a": "int64", "b": "int64"})
+
+
+def cluster_min_label(edges_ds, max_iters: int = 50):
+    """Distributed connected components via iterative min-label propagation.
+
+    ``edges_ds``: Dataset of (a, b) edge rows. Returns a Dataset of
+    (node, label) where ``label`` is the component minimum. State lives in
+    Ray Datasets throughout — the driver never materializes edges or
+    adjacency; each iteration is two groupby shuffles (neighbor-label
+    broadcast, then per-node min). Converges in O(component diameter)
+    iterations; duplicate clusters are near-cliques/stars, so 2-3 in
+    practice. Convergence is detected by the (monotonically decreasing)
+    global label sum."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def _bucket(arr: np.ndarray) -> np.ndarray:
+        return ((arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)).astype(np.int64) % nparts
+
+    def sym(b: pa.Table) -> pa.Table:
+        # symmetric edge rows, tagged and pre-bucketed by src-node hash so
+        # the per-iteration label lookup is a co-partitioned merge
+        a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([a, bb])
+        v = np.concatenate([bb, a])
+        return pa.table({"bucket": pa.array(_bucket(u)),
+                         "u": pa.array(u), "v": pa.array(v),
+                         "label": pa.nulls(len(u), pa.int64()),
+                         "is_edge": pa.array(np.ones(len(u), np.bool_))})
+
+    edges_sym = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = np.concatenate([a, bb])
+        return pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node").cast(pa.int64()),
+                         "label": b.column("label").cast(pa.int64())})
+
+    labels = (edges_ds.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .map_batches(norm, batch_format="pyarrow"))
+    prev_sum = None
+    for _ in range(max_iters):
+        # per-bucket vectorized merge: edge rows and label rows co-locate
+        # via groupby(bucket); inside each bucket a C-speed pd.merge maps
+        # each edge's src label onto its dst. (Hand-rolled partitioned hash
+        # join — Ray's Dataset.join chokes on empty right partitions.)
+        lab_rows = labels.map_batches(
+            lambda b: pa.table({
+                "bucket": pa.array(_bucket(
+                    b.column("node").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))),
+                "u": b.column("node").cast(pa.int64()),
+                "v": pa.nulls(len(b), pa.int64()),
+                "label": b.column("label").cast(pa.int64()),
+                "is_edge": pa.array(np.zeros(len(b), np.bool_))}),
+            batch_format="pyarrow")
+
+        def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[~g["is_edge"]][["u", "label"]]
+            edg = g[g["is_edge"]][["u", "v"]]
+            if not len(edg) or not len(lab):
+                return _empty_df({"node": "int64", "label": "int64"})
+            m = edg.merge(lab, on="u", how="inner")
+            return pd.DataFrame({"node": m["v"].astype("int64"),
+                                 "label": m["label"].astype("int64")})
+
+        cand = (edges_sym.union(lab_rows).groupby("bucket")
+                .map_groups(bucket_merge, batch_format="pandas")
+                .map_batches(lambda b: b, batch_format="pyarrow"))  # arrow blocks for union
+        labels = (cand.union(labels)
+                  .groupby("node").aggregate(Min("label", alias_name="label"))
+                  .map_batches(norm, batch_format="pyarrow")).materialize()
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
 
 
 def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
-                  threshold: float = 0.8):
-    """Near-dup removal. Returns (kept Dataset-as-table, clusters dict).
+                  threshold: float = 0.8, cluster_mode: str = "auto",
+                  distributed_pair_threshold: int = 100_000):
+    """Near-dup removal. Returns (kept Dataset, dropped id set).
 
-    Candidate discovery is distributed (band groupby); verification +
-    clustering run on the candidate pairs only. The text lookup for
-    verification materializes just the candidate documents.
+    Candidate discovery is distributed (band groupby; pathological buckets
+    degrade to O(n) star pairs); verification runs distributed over the
+    candidate pairs; clustering is driver union-find for small verified
+    sets and distributed min-label propagation (``cluster_min_label``)
+    past ``distributed_pair_threshold`` — the driver then materializes
+    only the DROPPED ids (bounded by the duplicate count), never the
+    pairs. ``cluster_mode``: "auto" | "driver" | "distributed".
     """
-    bands = ds.map_batches(
-        lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
-    )
-    pairs = _lsh_candidate_pairs(bands, key)
-
-    # verify candidates with exact jaccard: broadcast the (small) candidate
-    # id set, filter distributed, collect only candidate rows
-    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"])) if len(pairs) else []
-    texts = _collect_candidate_texts(ds, cand_ids, col, key)
-    verified = _verify_pairs_distributed(pairs, texts, threshold)
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(verified["a"].tolist(), verified["b"].tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    drop = {x for x in parent if find(x) != x}
-
-    # broadcast the drop set ONCE (ray.put), filter vectorized per batch —
-    # no closure-captured set re-pickled into every task, no per-row loop
     import pyarrow.compute as pc
     import ray
 
+    bands = ds.map_batches(
+        lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
+    )
+    # pairs stay in the OBJECT STORE (materialize pins blocks distributed,
+    # never on the driver) — required for pathological duplication where
+    # the pair set is huge
+    pairs_ds = _lsh_candidate_pairs_ds(bands, key).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ds, set()
+
+    # candidate-id set for the text fetch: distributed flatten + unique;
+    # bounded by the number of docs in collision buckets, not by pairs
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({key: pa.concat_arrays(
+            [b.column("a").combine_chunks(), b.column("b").combine_chunks()])})
+
+    cand_ids = sorted(pairs_ds.map_batches(
+        endpoints, batch_format="pyarrow").unique(key))
+    texts = _collect_candidate_texts(ds, cand_ids, col, key)
+    verified_ds = _verify_pairs_ds(pairs_ds, texts, threshold).materialize()
+    n_verified = verified_ds.count()
+
+    use_distributed = (cluster_mode == "distributed" or
+                       (cluster_mode == "auto" and
+                        n_verified > distributed_pair_threshold))
+    if use_distributed and n_verified:
+        labels = cluster_min_label(verified_ds)
+        # only the DROPPED ids reach the driver (bounded by dup count)
+        dropped = labels.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("node"), b.column("label"))),
+            batch_format="pyarrow").take_all()
+        drop = {r["node"] for r in dropped}
+    else:
+        verified = verified_ds.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(verified["a"].tolist(), verified["b"].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        drop = {x for x in parent if find(x) != x}
+
+    # broadcast the drop set ONCE (ray.put), filter vectorized per batch —
+    # no closure-captured set re-pickled into every task, no per-row loop
     drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
 
     def filter_batch(b: pa.Table) -> pa.Table:

@@ -202,3 +202,37 @@ def test_minhash_signature_batch_purity():
         sig = dedup.minhash_signatures(pa.array(list(combo)))
         for i, d in enumerate(combo):
             assert (sig[i] == solo[d]).all()
+
+
+def test_minhash_dedup_planted_mega_cluster(ray_session):
+    """A 10^4-member duplicate cluster: star-pair fallback keeps candidate
+    volume O(n), pairs stay in the object store, and distributed min-label
+    propagation clusters without driver-side pair materialization."""
+    import ray
+
+    n_dup, n_bg = 10_000, 200
+    rng = __import__("numpy").random.default_rng(3)
+    bg = [" ".join(rng.choice(list("abcdefgh"), 30)) + f" unique{i}" * 3
+          for i in range(n_bg)]
+    dup_text = "identical duplicate document body repeated many times " * 4
+    texts = [dup_text] * n_dup + bg
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).map_batches(lambda b: b, batch_size=512,
+                                              batch_format="pyarrow")
+    kept, drop = dedup.minhash_dedup(ds, threshold=0.8,
+                                     cluster_mode="distributed")
+    kept_ids = set(kept.to_pandas()["doc_id"])
+    # exactly one survivor of the clique: the min id (0)
+    assert 0 in kept_ids
+    assert not (set(range(1, n_dup)) & kept_ids)
+    assert len(drop) == n_dup - 1
+
+
+def test_cluster_min_label_chain_and_components(ray_session):
+    import ray
+
+    edges = pd.DataFrame({"a": [1, 2, 3, 10, 20], "b": [2, 3, 4, 11, 21]})
+    labels = dedup.cluster_min_label(ray.data.from_pandas(edges)).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
