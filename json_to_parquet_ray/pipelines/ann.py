@@ -103,6 +103,57 @@ def assign_buckets(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def ivf_build(ds, index_dir: str, n_clusters: int = 16,
+              vec_col: str = "embedding", key: str = "vec_id",
+              sample_rows: int = 4096, seed: int = 42) -> np.ndarray:
+    """Build a bucket-PARTITIONED ANN index: every vector is written into
+    the parquet partition of its IVF bucket (``ivf_bucket=N/`` dirs), so a
+    probe later reads ONLY the probed buckets' files — partition pruning
+    at the storage layer, not a post-read filter. Returns the centroids
+    (also persisted next to the index)."""
+    import json
+    import os
+
+    sample = embedding_matrix(
+        ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+        .column(vec_col))
+    C = kmeans_fit(sample, n_clusters, seed=seed)
+    bucketed = assign_buckets(ds, C, vec_col)
+    bucketed.write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "_ivf_centroids.json"), "w") as f:
+        json.dump(C.tolist(), f)
+    return C
+
+
+def ivf_probe_topk(index_dir: str, queries: np.ndarray, k: int = 10,
+                   nprobe: int = 4, vec_col: str = "embedding",
+                   key: str = "vec_id"):
+    """Approximate top-k over a bucket-partitioned index: reads ONLY the
+    ``nprobe`` nearest buckets' partition directories. Returns
+    (result DataFrame, io_stats dict) — io_stats proves the pruning."""
+    import json
+    import os
+
+    import ray
+
+    with open(os.path.join(index_dir, "_ivf_centroids.json")) as f:
+        C = _normalize(np.asarray(json.load(f), np.float64))
+    qn = _normalize(np.asarray(queries, np.float64))
+    probes = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probes for b in row})
+    all_parts = sorted(d for d in os.listdir(index_dir)
+                       if d.startswith("ivf_bucket="))
+    part_dirs = [os.path.join(index_dir, f"ivf_bucket={b}") for b in wanted
+                 if f"ivf_bucket={b}" in all_parts]
+    paths = [os.path.join(d, f) for d in part_dirs for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    ds = ray.data.read_parquet(paths)  # ONLY probed partitions' files open
+    out = brute_force_topk(ds, qn, k=k, vec_col=vec_col, key=key)
+    return out, {"buckets_read": len(part_dirs), "buckets_total": len(all_parts),
+                 "files_read": len(paths)}
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", key: str = "vec_id",
              sample_rows: int = 4096, seed: int = 42) -> pd.DataFrame:

@@ -228,10 +228,19 @@ def encode_job(
         from ..codecs.fsst import train
 
         tables: dict[str, list[bytes]] = {}
-        sample_ds = ray.data.read_parquet(
-            [f.path for f in frags], columns=list(shared_fsst_columns)
-        ).limit(2048)
-        sample_rows = sample_ds.take_all()
+        # STRATIFIED sample: a fixed per-block row stride spreads the
+        # training sample across every fragment — a head `.limit(n)` sample
+        # trains the symbol table on only the first fragments, which
+        # mis-trains on corpora whose content regime drifts across files
+        total_rows = sum(f.num_rows for f in frags)
+        step = max(1, total_rows // 2048)
+
+        def strided(b: pa.Table) -> pa.Table:
+            return b.take(list(range(0, len(b), step)))
+
+        sample_rows = (ray.data.read_parquet(
+            [f.path for f in frags], columns=list(shared_fsst_columns))
+            .map_batches(strided, batch_format="pyarrow").take_all())
         for coln in shared_fsst_columns:
             buf = b"".join(
                 (r[coln].encode() if isinstance(r[coln], str) else (r[coln] or b""))

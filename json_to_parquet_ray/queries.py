@@ -284,11 +284,22 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf_recall(sf_dir: str):
+    """Partition-pruned IVF: the index is written with one parquet
+    partition per bucket; the probe opens ONLY nprobe bucket dirs (checked
+    at runtime) and must still recover the exact top-5 (golden oracle)."""
+    import shutil
+    import tempfile
+
     qs = _first_queries(sf_dir, 3)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     exact = ann.brute_force_topk(ds, qs, k=5)
-    approx = ann.ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                          qs, k=5, n_clusters=8, nprobe=3)
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"jtpr_ivf_{abs(hash(os.path.abspath(sf_dir))) % 999983}")
+    shutil.rmtree(idx, ignore_errors=True)
+    ann.ivf_build(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), idx,
+                  n_clusters=8)
+    approx, io = ann.ivf_probe_topk(idx, qs, k=5, nprobe=3)
+    assert io["buckets_read"] < io["buckets_total"], io  # pruning is real
     recalls = []
     for qi in sorted(exact["query_id"].unique()):
         e = set(exact[exact.query_id == qi]["vec_id"])

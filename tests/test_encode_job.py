@@ -290,3 +290,30 @@ def test_append_safe_partition_identity(ray_session, tmp_path):
         pq.read_table(str(indir / "b.parquet"), columns=["url"]),
     ])
     assert [r["url"] for r in decoded] == expect.column("url").to_pylist()
+
+
+def test_shared_fsst_stratified_on_skewed_corpus(ray_session, tmp_path):
+    """Two-regime corpus (URL-ish rows first, DNA-ish rows second): the
+    stratified sample trains the shared FSST table on BOTH regimes, so the
+    shared-table encode stays near per-chunk-table size parity. A head
+    sample would never see regime B."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rega = ["GET /index/page/" + "".join(rng.choice(list("abcdef"), 24))
+            + " HTTP/1.1 host=www.example.com" for _ in range(2000)]
+    regb = ["".join(rng.choice(list("ACGT"), 60)) for _ in range(2000)]
+    t = pa.table({"doc_id": pa.array(range(4000), pa.int64()),
+                  "text": pa.array(rega + regb)})
+    src = str(tmp_path / "skew.parquet")
+    pq.write_table(t, src, row_group_size=1000)  # rg 0-1 = A, rg 2-3 = B
+
+    shared_out = str(tmp_path / "enc_shared")
+    s_shared = encode_job(src, shared_out, shared_dict_columns=None,
+                          shared_fsst_columns=["text"])
+    per_out = str(tmp_path / "enc_per")
+    s_per = encode_job(src, per_out, shared_dict_columns=None)
+    assert verify_job(shared_out)["failed"] == []
+    # ratio parity: shared-stratified within 30% of the per-chunk plans
+    assert s_shared["chunk_bytes"] <= 1.3 * s_per["chunk_bytes"], (
+        s_shared["chunk_bytes"], s_per["chunk_bytes"])

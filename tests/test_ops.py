@@ -236,3 +236,28 @@ def test_cluster_min_label_chain_and_components(ray_session):
     labels = dedup.cluster_min_label(ray.data.from_pandas(edges)).to_pandas()
     got = dict(zip(labels["node"], labels["label"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_ivf_partition_pruned_index(ray_session, tmp_path):
+    """ivf_build writes one parquet partition per bucket; probes open only
+    the probed buckets' directories and still find the true neighbors."""
+    import os
+
+    import ray
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((400, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array(list(emb.astype(float)), pa.list_(pa.float64())),
+    })
+    idx = str(tmp_path / "ivf_idx")
+    ann.ivf_build(ray.data.from_arrow(tbl), idx, n_clusters=8)
+    parts = [d for d in os.listdir(idx) if d.startswith("ivf_bucket=")]
+    assert len(parts) >= 4
+    out, io = ann.ivf_probe_topk(idx, emb[:2], k=5, nprobe=3)
+    # union of 2 queries' probes: ≤ 6 buckets, strictly fewer than exist
+    assert io["buckets_read"] <= 6 and io["buckets_read"] < io["buckets_total"]
+    # the query vector's own bucket is always probed first → self-hit
+    top0 = out[out.query_id == 0].iloc[0]
+    assert top0["vec_id"] == 0
