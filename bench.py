@@ -101,6 +101,18 @@ def main() -> None:
     sec, _ = timed(lambda: compute_stats(ray.data.read_parquet(cc_dir)))
     queries["stats_cc"] = round(sec, 3)
 
+    if os.environ.get("GRAFT_BENCH_ONLY") == "encode":
+        # scaling mode: only the headline encode matters; skip the operator
+        # sweep so the lo-CPU subprocesses finish quickly
+        print(json.dumps({
+            "metric": "headline pipelines wall time",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec", "queries": queries, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "extra": extra,
+        }))
+        ray.shutdown()
+        return
+
     # ---- pyarrow parquet default writer baseline (size + speed stand-in
     #      for the reference parquet-mr encoder, BASELINE.md)
     cc_table = pq.read_table(cc_dir)
@@ -124,7 +136,7 @@ def main() -> None:
         os.makedirs(jsonl_dir, exist_ok=True)
         t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
         rows = t.to_pylist()
-        shards, reps = 16, max(1, int(64_000_000 / max(
+        shards, reps = 32, max(1, int(64_000_000 / max(
             sum(len(r.get("text") or "") for r in rows), 1)))
         doc_id = 0
         for s in range(shards):
@@ -148,7 +160,9 @@ def main() -> None:
     # ---- operator pipelines on the driver testdata tables
     for name in ["roundtrip_lineitem", "lineitem_agg", "events_by_type",
                  "token_counts", "exact_dedup", "minhash_dedup", "ann_topk",
-                 "source_counts", "sessionize", "grouped_topk"]:
+                 "source_counts", "sessionize", "grouped_topk",
+                 "simhash_pairs", "jaccard_pairs", "embedding_near_dup",
+                 "lang_id", "ann_ivf_recall"]:
         fn = QUERIES[name]
         sec, res = timed(lambda fn=fn: fn(SF_DIR))
         if hasattr(res, "count"):
@@ -175,7 +189,7 @@ def scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_CC_ROWS=scaling_rows)
+                   GRAFT_CC_ROWS=scaling_rows, GRAFT_BENCH_ONLY="encode")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
