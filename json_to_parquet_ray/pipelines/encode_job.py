@@ -78,6 +78,57 @@ def list_fragments(paths: list[str] | str,
     return frags
 
 
+def _zone_maps(table: pa.Table) -> dict[str, dict]:
+    """Per-column min/max zone maps for the manifest (numeric + temporal
+    columns only; JSON-serializable). At read time, a chunk whose zone is
+    disjoint from the query range is skipped WITHOUT being opened."""
+    import pyarrow.compute as pc
+
+    out: dict[str, dict] = {}
+    for name in table.column_names:
+        t = table.schema.field(name).type
+        col = table.column(name)
+        if col.null_count == len(col):
+            continue
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            mm = pc.min_max(col)
+            out[name] = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
+        elif pa.types.is_timestamp(t):
+            mm = pc.min_max(col)
+            out[name] = {"min": str(mm["min"].as_py()),
+                         "max": str(mm["max"].as_py()), "ts": True}
+    return out
+
+
+def zone_prune(out_dir: str, zone_filter: dict) -> tuple[list, int]:
+    """Manifest-level chunk pruning: returns (surviving records in input
+    order, number skipped). ``zone_filter``: {col: (lo, hi)} inclusive;
+    a chunk survives iff every filtered column's zone overlaps [lo, hi]
+    (chunks without a zone map for the column conservatively survive)."""
+    manifest = load_manifest(out_dir)
+    recs = sorted(manifest.values(), key=lambda r: r.sort_key)
+    keep, skipped = [], 0
+    for rec in recs:
+        zones = {c["name"]: c for c in rec.columns}
+        alive = True
+        for col, (lo, hi) in zone_filter.items():
+            z = zones.get(col)
+            if z is None or "min" not in z:
+                continue
+            zmin, zmax = z["min"], z["max"]
+            if z.get("ts"):
+                lo = None if lo is None else str(lo)
+                hi = None if hi is None else str(hi)
+            if (hi is not None and zmin > hi) or (lo is not None and zmax < lo):
+                alive = False
+                break
+        if alive:
+            keep.append(rec)
+        else:
+            skipped += 1
+    return keep, skipped
+
+
 class EncodePartition:
     """Actor-pool stage: encodes one partition (row group) per work item.
 
@@ -134,6 +185,7 @@ class EncodePartition:
 
         chunk_file = os.path.join(shard_of(pid), f"part-{pid}.rde")
         write_atomic(os.path.join(self.out_dir, chunk_file), blob)
+        zone = _zone_maps(table)
         rec = PartitionRecord(
             partition_id=pid,
             fragment=asdict(frag),
@@ -142,7 +194,8 @@ class EncodePartition:
             chunk_size=len(blob),
             columns=[
                 {"name": c["name"], "codec": c["codec"], "size": c["size"],
-                 "offset": c["offset"], "crc32": c["crc32"]}
+                 "offset": c["offset"], "crc32": c["crc32"],
+                 **zone.get(c["name"], {})}
                 for c in header["columns"]
             ],
             wall_time_s=time.time() - t0,
@@ -303,17 +356,23 @@ def encode_job(
     return plan_note
 
 
-def decode_dataset(out_dir: str, columns: list[str] | None = None):
-    """Ray Dataset over the encoded chunks → decoded Arrow rows (streaming)."""
+def decode_dataset(out_dir: str, columns: list[str] | None = None,
+                   zone_filter: dict | None = None):
+    """Ray Dataset over the encoded chunks → decoded Arrow rows (streaming).
+
+    ``zone_filter`` {col: (lo, hi)} prunes whole chunks via manifest zone
+    maps (skipped chunks are never opened), then applies the exact
+    inclusive row filter to the surviving chunks."""
     import ray
 
-    manifest = load_manifest(out_dir)
-    # input order is recomputed from the recorded fragment identity
-    # (path, row_group, row_start) — stable under appends, unlike ids
-    items = [
-        {"path": os.path.join(out_dir, rec.chunk_file)}
-        for rec in sorted(manifest.values(), key=lambda r: r.sort_key)
-    ]
+    if zone_filter:
+        recs, _ = zone_prune(out_dir, zone_filter)
+    else:
+        manifest = load_manifest(out_dir)
+        # input order is recomputed from the recorded fragment identity
+        # (path, row_group, row_start) — stable under appends, unlike ids
+        recs = sorted(manifest.values(), key=lambda r: r.sort_key)
+    items = [{"path": os.path.join(out_dir, rec.chunk_file)} for rec in recs]
     # decode is the ordering-sensitive pipeline (bit-identical round-trip
     # preserves input row order); Ray's streaming executor reorders output
     # blocks unless preserve_order is set
@@ -322,11 +381,32 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None):
     from ..encode import read_chunk_file
 
     def decode_item(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         tables = []
         for path in batch.column("path").to_pylist():
-            tables.append(read_chunk_file(path, columns=columns))
+            t = read_chunk_file(path, columns=columns)
+            if zone_filter:
+                mask = None
+                for col, (lo, hi) in zone_filter.items():
+                    if col not in t.column_names:
+                        continue
+                    c = t.column(col)
+                    m = pc.and_kleene(
+                        pc.greater_equal(c, lo) if lo is not None
+                        else pc.is_valid(c),
+                        pc.less_equal(c, hi) if hi is not None
+                        else pc.is_valid(c))
+                    mask = m if mask is None else pc.and_kleene(mask, m)
+                if mask is not None:
+                    t = t.filter(pc.fill_null(mask, False))
+            tables.append(t)
         return pa.concat_tables(tables)
 
+    if not items:
+        import pandas as pd
+
+        return ray.data.from_pandas(pd.DataFrame())
     return ray.data.from_items(items).map_batches(
         decode_item, batch_size=1, batch_format="pyarrow"
     )

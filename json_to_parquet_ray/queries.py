@@ -555,6 +555,154 @@ def q_sample_docs(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_normalize_text(sf_dir: str):
+    """Text normalization: lowercase, collapse whitespace runs, trim —
+    pure Arrow kernels, exact SQL parity."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b.column("text"))
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": b.column("doc_id"), "norm_text": t})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def q_semi_anti_customers(sf_dir: str):
+    """Semi/anti join: customers with vs without orders. The order-key set
+    is collected distinct (distributed) and broadcast; each customer batch
+    is masked vectorized — no shuffle of either table."""
+    import ray
+
+    okeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    okeys_ref = ray.put(pa.array(sorted(okeys), pa.int64()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("c_custkey"), value_set=ray.get(okeys_ref))
+        n_with = pc.sum(m.cast(pa.int64())).as_py() or 0
+        return pa.table({"with_orders": pa.array([n_with], pa.int64()),
+                         "without_orders": pa.array([len(b) - n_with], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    parts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = parts.aggregate(Sum("with_orders", alias_name="with_orders"),
+                          Sum("without_orders", alias_name="without_orders"))
+    return pa.table({"with_orders": pa.array([int(agg["with_orders"])], pa.int64()),
+                     "without_orders": pa.array([int(agg["without_orders"])], pa.int64())})
+
+
+def q_quantiles_n_chars(sf_dir: str):
+    """Exact discrete quantiles via distributed value-counts (combiner →
+    tiny groupby) + driver cumsum over the bounded-cardinality histogram.
+    Index convention floor((n-1)*q) matches DuckDB quantile_disc."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        c = b.column("n_chars").value_counts()
+        return pa.table({"v": c.field("values"),
+                         "n": c.field("counts").cast(pa.int64())})
+
+    hist = (ds.map_batches(vc, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    hist = hist.sort_values("v").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    qs = [0.25, 0.5, 0.75, 0.95]
+    out_v = []
+    for q in qs:
+        idx = int(np.floor((total - 1) * q))
+        pos = int(np.searchsorted(cum, idx + 1))
+        out_v.append(int(hist["v"].iloc[pos]))
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Two-hop broadcast join: orders → customer → nation, counted per
+    nation name. Both small sides are broadcast Arrow tables probed with
+    index_in/take — the fact table is never shuffled."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .take_batch(10_000_000, batch_format="pyarrow")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]) \
+        .take_batch(10_000_000, batch_format="pyarrow")
+    c_ref, n_ref = ray.put(cust), ray.put(nation)
+
+    def probe(b: pa.Table) -> pa.Table:
+        c, n = ray.get(c_ref), ray.get(n_ref)
+        i1 = pc.index_in(b.column("o_custkey"), value_set=c.column("c_custkey"))
+        nk = pc.take(c.column("c_nationkey"), i1)
+        i2 = pc.index_in(nk, value_set=n.column("n_nationkey"))
+        name = pc.take(n.column("n_name"), i2)
+        return pa.table({"n_name": name.combine_chunks()})
+
+    from ray.data.aggregate import Count
+
+    joined = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        probe, batch_format="pyarrow")
+    out = joined.groupby("n_name").aggregate(Count(alias_name="order_count"))
+    df = out.to_pandas().sort_values("n_name").reset_index(drop=True)
+    df["order_count"] = df["order_count"].astype("int64")
+    return df
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding 1-hour window advancing by 15 minutes: each event lands in
+    4 windows (combiner emits per-batch window partials → tiny groupby).
+    Window key = its START time."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch.column("ts"), multiple=15, unit="minute")
+        tables = []
+        for k in range(4):
+            w = pc.subtract(base, pa.scalar(_dt.timedelta(minutes=15 * k)))
+            tables.append(pa.table({"w": w}))
+        t = pa.concat_tables(tables)
+        df = t.to_pandas().groupby("w", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("w").aggregate(Sum("n", alias_name="event_count"))
+    df = out.to_pandas().sort_values("w").reset_index(drop=True)
+    df = df.rename(columns={"w": "window_start"})
+    df["event_count"] = df["event_count"].astype("int64")
+    return df
+
+
+def q_zonemap_pruned_scan(sf_dir: str):
+    """Predicate-pruned decode: documents are encoded into 8 row-sliced
+    partitions; a doc_id range scan consults the manifest zone maps and
+    OPENS only overlapping chunks (asserted at runtime), then applies the
+    exact row filter. Oracle: plain SQL BETWEEN."""
+    import shutil
+    import tempfile
+
+    from .pipelines.encode_job import decode_dataset, encode_job, zone_prune
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = os.path.join(tempfile.gettempdir(),
+                       f"jtpr_zm_{abs(hash(os.path.abspath(sf_dir))) % 999983}")
+    shutil.rmtree(out, ignore_errors=True)
+    encode_job(src, out, shared_dict_columns=None, max_rows_per_partition=64)
+    zf = {"doc_id": (100, 163)}
+    kept, skipped = zone_prune(out, zf)
+    assert skipped > 0 and len(kept) < len(kept) + skipped, (len(kept), skipped)
+    return decode_dataset(out, zone_filter=zf)
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -627,6 +775,12 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "asof_latest_order": q_asof_latest_order,
     "union_distinct_nations": q_union_distinct_nations,
+    "normalize_text": q_normalize_text,
+    "semi_anti_customers": q_semi_anti_customers,
+    "quantiles_n_chars": q_quantiles_n_chars,
+    "orders_per_nation": q_orders_per_nation,
+    "events_sliding_window": q_events_sliding_window,
+    "zonemap_pruned_scan": q_zonemap_pruned_scan,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
 }
@@ -892,6 +1046,39 @@ ORACLE_SQL = {
         "  CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming "
         "FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id "
         "WHERE bit_count(xor(x.s, y.s)) <= 3 ORDER BY a, b"
+    ),
+    "normalize_text": (
+        "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+        " AS norm_text FROM documents"
+    ),
+    "semi_anti_customers": (
+        "SELECT "
+        "CAST(COUNT(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o"
+        "  WHERE o.o_custkey = c.c_custkey)) AS BIGINT) AS with_orders, "
+        "CAST(COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o"
+        "  WHERE o.o_custkey = c.c_custkey)) AS BIGINT) AS without_orders "
+        "FROM customer c"
+    ),
+    "quantiles_n_chars": (
+        "SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q, "
+        "unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.95])) AS value "
+        "FROM documents"
+    ),
+    "orders_per_nation": (
+        "SELECT n.n_name, COUNT(*) AS order_count FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name ORDER BY n.n_name"
+    ),
+    "events_sliding_window": (
+        "SELECT time_bucket(INTERVAL '15 minutes', ts)"
+        "   - k.k * INTERVAL '15 minutes' AS window_start, "
+        "COUNT(*) AS event_count "
+        "FROM events, (SELECT unnest(range(0, 4)) AS k) k "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "zonemap_pruned_scan": (
+        "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 163"
     ),
     "multimodal_decode": (
         "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)"

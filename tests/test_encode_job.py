@@ -317,3 +317,25 @@ def test_shared_fsst_stratified_on_skewed_corpus(ray_session, tmp_path):
     # ratio parity: shared-stratified within 30% of the per-chunk plans
     assert s_shared["chunk_bytes"] <= 1.3 * s_per["chunk_bytes"], (
         s_shared["chunk_bytes"], s_per["chunk_bytes"])
+
+
+def test_zone_map_pruned_decode(ray_session, tmp_path):
+    """Manifest zone maps skip non-overlapping chunks entirely; the
+    surviving chunks row-filter to the exact range."""
+    from json_to_parquet_ray.pipelines.encode_job import zone_prune
+
+    t = pa.table({"id": pa.array(range(2000), pa.int64()),
+                  "val": pa.array([f"v{i}" for i in range(2000)])})
+    src = str(tmp_path / "zm.parquet")
+    pq.write_table(t, src, row_group_size=500)  # zones: [0,499],[500,999],...
+    out = str(tmp_path / "enc_zm")
+    encode_job(src, out, shared_dict_columns=None)
+    recs, skipped = zone_prune(out, {"id": (600, 899)})
+    assert (len(recs), skipped) == (1, 3)  # only row group 1 overlaps
+    got = decode_dataset(out, zone_filter={"id": (600, 899)}).take_all()
+    assert [r["id"] for r in got] == list(range(600, 900))
+    # open-ended ranges and no-op filters keep everything
+    recs2, skipped2 = zone_prune(out, {"id": (None, None)})
+    assert (len(recs2), skipped2) == (4, 0)
+    recs3, skipped3 = zone_prune(out, {"id": (1500, None)})
+    assert (len(recs3), skipped3) == (1, 3)
