@@ -25,7 +25,7 @@ from .shuffle import heavy_hitters, salted_group_count
 from .stats import compute_stats
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None):
     import pyarrow.parquet as pq
     import ray
 
@@ -36,7 +36,10 @@ def _read(sf_dir: str, table: str, columns=None):
     schema = pq.read_schema(path).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
-    return ray.data.read_parquet(path, columns=columns, schema=schema)
+    # `filter` is a pyarrow.dataset expression pushed into the scan —
+    # row-group/page-level pruning at the read, not a post-read filter
+    return ray.data.read_parquet(path, columns=columns, schema=schema,
+                                 filter=filter)
 
 
 # ------------------------------------------------------------ codec roundtrips
@@ -504,11 +507,12 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_filter_docs_en(sf_dir: str):
-    """Vectorized predicate inside map_batches (no per-row Python)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    return ds.map_batches(
-        lambda b: b.filter(pc.equal(b.column("lang"), "en")),
-        batch_format="pyarrow")
+    """Predicate pushed into the parquet scan (row-group/page pruning at
+    the read — only matching data leaves storage), not a post-read map."""
+    import pyarrow.dataset as pads
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"],
+                 filter=pads.field("lang") == "en")
 
 
 def q_top_docs_by_chars(sf_dir: str):
