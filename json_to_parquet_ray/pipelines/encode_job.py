@@ -357,12 +357,18 @@ def encode_job(
 
 
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
-                   zone_filter: dict | None = None):
+                   zone_filter: dict | None = None,
+                   schema: pa.Schema | None = None):
     """Ray Dataset over the encoded chunks → decoded Arrow rows (streaming).
 
     ``zone_filter`` {col: (lo, hi)} prunes whole chunks via manifest zone
     maps (skipped chunks are never opened), then applies the exact
-    inclusive row filter to the surviving chunks."""
+    inclusive row filter to the surviving chunks.
+
+    ``schema`` enables read-time schema evolution: decoded batches are
+    aligned to the target (missing columns null-filled, types cast,
+    column order normalized) — old chunks stay readable after the logical
+    schema gains columns or widens types."""
     import ray
 
     if zone_filter:
@@ -400,6 +406,10 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                     mask = m if mask is None else pc.and_kleene(mask, m)
                 if mask is not None:
                     t = t.filter(pc.fill_null(mask, False))
+            if schema is not None:
+                from ..schema_infer import align_table
+
+                t = align_table(t, schema)
             tables.append(t)
         return pa.concat_tables(tables)
 

@@ -686,6 +686,53 @@ def q_events_sliding_window(sf_dir: str):
     return df
 
 
+def q_lang_source_pivot(sf_dir: str):
+    """Pivot: documents counted per source x lang as wide columns —
+    conditional-sum combiner per batch, tiny groupby merge."""
+    from ray.data.aggregate import Sum
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("source")
+        out = {"source": []}
+        for l in langs:
+            out[f"n_{l}"] = []
+        for src, grp in g:
+            out["source"].append(src)
+            vc = grp["lang"].value_counts()
+            for l in langs:
+                out[f"n_{l}"].append(int(vc.get(l, 0)))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("source").aggregate(
+        *[Sum(f"n_{l}", alias_name=f"n_{l}") for l in langs])
+    df = out.to_pandas().sort_values("source").reset_index(drop=True)
+    for l in langs:
+        df[f"n_{l}"] = df[f"n_{l}"].astype("int64")
+    return df
+
+
+def q_user_running_value(sf_dir: str):
+    """Per-user running total of event values ordered by time (window
+    cumulative sum): hash-partition by user, sort + cumsum inside each
+    group — the standard keyed-window contract."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "running_value": g["value"].cumsum().round(2).astype("float64"),
+        })
+
+    out = ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def q_zonemap_pruned_scan(sf_dir: str):
     """Predicate-pruned decode: documents are encoded into 8 row-sliced
     partitions; a doc_id range scan consults the manifest zone maps and
@@ -779,6 +826,8 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "asof_latest_order": q_asof_latest_order,
     "union_distinct_nations": q_union_distinct_nations,
+    "lang_source_pivot": q_lang_source_pivot,
+    "user_running_value": q_user_running_value,
     "normalize_text": q_normalize_text,
     "semi_anti_customers": q_semi_anti_customers,
     "quantiles_n_chars": q_quantiles_n_chars,
@@ -1050,6 +1099,21 @@ ORACLE_SQL = {
         "  CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming "
         "FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id "
         "WHERE bit_count(xor(x.s, y.s)) <= 3 ORDER BY a, b"
+    ),
+    "lang_source_pivot": (
+        "SELECT source, "
+        "CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de, "
+        "CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en, "
+        "CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es, "
+        "CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr, "
+        "CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    "user_running_value": (
+        "SELECT event_id, ROUND(SUM(value) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)"
+        " AS running_value FROM events ORDER BY event_id"
     ),
     "normalize_text": (
         "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

@@ -339,3 +339,20 @@ def test_zone_map_pruned_decode(ray_session, tmp_path):
     assert (len(recs2), skipped2) == (4, 0)
     recs3, skipped3 = zone_prune(out, {"id": (1500, None)})
     assert (len(recs3), skipped3) == (1, 3)
+
+
+def test_decode_schema_evolution(ray_session, tmp_path):
+    """Old chunks stay readable after the logical schema evolves: decode
+    aligns to a target schema (new null-filled column, widened int type)."""
+    t = pa.table({"id": pa.array(range(100), pa.int32()),
+                  "text": pa.array([f"t{i}" for i in range(100)])})
+    src = str(tmp_path / "evo.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc_evo")
+    encode_job(src, out, shared_dict_columns=None)
+    target = pa.schema([("id", pa.int64()), ("text", pa.string()),
+                        ("score", pa.float64())])
+    got = decode_dataset(out, schema=target).take_batch(1000, batch_format="pyarrow")
+    assert got.schema.equals(target)
+    assert got.column("id").to_pylist() == list(range(100))
+    assert got.column("score").null_count == 100
