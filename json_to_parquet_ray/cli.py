@@ -53,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     dec = sub.add_parser("decode", help="decode chunks back to parquet")
     dec.add_argument("out_dir")
     dec.add_argument("parquet_out")
+    dec.add_argument("--zone-filter", default=None,
+                     help="COLUMN:LO:HI inclusive range; chunks whose zone "
+                          "maps miss the range are never opened")
+
+    st = sub.add_parser("stats", help="per-column statistics of parquet input")
+    st.add_argument("inputs", nargs="+")
+
+    pl = sub.add_parser("plan", help="codec auto-selection plan for parquet input")
+    pl.add_argument("inputs", nargs="+")
 
     args = p.parse_args(argv)
     ray = _ray_session()
@@ -83,8 +92,42 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from .pipelines.encode_job import decode_dataset
 
-            decode_dataset(args.out_dir).write_parquet(args.parquet_out)
+            zf = None
+            if args.zone_filter:
+                col, lo, hi = args.zone_filter.split(":")
+                zf = {col: (None if lo == "" else float(lo) if "." in lo else int(lo),
+                            None if hi == "" else float(hi) if "." in hi else int(hi))}
+            decode_dataset(args.out_dir, zone_filter=zf).write_parquet(args.parquet_out)
             print(json.dumps({"out": args.parquet_out}))
+        elif args.cmd == "stats":
+            from .stats import compute_stats
+
+            stats = compute_stats(ray.data.read_parquet(args.inputs))
+            print(json.dumps({
+                c: {"type": s.type_str, "rows": s.n, "nulls": s.null_count,
+                    "bytes": s.nbytes, "runs": s.runs,
+                    "cardinality_est": round(s.cardinality, 1),
+                    "min": None if s.min_val is None else str(s.min_val),
+                    "max": None if s.max_val is None else str(s.max_val)}
+                for c, s in stats.items()}, sort_keys=True))
+        elif args.cmd == "plan":
+            import pyarrow.parquet as pq
+
+            from .plan import plan_from_stats
+            from .stats import compute_stats
+
+            ds = ray.data.read_parquet(args.inputs)
+            stats = compute_stats(ds)
+            first = args.inputs[0]
+            import os as _os
+
+            if _os.path.isdir(first):
+                first = next(_os.path.join(first, f)
+                             for f in sorted(_os.listdir(first))
+                             if f.endswith(".parquet"))
+            schema = pq.read_schema(first).remove_metadata()
+            plan = plan_from_stats(stats, schema)
+            print(json.dumps(plan.to_json(), sort_keys=True))
     finally:
         ray.shutdown()
     return 0

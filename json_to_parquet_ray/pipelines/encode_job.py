@@ -441,16 +441,25 @@ def verify_job(out_dir: str) -> dict:
     def check(batch: pa.Table) -> pa.Table:
         out = []
         for item in batch.to_pylist():
-            with open(item["chunk"], "rb") as f:
-                decoded = decode_table(f.read(), verify_crc=True)
-            original = pq.ParquetFile(item["path"]).read_row_group(item["row_group"])
-            original = original.slice(item["row_start"], item["num_rows"])
-            ok = decoded.equals(original.cast(decoded.schema))
-            out.append({"partition_id": item["partition_id"], "ok": ok})
+            # a corrupt/unreadable chunk is a *verification failure*, not a
+            # job crash — report it in `failed` with the reason
+            try:
+                with open(item["chunk"], "rb") as f:
+                    decoded = decode_table(f.read(), verify_crc=True)
+                original = pq.ParquetFile(item["path"]).read_row_group(
+                    item["row_group"])
+                original = original.slice(item["row_start"], item["num_rows"])
+                ok = decoded.equals(original.cast(decoded.schema))
+                err = None if ok else "decoded rows differ from source"
+            except (ValueError, IOError, OSError, pa.ArrowInvalid) as e:
+                ok, err = False, f"{type(e).__name__}: {e}"
+            out.append({"partition_id": item["partition_id"], "ok": ok,
+                        "err": err})
         return pa.Table.from_pylist(out)
 
     res = ray.data.from_items(items).map_batches(
         check, batch_size=1, batch_format="pyarrow"
     ).take_all()
-    failed = [r["partition_id"] for r in res if not r["ok"]]
+    failed = [{"partition_id": r["partition_id"], "err": r["err"]}
+              for r in res if not r["ok"]]
     return {"partitions": len(res), "ok": len(res) - len(failed), "failed": failed}

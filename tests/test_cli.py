@@ -52,3 +52,25 @@ def test_cli_json_to_encoded_and_back(tmp_path):
     t2 = pq.read_table(dec_dir)
     assert t2.num_rows == 3
     assert {r["id"] for r in t2.to_pylist()} == {1, 2, 3}
+
+
+def test_cli_stats_plan_and_zone_decode(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"id": list(range(1000)),
+                  "text": [f"text {i}" for i in range(1000)]})
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src, row_group_size=250)
+
+    stats = run_cli("stats", src)
+    assert stats["id"]["rows"] == 1000 and stats["id"]["min"] == "0"
+    plan = run_cli("plan", src)
+    assert "id" in plan and "codec" in plan["id"]
+
+    enc = str(tmp_path / "enc")
+    run_cli("encode", src, enc)
+    dec = str(tmp_path / "dec")
+    run_cli("decode", enc, dec, "--zone-filter", "id:300:499")
+    back = pq.read_table(dec)
+    assert sorted(back.column("id").to_pylist()) == list(range(300, 500))

@@ -356,3 +356,19 @@ def test_decode_schema_evolution(ray_session, tmp_path):
     assert got.schema.equals(target)
     assert got.column("id").to_pylist() == list(range(100))
     assert got.column("score").null_count == 100
+
+
+def test_verify_job_reports_corrupt_chunk(ray_session, cc_parquet, tmp_path):
+    """A corrupt chunk is reported in `failed` with a reason — the verify
+    job completes instead of crashing."""
+    out = str(tmp_path / "enc_bad")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    victim = sorted(load_manifest(out))[1]
+    p = os.path.join(out, load_manifest(out)[victim].chunk_file)
+    with open(p, "r+b") as f:
+        f.write(b"XXXX")  # clobber the RDE1 magic
+    ver = verify_job(out)
+    assert ver["partitions"] == 4 and ver["ok"] == 3
+    assert len(ver["failed"]) == 1
+    assert ver["failed"][0]["partition_id"] == victim
+    assert "RDE1" in ver["failed"][0]["err"]
