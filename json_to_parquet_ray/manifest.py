@@ -64,9 +64,17 @@ class PartitionRecord:
         return json.dumps(asdict(self), sort_keys=True)
 
     @property
+    def source_fragments(self) -> list[dict]:
+        """The input fragments this chunk covers — one for a plain record,
+        several for a compacted (merged) chunk."""
+        if "merged" in self.fragment:
+            return list(self.fragment["merged"])
+        return [self.fragment]
+
+    @property
     def sort_key(self) -> tuple:
-        return (self.fragment["path"], self.fragment["row_group"],
-                self.fragment.get("row_start", 0))
+        f = self.source_fragments[0]
+        return (f["path"], f["row_group"], f.get("row_start", 0))
 
 
 MANIFEST_SHARD = 4096  # hash-prefix shard dirs — keeps any one directory

@@ -22,6 +22,7 @@ bit-identical output under Ray task retry).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import asdict
@@ -249,12 +250,16 @@ def encode_job(
         # partition ids are content-addressed (FragmentRef.frag_hash), so
         # appending input files never shifts existing ids; a completed
         # partition is reusable iff its FULL recorded fragment matches
-        # this run's fragment (guards hash/basename collisions too)
-        by_hash = {f.frag_hash: f for f in frags}
+        # this run's fragment (guards hash/basename collisions too).
+        # Compacted records cover SEVERAL source fragments — all of them
+        # count as done while the merged chunk is intact.
+        by_frag = {json.dumps(asdict(f), sort_keys=True): f.frag_hash
+                   for f in frags}
         for pid in complete:
-            f = by_hash.get(pid)
-            if f is not None and prior[pid].fragment == asdict(f):
-                done.add(pid)
+            for src in prior[pid].source_fragments:
+                h = by_frag.get(json.dumps(src, sort_keys=True))
+                if h is not None:
+                    done.add(h)
     work = [
         {"partition_id": f.frag_hash, "path": f.path, "row_group": f.row_group,
          "num_rows": f.num_rows, "row_start": f.row_start}
@@ -351,7 +356,7 @@ def encode_job(
     }
     write_atomic(
         os.path.join(out_dir, "_manifest", "job.json"),
-        __import__("json").dumps(plan_note, indent=1).encode(),
+        json.dumps(plan_note, indent=1).encode(),
     )
     return plan_note
 
@@ -422,6 +427,109 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     )
 
 
+def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
+    """Merge runs of small chunks into bigger ones (manifest rewrite).
+
+    Consecutive (input-order) chunks are greedily grouped until the group
+    reaches ``min_rows``; each group decodes its member chunks, re-encodes
+    the concatenation with a fresh codec plan, and commits ONE merged
+    record whose ``fragment`` lists all covered source fragments — so
+    verify/resume/decode-order keep working (resume marks every covered
+    fragment done). Old records+chunks are deleted only after the merged
+    chunk is durable; a crash mid-compaction leaves either the old or the
+    new state valid. Merging runs distributed (one task per group)."""
+    import hashlib
+
+    import ray
+
+    manifest = load_manifest(out_dir)
+    recs = sorted(manifest.values(), key=lambda r: r.sort_key)
+    groups: list[list[PartitionRecord]] = []
+    cur: list[PartitionRecord] = []
+    cur_rows = 0
+    for rec in recs:
+        if rec.num_rows >= min_rows:
+            if len(cur) > 1:
+                groups.append(cur)
+            cur, cur_rows = [], 0
+            continue
+        cur.append(rec)
+        cur_rows += rec.num_rows
+        if cur_rows >= min_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if len(cur) > 1:
+        groups.append(cur)
+    groups = [g for g in groups if len(g) > 1]
+    if not groups:
+        return {"groups": 0, "chunks_before": len(recs),
+                "chunks_after": len(recs)}
+
+    items = [{"group": json.dumps([
+        {"chunk": os.path.join(out_dir, r.chunk_file),
+         "sources": r.source_fragments, "partition_id": r.partition_id}
+        for r in g])} for g in groups]
+
+    def merge(batch: pa.Table) -> pa.Table:
+        from ..manifest import shard_of
+
+        out = []
+        for gjson in batch.column("group").to_pylist():
+            members = json.loads(gjson)
+            t0 = time.time()
+            tables = []
+            sources: list[dict] = []
+            for m in members:
+                with open(m["chunk"], "rb") as f:
+                    tables.append(decode_table(f.read(), verify_crc=True))
+                sources.extend(m["sources"])
+            merged = pa.concat_tables(tables).combine_chunks()
+            stats = compute_stats_table(merged)
+            plan = plan_from_stats(stats, merged.schema)
+            blob, header = encode_table(merged, plan)
+            sid = ";".join(
+                f"{os.path.basename(s['path'])}#rg{s['row_group']}"
+                f"[{s.get('row_start', 0)}+{s['num_rows']}]" for s in sources)
+            pid = hashlib.sha1(sid.encode()).hexdigest()[:16]
+            chunk_file = os.path.join(shard_of(pid), f"part-{pid}.rde")
+            write_atomic(os.path.join(out_dir, chunk_file), blob)
+            rec = PartitionRecord(
+                partition_id=pid,
+                fragment={"merged": sources},
+                num_rows=merged.num_rows,
+                chunk_file=chunk_file,
+                chunk_size=len(blob),
+                columns=[{"name": c["name"], "codec": c["codec"],
+                          "size": c["size"], "offset": c["offset"],
+                          "crc32": c["crc32"],
+                          **_zone_maps(merged).get(c["name"], {})}
+                         for c in header["columns"]],
+                wall_time_s=time.time() - t0,
+            )
+            write_record(out_dir, rec)
+            out.append({"partition_id": pid, "merged_n": len(members),
+                        "num_rows": merged.num_rows})
+        return pa.Table.from_pylist(out)
+
+    results = ray.data.from_items(items).map_batches(
+        merge, batch_size=1, batch_format="pyarrow").take_all()
+
+    # all merged chunks durable → retire the old records and chunk files
+    from ..manifest import record_path
+
+    for g in groups:
+        for r in g:
+            try:
+                os.remove(record_path(out_dir, r.partition_id))
+                os.remove(os.path.join(out_dir, r.chunk_file))
+            except OSError:
+                pass
+    return {"groups": len(groups),
+            "chunks_before": len(recs),
+            "chunks_after": len(recs) - sum(len(g) for g in groups) + len(groups),
+            "merged": results}
+
+
 def verify_job(out_dir: str) -> dict:
     """Distributed bit-identical verification: decode every chunk and compare
     against its recorded input fragment. Returns {partitions, ok, failed:[...]}.
@@ -432,8 +540,7 @@ def verify_job(out_dir: str) -> dict:
     items = [
         {"partition_id": rec.partition_id,
          "chunk": os.path.join(out_dir, rec.chunk_file),
-         "path": rec.fragment["path"], "row_group": rec.fragment["row_group"],
-         "row_start": rec.fragment.get("row_start", 0),
+         "sources": json.dumps(rec.source_fragments),  # ≥2 if compacted
          "num_rows": rec.num_rows}
         for rec in sorted(manifest.values(), key=lambda r: r.sort_key)
     ]
@@ -446,10 +553,15 @@ def verify_job(out_dir: str) -> dict:
             try:
                 with open(item["chunk"], "rb") as f:
                     decoded = decode_table(f.read(), verify_crc=True)
-                original = pq.ParquetFile(item["path"]).read_row_group(
-                    item["row_group"])
-                original = original.slice(item["row_start"], item["num_rows"])
-                ok = decoded.equals(original.cast(decoded.schema))
+                parts = []
+                for src in json.loads(item["sources"]):
+                    t = pq.ParquetFile(src["path"]).read_row_group(
+                        src["row_group"])
+                    parts.append(t.slice(src.get("row_start", 0),
+                                         src["num_rows"]))
+                original = pa.concat_tables(parts)
+                ok = decoded.equals(original.cast(decoded.schema)
+                                    .combine_chunks())
                 err = None if ok else "decoded rows differ from source"
             except (ValueError, IOError, OSError, pa.ArrowInvalid) as e:
                 ok, err = False, f"{type(e).__name__}: {e}"

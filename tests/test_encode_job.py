@@ -372,3 +372,30 @@ def test_verify_job_reports_corrupt_chunk(ray_session, cc_parquet, tmp_path):
     assert len(ver["failed"]) == 1
     assert ver["failed"][0]["partition_id"] == victim
     assert "RDE1" in ver["failed"][0]["err"]
+
+
+def test_compact_job_merges_small_chunks(ray_session, tmp_path):
+    """Compaction merges consecutive small chunks; verify, decode order,
+    and resume (all covered fragments count as done) keep working."""
+    from json_to_parquet_ray.pipelines.encode_job import compact_job
+
+    src = str(tmp_path / "many_rg.parquet")
+    write_cc_parquet(src, 2000, seed=17, row_group_size=250)  # 8 small rgs
+    out = str(tmp_path / "enc_cmp")
+    encode_job(src, out, shared_dict_columns=None)
+    assert len(load_manifest(out)) == 8
+
+    res = compact_job(out, min_rows=1000)  # 4 chunks of 250 per group
+    assert res["groups"] == 2 and res["chunks_after"] == 2
+    assert len(load_manifest(out)) == 2
+    assert verify_job(out)["failed"] == []
+
+    # decode order still equals input order
+    got = decode_dataset(out, columns=["url"]).take_all()
+    exp = pq.read_table(src, columns=["url"]).column("url").to_pylist()
+    assert [r["url"] for r in got] == exp
+
+    # resume: every source fragment is covered by the merged chunks
+    s = encode_job(src, out, shared_dict_columns=None)
+    assert s["partitions_skipped_resume"] == 8
+    assert s["partitions_encoded"] == 0
