@@ -139,6 +139,36 @@ def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
     return out
 
 
+def effective_records(out_dir: str) -> list[PartitionRecord]:
+    """Manifest reconciliation: the records to READ, in input order, with
+    overlap resolved. A crash between a compaction's merged-record commit
+    and the retirement of the old records leaves a fragment covered by
+    BOTH — decoding both would duplicate rows. Resolution: prefer merged
+    records (they are newer by construction), accept a merged record only
+    if it is complete and none of its fragments is already claimed, then
+    accept plain records for still-unclaimed fragments."""
+    recs = sorted(load_manifest(out_dir).values(), key=lambda r: r.sort_key)
+
+    def frag_key(f: dict) -> str:
+        return json.dumps(f, sort_keys=True)
+
+    claimed: set[str] = set()
+    chosen: list[PartitionRecord] = []
+    for pass_merged in (True, False):
+        for rec in recs:
+            merged = "merged" in rec.fragment
+            if merged is not pass_merged:
+                continue
+            keys = [frag_key(f) for f in rec.source_fragments]
+            if any(k in claimed for k in keys):
+                continue
+            if merged and not is_complete(out_dir, rec):
+                continue  # torn merged chunk → fall back to plain records
+            claimed.update(keys)
+            chosen.append(rec)
+    return sorted(chosen, key=lambda r: r.sort_key)
+
+
 def is_complete(out_dir: str, rec: PartitionRecord) -> bool:
     """A partition is complete iff its chunk file exists with the recorded size."""
     p = os.path.join(out_dir, rec.chunk_file)

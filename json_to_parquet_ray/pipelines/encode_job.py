@@ -36,6 +36,7 @@ from ..manifest import (
     FragmentRef,
     PartitionRecord,
     completed_partitions,
+    effective_records,
     load_manifest,
     write_atomic,
     write_record,
@@ -106,8 +107,7 @@ def zone_prune(out_dir: str, zone_filter: dict) -> tuple[list, int]:
     order, number skipped). ``zone_filter``: {col: (lo, hi)} inclusive;
     a chunk survives iff every filtered column's zone overlaps [lo, hi]
     (chunks without a zone map for the column conservatively survive)."""
-    manifest = load_manifest(out_dir)
-    recs = sorted(manifest.values(), key=lambda r: r.sort_key)
+    recs = effective_records(out_dir)
     keep, skipped = [], 0
     for rec in recs:
         zones = {c["name"]: c for c in rec.columns}
@@ -379,10 +379,11 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     if zone_filter:
         recs, _ = zone_prune(out_dir, zone_filter)
     else:
-        manifest = load_manifest(out_dir)
         # input order is recomputed from the recorded fragment identity
-        # (path, row_group, row_start) — stable under appends, unlike ids
-        recs = sorted(manifest.values(), key=lambda r: r.sort_key)
+        # (path, row_group, row_start) — stable under appends, unlike ids;
+        # effective_records resolves merged/plain overlap after a crashed
+        # compaction
+        recs = effective_records(out_dir)
     items = [{"path": os.path.join(out_dir, rec.chunk_file)} for rec in recs]
     # decode is the ordering-sensitive pipeline (bit-identical round-trip
     # preserves input row order); Ray's streaming executor reorders output
@@ -442,8 +443,7 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
 
     import ray
 
-    manifest = load_manifest(out_dir)
-    recs = sorted(manifest.values(), key=lambda r: r.sort_key)
+    recs = effective_records(out_dir)
     groups: list[list[PartitionRecord]] = []
     cur: list[PartitionRecord] = []
     cur_rows = 0
@@ -536,13 +536,12 @@ def verify_job(out_dir: str) -> dict:
     """
     import ray
 
-    manifest = load_manifest(out_dir)
     items = [
         {"partition_id": rec.partition_id,
          "chunk": os.path.join(out_dir, rec.chunk_file),
          "sources": json.dumps(rec.source_fragments),  # ≥2 if compacted
          "num_rows": rec.num_rows}
-        for rec in sorted(manifest.values(), key=lambda r: r.sort_key)
+        for rec in effective_records(out_dir)
     ]
 
     def check(batch: pa.Table) -> pa.Table:

@@ -399,3 +399,47 @@ def test_compact_job_merges_small_chunks(ray_session, tmp_path):
     s = encode_job(src, out, shared_dict_columns=None)
     assert s["partitions_skipped_resume"] == 8
     assert s["partitions_encoded"] == 0
+
+
+def test_compaction_crash_window_no_duplicates(ray_session, tmp_path):
+    """If a crash leaves BOTH a merged record and its covered plain
+    records in the manifest, decode/verify must not duplicate rows
+    (effective_records prefers the merged record)."""
+    import shutil as _sh
+
+    from json_to_parquet_ray.manifest import effective_records, record_path
+    from json_to_parquet_ray.pipelines.encode_job import compact_job
+
+    src = str(tmp_path / "cw.parquet")
+    write_cc_parquet(src, 1000, seed=23, row_group_size=250)  # 4 chunks
+    out = str(tmp_path / "enc_cw")
+    encode_job(src, out, shared_dict_columns=None)
+    before = load_manifest(out)
+    # stash copies of all plain records + chunks, then compact
+    stash = {pid: (record_path(out, pid), os.path.join(out, r.chunk_file))
+             for pid, r in before.items()}
+    backup = {}
+    for pid, (rp, cp) in stash.items():
+        backup[pid] = (open(rp, "rb").read(), open(cp, "rb").read())
+    compact_job(out, min_rows=1000)
+    # simulate the crash window: restore two of the retired plain records
+    for pid in sorted(backup)[:2]:
+        rp, cp = stash[pid]
+        os.makedirs(os.path.dirname(rp), exist_ok=True)
+        os.makedirs(os.path.dirname(cp), exist_ok=True)
+        open(rp, "wb").write(backup[pid][0])
+        open(cp, "wb").write(backup[pid][1])
+    assert len(load_manifest(out)) > len(effective_records(out))
+    got = decode_dataset(out, columns=["url"]).take_all()
+    exp = pq.read_table(src, columns=["url"]).column("url").to_pylist()
+    assert [r["url"] for r in got] == exp  # no duplication, order intact
+    assert verify_job(out)["failed"] == []
+    # and if the MERGED chunk is torn, the plain records take over
+    merged = [r for r in effective_records(out) if "merged" in r.fragment]
+    if merged:
+        mp = os.path.join(out, merged[0].chunk_file)
+        with open(mp, "r+b") as f:
+            f.truncate(50)
+        eff = effective_records(out)
+        assert all("merged" not in r.fragment or
+                   os.path.join(out, r.chunk_file) != mp for r in eff)

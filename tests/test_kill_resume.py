@@ -62,3 +62,54 @@ def test_kill9_mid_encode_then_resume(tmp_path):
     )
     assert ver.returncode == 0, ver.stderr[-2000:]
     assert json.loads(ver.stdout.strip().splitlines()[-1])["failed"] == []
+
+
+def test_lifecycle_torture_append_kill_compact(ray_session, tmp_path):
+    """Randomized (seeded) op sequence — append input file, delete a
+    random manifest record (simulated crash), compact, resume-encode —
+    must always converge to a fully-verified store whose decode order
+    equals the input order."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from json_to_parquet_ray.fixtures import write_cc_parquet
+    from json_to_parquet_ray.manifest import load_manifest, record_path
+    from json_to_parquet_ray.pipelines.encode_job import (
+        compact_job, decode_dataset, encode_job, verify_job,
+    )
+
+    rng = random.Random(99)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "enc_torture")
+    names = ["m.parquet"]
+    write_cc_parquet(str(indir / "m.parquet"), 750, seed=0, row_group_size=250)
+    encode_job(str(indir), out, shared_dict_columns=None)
+
+    for step in range(8):
+        op = rng.choice(["append", "kill", "compact", "encode"])
+        if op == "append":
+            nm = f"{rng.choice('abz')}{step}.parquet"  # sorts before or after
+            names.append(nm)
+            write_cc_parquet(str(indir / nm), 500, seed=step + 1,
+                             row_group_size=250)
+        elif op == "kill":
+            recs = load_manifest(out)
+            if recs:
+                pid = rng.choice(sorted(recs))
+                os.remove(os.path.join(out, recs[pid].chunk_file))
+                os.remove(record_path(out, pid))
+        elif op == "compact":
+            compact_job(out, min_rows=600)
+        encode_job(str(indir), out, shared_dict_columns=None)
+
+    encode_job(str(indir), out, shared_dict_columns=None)
+    assert verify_job(out)["failed"] == []
+    got = [r["url"] for r in decode_dataset(out, columns=["url"]).take_all()]
+    import pyarrow as pa
+
+    exp = pa.concat_tables([
+        pq.read_table(str(indir / n), columns=["url"])
+        for n in sorted(names)]).column("url").to_pylist()
+    assert got == exp
