@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="COLUMN:LO:HI inclusive range; chunks whose zone "
                           "maps miss the range are never opened")
 
+    cmp = sub.add_parser("compact", help="merge small chunks (manifest rewrite)")
+    cmp.add_argument("out_dir")
+    cmp.add_argument("--min-rows", type=int, default=100_000)
+
     st = sub.add_parser("stats", help="per-column statistics of parquet input")
     st.add_argument("inputs", nargs="+")
 
@@ -99,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
                             None if hi == "" else float(hi) if "." in hi else int(hi))}
             decode_dataset(args.out_dir, zone_filter=zf).write_parquet(args.parquet_out)
             print(json.dumps({"out": args.parquet_out}))
+        elif args.cmd == "compact":
+            from .pipelines.encode_job import compact_job
+
+            res = compact_job(args.out_dir, min_rows=args.min_rows)
+            res.pop("merged", None)
+            print(json.dumps(res))
         elif args.cmd == "stats":
             from .stats import compute_stats
 
