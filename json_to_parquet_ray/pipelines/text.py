@@ -101,6 +101,56 @@ class LangId:
                 .append_column("lang_conf", pa.array(conf, pa.float64())))
 
 
+# ------------------------------------------------------------- redaction
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def redact_batch(batch: pa.Table, col: str = "text",
+                 token: str = "<EMAIL>") -> pa.Table:
+    """PII-style redaction: replace email-shaped substrings with a token.
+    Single RE2 kernel pass — the same regex runs verbatim in the SQL
+    oracle's regexp_replace."""
+    red = pc.replace_substring_regex(batch.column(col), EMAIL_RE, token)
+    idx = batch.column_names.index(col)
+    return batch.set_column(idx, col, red)
+
+
+# ----------------------------------------------------- repetition ratio
+
+
+def repetition_ratio_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition signal: 1 - distinct_words/words per doc.
+    Fully vectorized: per-doc distincts come from one np.unique over
+    (doc_index, token_id) pairs — no per-row Python."""
+    toks = pc.split_pattern_regex(batch.column(col).fill_null(""), r"\s+")
+    toks = toks.combine_chunks()
+    flat = toks.flatten()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "")
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    flat = flat.filter(nonempty)
+    ends = np.cumsum(counts)
+    kept_prefix = (np.concatenate([[0], np.cumsum(ne)])
+                   if len(ne) else np.zeros(1, np.int64))
+    kept_counts = np.diff(np.concatenate(
+        [[0], kept_prefix[ends] if len(counts) else []])).astype(np.int64)
+
+    n = len(batch)
+    distinct = np.zeros(n, np.int64)
+    if len(flat):
+        uniq = pc.unique(flat)
+        tid = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n), kept_counts)
+        pair = doc_of.astype(np.int64) * len(uniq) + tid
+        updoc = np.unique(pair) // len(uniq)
+        distinct = np.bincount(updoc, minlength=n).astype(np.int64)
+    ratio = np.where(kept_counts > 0,
+                     1.0 - distinct / np.maximum(kept_counts, 1), 0.0)
+    return (batch
+            .append_column("rep_ratio", pa.array(ratio, pa.float64())))
+
+
 # ------------------------------------------------------------- fingerprints
 
 

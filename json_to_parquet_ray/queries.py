@@ -73,6 +73,14 @@ def q_roundtrip_embeddings(sf_dir: str):
     return _roundtrip_ds(sf_dir, "embeddings")
 
 
+def q_roundtrip_orders(sf_dir: str):
+    return _roundtrip_ds(sf_dir, "orders")  # timestamp + mixed-type coverage
+
+
+def q_roundtrip_part(sf_dir: str):
+    return _roundtrip_ds(sf_dir, "part")  # int32 + double + string coverage
+
+
 def q_roundtrip_documents_pruned(sf_dir: str):
     """Encode the full table, decode ONLY two columns via seek-based
     byte-range reads — proves I/O-level column pruning is lossless."""
@@ -686,6 +694,32 @@ def q_events_sliding_window(sf_dir: str):
     return df
 
 
+def q_redact_emails(sf_dir: str):
+    """Email redaction over text with deterministically PLANTED emails
+    (the synthetic corpus has none): both sides append
+    ' contact: user<doc_id>@example.com' before redacting, so the regex
+    replacement is genuinely exercised."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant_and_redact(b: pa.Table) -> pa.Table:
+        planted = pc.binary_join_element_wise(
+            b.column("text").cast(pa.string()),
+            pc.binary_join_element_wise(
+                pa.array(["contact: user"] * len(b)),
+                b.column("doc_id").cast(pa.string()), "@example.com", ""),
+            " ")
+        t = pa.table({"doc_id": b.column("doc_id"), "text": planted})
+        return text.redact_batch(t)
+
+    return ds.map_batches(plant_and_redact, batch_format="pyarrow")
+
+
+def q_repetition_ratio(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text.repetition_ratio_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "rep_ratio"])
+
+
 def q_lang_source_pivot(sf_dir: str):
     """Pivot: documents counted per source x lang as wide columns —
     conditional-sum combiner per batch, tiny groupby merge."""
@@ -795,6 +829,8 @@ QUERIES = {
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_embeddings": q_roundtrip_embeddings,
+    "roundtrip_orders": q_roundtrip_orders,
+    "roundtrip_part": q_roundtrip_part,
     "roundtrip_documents_pruned": q_roundtrip_documents_pruned,
     "stats_documents": q_stats_documents,
     "codec_plan_documents": q_codec_plan_documents,
@@ -826,6 +862,8 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "asof_latest_order": q_asof_latest_order,
     "union_distinct_nations": q_union_distinct_nations,
+    "redact_emails": q_redact_emails,
+    "repetition_ratio": q_repetition_ratio,
     "lang_source_pivot": q_lang_source_pivot,
     "user_running_value": q_user_running_value,
     "normalize_text": q_normalize_text,
@@ -843,6 +881,8 @@ ORACLE_SQL = {
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
+    "roundtrip_orders": "SELECT * FROM orders",
+    "roundtrip_part": "SELECT * FROM part",
     "roundtrip_documents_pruned": "SELECT doc_id, lang FROM documents",
     "stats_documents": (
         "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT lang) AS lang_card, "
@@ -1099,6 +1139,20 @@ ORACLE_SQL = {
         "  CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming "
         "FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id "
         "WHERE bit_count(xor(x.s, y.s)) <= 3 ORDER BY a, b"
+    ),
+    "redact_emails": (
+        "SELECT doc_id, regexp_replace("
+        "  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com',"
+        "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
+        " AS text FROM documents"
+    ),
+    "repetition_ratio": (
+        "SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0 ELSE"
+        "  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END"
+        " AS rep_ratio FROM ("
+        "  SELECT doc_id, list_filter("
+        "    regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks"
+        "  FROM documents)"
     ),
     "lang_source_pivot": (
         "SELECT source, "

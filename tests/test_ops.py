@@ -261,3 +261,24 @@ def test_ivf_partition_pruned_index(ray_session, tmp_path):
     # the query vector's own bucket is always probed first → self-hit
     top0 = out[out.query_id == 0].iloc[0]
     assert top0["vec_id"] == 0
+
+
+def test_redact_batch():
+    t = pa.table({"text": pa.array(
+        ["mail me at a.b+c@foo-bar.example.org today",
+         "no emails here", "two x@y.io and z@w.co"])})
+    out = text.redact_batch(t).column("text").to_pylist()
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "no emails here"
+    assert out[2] == "two <EMAIL> and <EMAIL>"
+
+
+def test_repetition_ratio_batch():
+    t = pa.table({"text": pa.array(
+        ["a a a a", "a b c d", "", "a b a b", None])})
+    out = text.repetition_ratio_batch(t).column("rep_ratio").to_pylist()
+    assert out[0] == pytest.approx(0.75)
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == pytest.approx(0.5)
+    assert out[4] == 0.0
