@@ -1013,6 +1013,9 @@ ORACLE_SQL = {
     ),
     # Golden plan: codec auto-selection is deterministic (seeded sampling)
     # — the expected per-column choice and sampled ratio on sf0.01.
+    # NOTE: this golden (like ann_ivf_recall's) is tied to the sf0.01
+    # tables the driver's correctness gate runs on; at other scales the
+    # sampled ratios differ by design.
     "codec_plan_documents": (
         "SELECT * FROM (VALUES "
         "('doc_id', 'delta', 0.0372), "
