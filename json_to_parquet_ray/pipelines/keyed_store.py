@@ -1,0 +1,133 @@
+"""Key-partitioned encoded store: rows shuffle-partitioned by a column,
+HOT keys salted across sub-partitions, one encoded chunk per partition.
+
+This is the north rule's skew handling applied at the storage layer
+(BASELINE.json: "salted groupby/repartition" for heavy-hitter keys):
+
+1. an exact, skew-safe per-key count (``salted_group_count`` combiner)
+   finds hot keys,
+2. every row gets a partition key ``key`` or ``key#s<salt>`` (salt =
+   deterministic hash of ``salt_col`` — retry-stable), so a hot key's
+   rows spread over several reducers/chunks instead of one giant group,
+3. ``groupby(_pkey)`` co-locates each partition; the group encodes as
+   one chunk (rows sorted by ``salt_col`` for byte-deterministic
+   retries) with its own manifest record carrying the key value.
+
+Reads prune at the manifest: ``keyed_read(out_dir, keys=[...])`` opens
+ONLY the requested keys' chunks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..encode import decode_table, encode_table
+from ..manifest import write_atomic
+
+_SALT_MUL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_keyed_manifest")
+
+
+def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
+                 hot_threshold: int = 1_000_000, salt_buckets: int = 8) -> dict:
+    """Encode ``ds`` into one chunk per (key[, salt]) partition.
+
+    ``salt_col`` must be a numeric id column; it drives both the
+    deterministic hot-key salt and the within-chunk row order (so Ray
+    task retries produce byte-identical chunks)."""
+    import ray
+
+    from ..shuffle import salted_group_count
+
+    counts = salted_group_count(ds, key_col).to_pandas()
+    hot = sorted(counts[counts["count"] > hot_threshold]["value"].tolist())
+    hot_ref = ray.put(set(hot))
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pandas().astype(str)
+        sv = b.column(salt_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = ((sv * _SALT_MUL) >> np.uint64(32)).astype(np.int64) % salt_buckets
+        hotset = ray.get(hot_ref)
+        pkey = [f"{k}#s{s}" if k in hotset else str(k)
+                for k, s in zip(keys, salt)]
+        return b.append_column("_pkey", pa.array(pkey, pa.string()))
+
+    keyed = ds.map_batches(add_pkey, batch_format="pyarrow")
+
+    def encode_group(g: pa.Table) -> pa.Table:
+        pkey = g.column("_pkey")[0].as_py()
+        key = pkey.split("#s")[0]
+        body = (g.drop_columns(["_pkey"])
+                .sort_by([(salt_col, "ascending")]).combine_chunks())
+        blob, header = encode_table(body)
+        pid = hashlib.sha1(pkey.encode()).hexdigest()[:16]
+        chunk_file = os.path.join(f"shard-{pid[:3]}", f"part-{pid}.rde")
+        write_atomic(os.path.join(out_dir, chunk_file), blob)
+        rec = {"partition_id": pid, "key": key, "pkey": pkey,
+               "num_rows": body.num_rows, "chunk_file": chunk_file,
+               "chunk_size": len(blob)}
+        write_atomic(os.path.join(_manifest_dir(out_dir), f"{pid}.json"),
+                     json.dumps(rec, sort_keys=True).encode())
+        return pa.table({"pkey": pa.array([pkey]),
+                         "num_rows": pa.array([body.num_rows], pa.int64()),
+                         "chunk_bytes": pa.array([len(blob)], pa.int64())})
+
+    summary = keyed.groupby("_pkey").map_groups(
+        encode_group, batch_format="pyarrow").to_pandas()
+    return {"partitions": len(summary),
+            "hot_keys": hot,
+            "rows": int(summary["num_rows"].sum()),
+            "chunk_bytes": int(summary["chunk_bytes"].sum())}
+
+
+def keyed_manifest(out_dir: str) -> list[dict]:
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+        except json.JSONDecodeError:
+            continue  # torn record → that partition is simply absent
+    return out
+
+
+def keyed_read(out_dir: str, keys: list | None = None):
+    """Ray Dataset over the store; with ``keys`` given, only those keys'
+    chunks are OPENED (manifest-level pruning). Returns (dataset, io)."""
+    import ray
+
+    recs = keyed_manifest(out_dir)
+    total = len(recs)
+    if keys is not None:
+        want = {str(k) for k in keys}
+        recs = [r for r in recs if r["key"] in want]
+    items = [{"path": os.path.join(out_dir, r["chunk_file"])}
+             for r in sorted(recs, key=lambda r: r["pkey"])]
+
+    def decode_item(batch: pa.Table) -> pa.Table:
+        tables = []
+        for path in batch.column("path").to_pylist():
+            with open(path, "rb") as f:
+                tables.append(decode_table(f.read(), verify_crc=True))
+        return pa.concat_tables(tables)
+
+    if not items:
+        return ray.data.from_pandas(pd.DataFrame()), {
+            "chunks_read": 0, "chunks_total": total}
+    ds = ray.data.from_items(items).map_batches(
+        decode_item, batch_size=1, batch_format="pyarrow")
+    return ds, {"chunks_read": len(items), "chunks_total": total}

@@ -694,6 +694,28 @@ def q_events_sliding_window(sf_dir: str):
     return df
 
 
+def q_keyed_store_en(sf_dir: str):
+    """Key-partitioned encoded store: documents shuffle-partitioned by
+    lang with hot keys ('en' at this scale) SALTED across sub-chunks;
+    reading key='en' opens only that key's chunks (asserted) and matches
+    a plain SQL predicate."""
+    import shutil
+    import tempfile
+
+    from .pipelines import keyed_store
+
+    out = os.path.join(tempfile.gettempdir(),
+                       f"jtpr_ks_{abs(hash(os.path.abspath(sf_dir))) % 999983}")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "documents")
+    s = keyed_store.keyed_encode(ds, out, key_col="lang", salt_col="doc_id",
+                                 hot_threshold=100, salt_buckets=4)
+    assert "en" in s["hot_keys"], s  # 'en' dominates → must be salted
+    sub, io = keyed_store.keyed_read(out, keys=["en"])
+    assert 1 < io["chunks_read"] < io["chunks_total"], io  # salted + pruned
+    return sub
+
+
 def q_redact_emails(sf_dir: str):
     """Email redaction over text with deterministically PLANTED emails
     (the synthetic corpus has none): both sides append
@@ -862,6 +884,7 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "asof_latest_order": q_asof_latest_order,
     "union_distinct_nations": q_union_distinct_nations,
+    "keyed_store_en": q_keyed_store_en,
     "redact_emails": q_redact_emails,
     "repetition_ratio": q_repetition_ratio,
     "lang_source_pivot": q_lang_source_pivot,
@@ -1143,6 +1166,7 @@ ORACLE_SQL = {
         "FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id "
         "WHERE bit_count(xor(x.s, y.s)) <= 3 ORDER BY a, b"
     ),
+    "keyed_store_en": "SELECT * FROM documents WHERE lang = 'en'",
     "redact_emails": (
         "SELECT doc_id, regexp_replace("
         "  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com',"

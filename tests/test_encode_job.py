@@ -443,3 +443,43 @@ def test_compaction_crash_window_no_duplicates(ray_session, tmp_path):
         eff = effective_records(out)
         assert all("merged" not in r.fragment or
                    os.path.join(out, r.chunk_file) != mp for r in eff)
+
+
+def test_keyed_store_salting_pruning_determinism(ray_session, tmp_path):
+    """Keyed store: hot keys salt into multiple chunks, key reads prune,
+    and re-encoding produces byte-identical chunks (retry safety)."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import keyed_store
+
+    n = 1200
+    langs = ["en"] * 900 + ["de"] * 200 + ["fr"] * 100  # 'en' is hot
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "lang": pa.array(langs),
+                  "text": pa.array([f"doc {i}" for i in range(n)])})
+    out = str(tmp_path / "ks")
+    s = keyed_store.keyed_encode(ray.data.from_arrow(t), out,
+                                 key_col="lang", salt_col="doc_id",
+                                 hot_threshold=300, salt_buckets=4)
+    assert s["hot_keys"] == ["en"]
+    assert s["rows"] == n
+    recs = keyed_store.keyed_manifest(out)
+    en_chunks = [r for r in recs if r["key"] == "en"]
+    assert len(en_chunks) == 4          # salted across 4 sub-chunks
+    assert len([r for r in recs if r["key"] == "de"]) == 1
+
+    sub, io = keyed_store.keyed_read(out, keys=["de"])
+    got = sub.to_pandas()
+    assert io == {"chunks_read": 1, "chunks_total": 6}
+    assert sorted(got["doc_id"]) == list(range(900, 1100))
+
+    # retry determinism: a second encode into a fresh dir yields
+    # byte-identical chunk files
+    out2 = str(tmp_path / "ks2")
+    keyed_store.keyed_encode(ray.data.from_arrow(t), out2,
+                             key_col="lang", salt_col="doc_id",
+                             hot_threshold=300, salt_buckets=4)
+    for r in recs:
+        a = open(os.path.join(out, r["chunk_file"]), "rb").read()
+        b = open(os.path.join(out2, r["chunk_file"]), "rb").read()
+        assert a == b
