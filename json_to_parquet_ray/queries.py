@@ -694,6 +694,33 @@ def q_events_sliding_window(sf_dir: str):
     return df
 
 
+def q_order_lineitem_join(sf_dir: str):
+    """Distributed partitioned hash join (both sides 'large' — neither is
+    broadcast): orders ⋈ lineitem on orderkey, then quantity totals per
+    order priority. One all-to-all exchange; per-bucket C-speed merges."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    joined = hash_join(orders, items, on="o_orderkey", right_on="l_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+        return g
+
+    parts = joined.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("o_orderpriority").aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("n", alias_name="n_items"))
+    df = out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["n_items"] = df["n_items"].astype("int64")
+    return df
+
+
 def q_keyed_store_en(sf_dir: str):
     """Key-partitioned encoded store: documents shuffle-partitioned by
     lang with hot keys ('en' at this scale) SALTED across sub-chunks;
@@ -884,6 +911,7 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "asof_latest_order": q_asof_latest_order,
     "union_distinct_nations": q_union_distinct_nations,
+    "order_lineitem_join": q_order_lineitem_join,
     "keyed_store_en": q_keyed_store_en,
     "redact_emails": q_redact_emails,
     "repetition_ratio": q_repetition_ratio,
@@ -1165,6 +1193,12 @@ ORACLE_SQL = {
         "  CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming "
         "FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id "
         "WHERE bit_count(xor(x.s, y.s)) <= 3 ORDER BY a, b"
+    ),
+    "order_lineitem_join": (
+        "SELECT o.o_orderpriority, ROUND(SUM(l.l_quantity), 2) AS sum_qty, "
+        "COUNT(*) AS n_items FROM orders o JOIN lineitem l "
+        "ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
     ),
     "keyed_store_en": "SELECT * FROM documents WHERE lang = 'en'",
     "redact_emails": (

@@ -68,6 +68,70 @@ def salted_group_count(ds, col: str, salt_buckets: int = 8):
     return out
 
 
+def hash_join(left, right, on: str, right_on: str | None = None,
+              how: str = "inner", num_partitions: int | None = None):
+    """Distributed partitioned hash join for two LARGE datasets.
+
+    Both sides are tagged and bucketed by a deterministic hash of the
+    join key; one ``groupby(bucket)`` co-locates matching keys; inside
+    each bucket a C-speed ``pd.merge`` joins the sides. One all-to-all
+    exchange total (the groupby); per-bucket Python cost is O(buckets),
+    not O(rows). Use a broadcast join instead when one side is small.
+
+    Ray's native ``Dataset.join`` fails on empty right partitions (as of
+    2.49), which is why this exists. Column-name collisions aside from
+    the key get pandas' _x/_y suffixes."""
+    import ray
+    from ray.data.aggregate import Count  # noqa: F401  (parity with callers)
+
+    right_on = right_on or on
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def bucket_of(arr: np.ndarray) -> np.ndarray:
+        a = arr.astype(np.uint64, copy=False)
+        return (((a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+                % np.uint64(num_partitions)).astype(np.int64)
+
+    def tag(side: int, key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            return (b.append_column("_bucket", pa.array(bucket_of(k)))
+                    .append_column("_side", pa.array(
+                        np.full(len(b), side, np.int8))))
+        return fn
+
+    lt = left.map_batches(tag(0, on), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_on), batch_format="pyarrow")
+
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols]
+        rg = g[g["_side"] == 1][rcols]
+        # always merge (even empty) so the output frame keeps its columns
+        return lg.merge(rg, left_on=on, right_on=right_on, how=how)
+
+    # union of differently-schemed sides: pad each with the other's columns
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def pad(cols):
+        def fn(b: pa.Table) -> pa.Table:
+            out = {}
+            for c in all_cols:
+                out[c] = (b.column(c) if c in b.column_names
+                          else pa.nulls(len(b)))
+            out["_bucket"] = b.column("_bucket")
+            out["_side"] = b.column("_side")
+            return pa.table(out)
+        return fn
+
+    u = lt.map_batches(pad(lcols), batch_format="pyarrow").union(
+        rt.map_batches(pad(rcols), batch_format="pyarrow"))
+    return u.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
 def heavy_hitters(ds, col: str, k: int = 20, salt_buckets: int = 8) -> pa.Table:
     """Top-k values by count (small result → materialized on the driver)."""
     counts = salted_group_count(ds, col, salt_buckets)

@@ -50,3 +50,25 @@ def test_distinct_values_sorted_deterministic(ray_session):
     v2 = distinct_values(ray.data.from_arrow(t), "k")
     assert v1.to_pylist() == ["a", "b", "c"]
     assert v1.equals(v2)
+
+
+def test_hash_join_inner_and_left(ray_session):
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": ["w", "x", "y", "z"]})
+    right = pd.DataFrame({"rk": [2, 2, 3, 9], "b": [20, 21, 30, 90]})
+    l_ds, r_ds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    inner = hash_join(l_ds, r_ds, on="k", right_on="rk",
+                      num_partitions=4).to_pandas()
+    got = sorted(zip(inner["k"], inner["b"]))
+    assert got == [(2, 20), (2, 21), (3, 30)]
+
+    lj = hash_join(l_ds, r_ds, on="k", right_on="rk", how="left",
+                   num_partitions=4).to_pandas()
+    assert len(lj) == 5  # 1 and 4 survive unmatched
+    unmatched = lj[lj["b"].isna()]["k"].tolist()
+    assert sorted(unmatched) == [1, 4]
