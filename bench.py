@@ -162,7 +162,8 @@ def main() -> None:
                  "token_counts", "exact_dedup", "minhash_dedup", "ann_topk",
                  "source_counts", "sessionize", "grouped_topk",
                  "simhash_pairs", "jaccard_pairs", "embedding_near_dup",
-                 "lang_id", "ann_ivf_recall"]:
+                 "lang_id", "ann_ivf_recall", "order_lineitem_join",
+                 "keyed_store_en", "zonemap_pruned_scan"]:
         fn = QUERIES[name]
         sec, res = timed(lambda fn=fn: fn(SF_DIR))
         if hasattr(res, "count"):
