@@ -142,23 +142,26 @@ def minhash_signatures(arr: pa.Array, perms: int = MINHASH_PERMS,
 
 def minhash_band_rows(batch: pa.Table, col: str = "text", key: str = "doc_id",
                       bands: int = MINHASH_BANDS) -> pa.Table:
-    """Explode each doc into (band_id, band_hash, key) rows for LSH groupby."""
+    """Explode each doc into (bkey, key) rows for the LSH bucket groupby.
+
+    The band id is folded into the bucket hash up front so the shuffle
+    moves exactly two int64 columns per row — half the bytes of carrying
+    (band_id, band_hash) separately."""
     arr = batch.column(col).combine_chunks()
     keys = batch.column(key).to_numpy(zero_copy_only=False)
     sig = minhash_signatures(arr)
     r = MINHASH_PERMS // bands
-    band_ids, band_hashes, out_keys = [], [], []
+    bkeys, out_keys = [], []
     for b in range(bands):
         block = sig[:, b * r : (b + 1) * r]
         bh = np.zeros(len(block), np.uint64)
         for c in range(r):
             bh = bh * np.uint64(0x9E3779B97F4A7C15) + block[:, c]
-        band_ids.append(np.full(len(block), b, np.int64))
-        band_hashes.append(bh.astype(np.int64))
+        bk = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ (np.uint64(b) << np.uint64(56))
+        bkeys.append(bk.astype(np.int64))
         out_keys.append(keys)
     return pa.table({
-        "band_id": pa.array(np.concatenate(band_ids)),
-        "band_hash": pa.array(np.concatenate(band_hashes)),
+        "bkey": pa.array(np.concatenate(bkeys)),
         key: pa.array(np.concatenate(out_keys)),
     })
 
@@ -286,13 +289,7 @@ def _lsh_candidate_pairs_ds(bands, key: str):
     import ray
     from ray.data.aggregate import Count
 
-    def add_bkey(b: pa.Table) -> pa.Table:
-        bh = b.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bid = b.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bkey = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ (bid << np.uint64(56))
-        return b.append_column("bkey", pa.array(bkey.astype(np.int64)))
-
-    keyed = bands.map_batches(add_bkey, batch_format="pyarrow")
+    keyed = bands.materialize()  # consumed twice: count pass + emit pass
     counts = keyed.groupby("bkey").aggregate(Count(alias_name="n"))
     hot = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
@@ -594,33 +591,29 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
     mask = np.uint64((1 << width) - 1)
 
     def band_rows(b: pa.Table) -> pa.Table:
+        # (bkey, key, simhash) only — band id folds into the bucket hash,
+        # halving the bytes the bucket shuffle moves
         sh = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         keys = b.column(key).to_numpy(zero_copy_only=False)
-        bids, bhs, ks = [], [], []
+        bks, ks = [], []
         for band in range(n_bands):
             bits = (sh >> np.uint64(band * width)) & mask
-            bids.append(np.full(len(sh), band, np.int64))
-            bhs.append(bits.astype(np.int64))
+            bk = (bits * np.uint64(0x9E3779B97F4A7C15)) ^ (np.uint64(band) << np.uint64(56))
+            bks.append(bk.astype(np.int64))
             ks.append(keys)
-        return pa.table({"band_id": pa.array(np.concatenate(bids)),
-                         "band_hash": pa.array(np.concatenate(bhs)),
+        return pa.table({"bkey": pa.array(np.concatenate(bks)),
                          key: pa.array(np.concatenate(ks)),
                          "simhash": pa.array(np.tile(sh.astype(np.int64), n_bands))})
 
-    bands = sims.map_batches(band_rows, batch_format="pyarrow")
+    # materialized: the banded rows feed BOTH the collision-count pass and
+    # the emit pass — without pinning, the signature stage would run twice
+    keyed = sims.map_batches(band_rows, batch_format="pyarrow").materialize()
     # collision-bucket prefilter (same pattern as _lsh_candidate_pairs):
     # per-group Python runs only where a band bucket has ≥2 members
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
 
-    def add_bkey(b: pa.Table) -> pa.Table:
-        bh = b.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bid = b.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bkey = (bh * np.uint64(0x9E3779B97F4A7C15)) ^ (bid << np.uint64(56))
-        return b.append_column("bkey", pa.array(bkey.astype(np.int64)))
-
-    keyed = bands.map_batches(add_bkey, batch_format="pyarrow")
     counts = keyed.groupby("bkey").aggregate(Count(alias_name="n"))
     hot = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),

@@ -65,7 +65,9 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
 
     def encode_group(g: pa.Table) -> pa.Table:
         pkey = g.column("_pkey")[0].as_py()
-        key = pkey.split("#s")[0]
+        # recover the key from the DATA, not by parsing pkey (a key value
+        # containing the salt separator must not corrupt key recovery)
+        key = str(g.column(key_col)[0].as_py())
         body = (g.drop_columns(["_pkey"])
                 .sort_by([(salt_col, "ascending")]).combine_chunks())
         blob, header = encode_table(body)
