@@ -350,6 +350,9 @@ def q_schema_infer_conformance(sf_dir: str):
         '{"xs":[{"v":1},{"v":2.5}]}',
         '{"a":[[1,2],[3]]}',
         '{"a":null,"b":1}',
+        '{"o":{"p":{"q":"deep"}}}',              # nested groups (R-group)
+        '{"m":[{"k":1},{"j":"s"}]}',             # key union across peers (N1)
+        '{"s":"he said \\"hi\\" {brace}"}',      # escapes + brace-in-string (Q6)
     ]
     rows = []
     for doc in corpus:
@@ -1086,7 +1089,12 @@ ORACLE_SQL = {
         " 'xs: list<item: struct<v: float>>;   child 0, item: struct<v: float>;       child 0, v: float'), "
         "('{\"a\":[[1,2],[3]]}', "
         " 'a: list<item: int32>;   child 0, item: int32'), "
-        "('{\"a\":null,\"b\":1}', 'b: int32')"
+        "('{\"a\":null,\"b\":1}', 'b: int32'), "
+        "('{\"o\":{\"p\":{\"q\":\"deep\"}}}', "
+        " 'o: struct<p: struct<q: string>>;   child 0, p: struct<q: string>;       child 0, q: string'), "
+        "('{\"m\":[{\"k\":1},{\"j\":\"s\"}]}', "
+        " 'm: list<item: struct<j: string, k: int32>>;   child 0, item: struct<j: string, k: int32>;       child 0, j: string;       child 1, k: int32'), "
+        "('{\"s\":\"he said \\\"hi\\\" {brace}\"}', 's: string')"
         ") AS t(doc, schema)"
     ),
     # Same planted-near-dup augmentation as the Ray side (v + 0.02 for
