@@ -88,15 +88,21 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
 
-    def bucket_of(arr: np.ndarray) -> np.ndarray:
-        a = arr.astype(np.uint64, copy=False)
-        return (((a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
-                % np.uint64(num_partitions)).astype(np.int64)
+    def bucket_of(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        t = col.type
+        if (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_temporal(t)):
+            a = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+            h = a * np.uint64(0x9E3779B97F4A7C15)
+        else:  # strings/binary: vectorized C hash via pandas (siphash)
+            h = pd.util.hash_array(
+                np.asarray(col.to_pandas(), dtype=object), categorize=False)
+        return ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int64)
 
     def tag(side: int, key: str):
         def fn(b: pa.Table) -> pa.Table:
-            k = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            return (b.append_column("_bucket", pa.array(bucket_of(k)))
+            return (b.append_column("_bucket",
+                                    pa.array(bucket_of(b.column(key))))
                     .append_column("_side", pa.array(
                         np.full(len(b), side, np.int8))))
         return fn

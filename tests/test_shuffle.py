@@ -72,3 +72,18 @@ def test_hash_join_inner_and_left(ray_session):
     assert len(lj) == 5  # 1 and 4 survive unmatched
     unmatched = lj[lj["b"].isna()]["k"].tolist()
     assert sorted(unmatched) == [1, 4]
+
+
+def test_hash_join_string_keys(ray_session):
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import hash_join
+
+    left = pd.DataFrame({"name": ["ann", "bob", "cat"], "x": [1, 2, 3]})
+    right = pd.DataFrame({"who": ["bob", "cat", "cat", "dan"],
+                          "y": [20, 30, 31, 40]})
+    out = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="name", right_on="who", num_partitions=4).to_pandas()
+    got = sorted(zip(out["name"], out["y"]))
+    assert got == [("bob", 20), ("cat", 30), ("cat", 31)]
