@@ -13,7 +13,7 @@ Pattern: an actor-pool ``map_batches`` stage with small ``batch_size``
 
 from __future__ import annotations
 
-import zlib
+
 
 import numpy as np
 import pyarrow as pa
@@ -50,26 +50,38 @@ class DecodeMedia:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if self.strict and not self.has_decoder:
             raise NotImplementedError(
                 "media decode requires an image library not present in this "
                 "container; run with strict=False for the deterministic stub")
-        payloads = batch.column(self.payload_col).to_pylist()
-        w, h, nb, ok = [], [], [], []
-        for p in payloads:
-            if p is None:
-                w.append(None); h.append(None); nb.append(0); ok.append(False)
-                continue
-            crc = zlib.crc32(p)
-            w.append(16 + crc % 1024)        # STUB: fake decode dimensions
-            h.append(16 + (crc >> 10) % 1024)
-            nb.append(len(p))
-            ok.append(True)
+        col = batch.column(self.payload_col).combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        lens = pc.binary_length(col).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # STUB fake dimensions from (length, first byte) — vectorized; a
+        # real decoder would replace this (and is inherently per-item)
+        arr = col.cast(pa.large_binary()).fill_null(b"")
+        offs = np.frombuffer(arr.buffers()[1], np.int64, count=len(arr) + 1,
+                             offset=arr.offset * 8)
+        buf = arr.buffers()[2]
+        data = (np.frombuffer(buf, np.uint8)[offs[0]:offs[-1]]
+                if buf is not None else np.zeros(0, np.uint8))
+        offs = offs - offs[0]
+        first = np.zeros(len(arr), np.uint64)
+        nz = lens > 0
+        first[nz] = data[offs[:-1][nz]]
+        mix = (lens.astype(np.uint64) * np.uint64(2654435761)
+               ) ^ (first << np.uint64(7))
+        w = (16 + (mix % np.uint64(1024))).astype(np.int32)
+        h = (16 + ((mix >> np.uint64(10)) % np.uint64(1024))).astype(np.int32)
+        mask = ~valid
         return (batch.drop_columns([self.payload_col])
-                .append_column("width", pa.array(w, pa.int32()))
-                .append_column("height", pa.array(h, pa.int32()))
-                .append_column("n_bytes", pa.array(nb, pa.int64()))
-                .append_column("decode_ok", pa.array(ok, pa.bool_())))
+                .append_column("width", pa.array(w, pa.int32(), mask=mask))
+                .append_column("height", pa.array(h, pa.int32(), mask=mask))
+                .append_column("n_bytes", pa.array(lens, pa.int64()))
+                .append_column("decode_ok", pa.array(valid)))
 
 
 class ExtractFeatures:
