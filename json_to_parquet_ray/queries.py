@@ -697,6 +697,100 @@ def q_events_sliding_window(sf_dir: str):
     return df
 
 
+def q_events_type_stats(sf_dir: str):
+    """Per-type mean/stddev via the moments combiner (sum, sumsq, n per
+    batch → tiny groupby merge); rounding keeps the hash insensitive to
+    summation order."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["sq"] = df["value"] * df["value"]
+        g = df.groupby("event_type", as_index=False).agg(
+            s=("value", "sum"), sq=("sq", "sum"), n=("value", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("event_type").aggregate(
+        Sum("s", alias_name="s"), Sum("sq", alias_name="sq"),
+        Sum("n", alias_name="n")).to_pandas()
+    out["mean_value"] = (out["s"] / out["n"]).round(4)
+    # sample stddev: sqrt((sumsq - n*mean^2) / (n-1))
+    out["std_value"] = np.sqrt(
+        (out["sq"] - out["s"] ** 2 / out["n"]) / (out["n"] - 1)).round(4)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return out[["event_type", "mean_value", "std_value"]]
+
+
+def q_doc_length_histogram(sf_dir: str):
+    """Fixed-width histogram of document lengths (100-char buckets) —
+    vectorized bucketing + combiner counts."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = (b.column("n_chars").to_numpy(zero_copy_only=False)
+                  // 100).astype(np.int64)
+        v, c = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(v),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("bucket").aggregate(Sum("n", alias_name="n_docs"))
+    df = out.to_pandas().sort_values("bucket").reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+def q_top_bigrams(sf_dir: str):
+    """Top-20 word bigrams: vectorized token split, per-doc adjacent
+    pairing via the flattened token stream (boundary pairs excluded),
+    combiner counts → salted-style tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text").fill_null("")), "[^a-z0-9_]+")
+        toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        ends = np.cumsum(counts)
+        kept_prefix = (np.concatenate([[0], np.cumsum(ne)])
+                       if len(ne) else np.zeros(1, np.int64))
+        kept_ends = kept_prefix[ends] if len(counts) else np.zeros(0, np.int64)
+        words = flat.to_pandas().to_numpy()
+        if len(words) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "partial": pa.array([], pa.int64())})
+        left, right = words[:-1], words[1:]
+        # exclude pairs spanning a document boundary
+        boundary = np.zeros(len(words) - 1, bool)
+        inner = kept_ends[:-1] if len(kept_ends) else np.zeros(0, np.int64)
+        inner = inner[(inner > 0) & (inner < len(words))]
+        boundary[inner - 1] = True
+        keep = ~boundary
+        bg = pd.Series(np.char.add(np.char.add(
+            left[keep].astype(str), " "), right[keep].astype(str)))
+        vc = bg.value_counts()
+        return pa.table({"bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                         "partial": pa.array(vc.to_numpy().astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("bigram").aggregate(Sum("partial", alias_name="count"))
+    df = agg.to_pandas().sort_values(["count", "bigram"],
+                                     ascending=[False, True]).head(20)
+    df["count"] = df["count"].astype("int64")
+    return df.reset_index(drop=True)[["bigram", "count"]]
+
+
 def q_order_lineitem_join(sf_dir: str):
     """Distributed partitioned hash join (both sides 'large' — neither is
     broadcast): orders ⋈ lineitem on orderkey, then quantity totals per
@@ -914,6 +1008,9 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "asof_latest_order": q_asof_latest_order,
     "union_distinct_nations": q_union_distinct_nations,
+    "events_type_stats": q_events_type_stats,
+    "doc_length_histogram": q_doc_length_histogram,
+    "top_bigrams": q_top_bigrams,
     "order_lineitem_join": q_order_lineitem_join,
     "keyed_store_en": q_keyed_store_en,
     "redact_emails": q_redact_emails,
@@ -1201,6 +1298,23 @@ ORACLE_SQL = {
         "  CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming "
         "FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id "
         "WHERE bit_count(xor(x.s, y.s)) <= 3 ORDER BY a, b"
+    ),
+    "events_type_stats": (
+        "SELECT event_type, ROUND(AVG(value), 4) AS mean_value, "
+        "ROUND(STDDEV_SAMP(value), 4) AS std_value "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "doc_length_histogram": (
+        "SELECT CAST(n_chars // 100 AS BIGINT) AS bucket, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    "top_bigrams": (
+        "SELECT bg AS bigram, COUNT(*) AS count FROM ("
+        "  SELECT unnest(list_transform(range(1, len(t)),"
+        "    i -> t[i] || ' ' || t[i+1])) AS bg FROM ("
+        "    SELECT list_filter(regexp_split_to_array(lower(text),"
+        "      '[^a-z0-9_]+'), x -> x <> '') AS t FROM documents)"
+        ") GROUP BY bg ORDER BY count DESC, bigram ASC LIMIT 20"
     ),
     "order_lineitem_join": (
         "SELECT o.o_orderpriority, ROUND(SUM(l.l_quantity), 2) AS sum_qty, "
