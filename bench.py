@@ -94,6 +94,15 @@ def main() -> None:
     queries["verify_cc"] = round(sec, 3)
     assert ver["failed"] == [], ver
 
+    # shared-dictionary flagship variant: the stateful actor-pool path
+    # (global dict built via salted distinct, broadcast once per actor)
+    sd_dir = os.path.join(CC_BASE, f"enc_out_sd_{NUM_CPUS}")
+    shutil.rmtree(sd_dir, ignore_errors=True)
+    sec, sd = timed(lambda: encode_job(cc_dir, sd_dir,
+                                       shared_dict_columns=["lang"]))
+    queries["encode_cc_shared_dict"] = round(sec, 3)
+    extra["cc_shared_dict_bytes"] = sd["chunk_bytes"]
+
     sec, _ = timed(lambda: decode_dataset(out_dir).count())
     queries["decode_cc"] = round(sec, 3)
 

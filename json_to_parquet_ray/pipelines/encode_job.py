@@ -269,16 +269,19 @@ def encode_job(
     shared: dict[str, pa.Array] = {}
     shared_ref = None
     if work and shared_dict_columns:
-        ds_in = ray.data.read_parquet([f.path for f in frags])
         if shared_dict_columns == "auto":
-            stats = compute_stats(ds_in)
+            stats = compute_stats(
+                ray.data.read_parquet([f.path for f in frags]))
             shared_dict_columns = [
                 n for n, st in stats.items()
                 if st.type_str in ("string", "large_string")
                 and 1 < st.cardinality <= SHARED_DICT_MAX_CARD
             ]
         for coln in shared_dict_columns:
-            shared[coln] = distinct_values(ds_in, coln)
+            # prune at the read: the distinct build only needs ITS column
+            ds_col = ray.data.read_parquet([f.path for f in frags],
+                                           columns=[coln])
+            shared[coln] = distinct_values(ds_col, coln)
         if shared:
             shared_ref = ray.put(shared)
     fsst_ref = None
@@ -319,7 +322,10 @@ def encode_job(
                                         batch_format="pyarrow")
         else:
             cpus = int(ray.cluster_resources().get("CPU", 4))
-            conc = concurrency or max(1, min(len(work), cpus - 1))
+            # actor spawn is the dominant cost for small jobs; half the
+            # CPUs is enough to keep every core busy at ≥2 items/actor,
+            # and at real scale (10^5+ partitions) spawn amortizes anyway
+            conc = concurrency or max(1, min(len(work), max(2, cpus // 2)))
             results = items.map_batches(
                 EncodePartition,
                 fn_constructor_kwargs={"out_dir": out_dir,

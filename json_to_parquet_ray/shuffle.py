@@ -145,12 +145,15 @@ def heavy_hitters(ds, col: str, k: int = 20, salt_buckets: int = 8) -> pa.Table:
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
 
 
-def distinct_values(ds, col: str, salt_buckets: int = 8) -> pa.Array:
+def distinct_values(ds, col: str, salt_buckets: int = 8,
+                    driver_merge_cap: int = 100_000) -> pa.Array:
     """Global distinct values of a (low-cardinality) column, deterministic order.
 
-    Per-batch unique → salted groupby dedup → driver-side sort. Intended
-    for dictionary builds where cardinality << row count; the shuffle
-    only ever moves per-batch uniques.
+    Per-batch unique partials first; if the partial set is small (≤
+    ``driver_merge_cap`` rows — the common case for dictionary columns)
+    they merge on the driver with NO shuffle. Past the cap, the salted
+    groupby dedup runs so the exchange stays bounded by per-batch uniques
+    and no reducer sees a whole hot value.
     """
 
     def batch_unique(b: pa.Table) -> pa.Table:
@@ -160,7 +163,10 @@ def distinct_values(ds, col: str, salt_buckets: int = 8) -> pa.Array:
         ) % salt_buckets
         return pa.table({"value": u, "salt": pa.array(salts.astype(np.int64))})
 
-    partials = ds.map_batches(batch_unique, batch_format="pyarrow")
+    partials = ds.map_batches(batch_unique, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_merge_cap:
+        vals = partials.to_pandas()["value"].dropna().unique()
+        return pa.array(sorted(vals))
 
     def group_dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset="value")[["value"]]
