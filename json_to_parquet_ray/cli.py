@@ -54,8 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("out_dir")
     dec.add_argument("parquet_out")
     dec.add_argument("--zone-filter", default=None,
-                     help="COLUMN:LO:HI inclusive range; chunks whose zone "
-                          "maps miss the range are never opened")
+                     help="COLUMN=LO,HI inclusive range (empty side = "
+                          "open; values may be ints, floats, or timestamp "
+                          "strings); chunks whose zone maps miss the range "
+                          "are never opened")
 
     cmp = sub.add_parser("compact", help="merge small chunks (manifest rewrite)")
     cmp.add_argument("out_dir")
@@ -96,11 +98,21 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from .pipelines.encode_job import decode_dataset
 
+            def bound(s: str):
+                if s == "":
+                    return None
+                for conv in (int, float):
+                    try:
+                        return conv(s)
+                    except ValueError:
+                        pass
+                return s  # timestamp/string bound, compared via zone strings
+
             zf = None
             if args.zone_filter:
-                col, lo, hi = args.zone_filter.split(":")
-                zf = {col: (None if lo == "" else float(lo) if "." in lo else int(lo),
-                            None if hi == "" else float(hi) if "." in hi else int(hi))}
+                col, _, rng = args.zone_filter.partition("=")
+                lo, _, hi = rng.partition(",")
+                zf = {col: (bound(lo), bound(hi))}
             decode_dataset(args.out_dir, zone_filter=zf).write_parquet(args.parquet_out)
             print(json.dumps({"out": args.parquet_out}))
         elif args.cmd == "compact":

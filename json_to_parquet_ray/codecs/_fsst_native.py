@@ -97,15 +97,21 @@ def _cache_dir() -> str:
     at the predictable path before we CDLL-load it."""
     base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
         os.path.expanduser("~"), ".cache")
-    d = os.path.join(base, "jtpr_fsst")
-    os.makedirs(d, mode=0o700, exist_ok=True)
-    try:
-        st = os.stat(d)
-        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
-            raise OSError("unsafe cache dir ownership/permissions")
-    except OSError:
-        d = tempfile.mkdtemp(prefix="jtpr_fsst_")  # private fallback
-    return d
+    candidates = [
+        os.path.join(base, "jtpr_fsst"),
+        # stable per-uid fallback so the compile cache still works (and
+        # doesn't leak one mkdtemp dir per process) when $HOME is unsafe
+        os.path.join(tempfile.gettempdir(), f"jtpr_fsst_{os.getuid()}"),
+    ]
+    for d in candidates:
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            st = os.stat(d)
+            if st.st_uid == os.getuid() and not (st.st_mode & 0o022):
+                return d
+        except OSError:
+            continue
+    return tempfile.mkdtemp(prefix="jtpr_fsst_")  # last resort, private
 
 
 def _build() -> ctypes.CDLL | None:

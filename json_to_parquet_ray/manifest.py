@@ -34,13 +34,17 @@ class FragmentRef:
     def frag_hash(self) -> str:
         """Stable content-addressed partition id. Appending input files can
         never shift another fragment's id (positional ids would force
-        re-encoding every partition after a lexically-early append); the
-        resume path additionally compares the full recorded fragment, so a
-        basename collision across directories falls back to re-encode
-        rather than reusing a wrong chunk."""
+        re-encoding every partition after a lexically-early append). The
+        hash covers the FULL path: two shards named alike in different
+        directories (the normal output of any sharded writer) must not
+        collide — a basename-only id would let the second writer silently
+        overwrite the first's chunk and manifest record in one run. The
+        resume path additionally compares the full recorded fragment."""
         import hashlib
 
-        return hashlib.sha1(self.fragment_id.encode()).hexdigest()[:16]
+        full = (f"{self.path}#rg{self.row_group}"
+                f"[{self.row_start}+{self.num_rows}]")
+        return hashlib.sha1(full.encode()).hexdigest()[:16]
 
     @property
     def sort_key(self) -> tuple:
@@ -77,12 +81,10 @@ class PartitionRecord:
         return (f["path"], f["row_group"], f.get("row_start", 0))
 
 
-MANIFEST_SHARD = 4096  # hash-prefix shard dirs — keeps any one directory
-# listable even at 10^7+ partitions (100 TB-scale runs)
-
-
 def shard_of(partition_id: str) -> str:
-    return f"shard-{partition_id[:3]}"  # 4096 hex-prefix dirs
+    """4096 hex-prefix shard dirs — keeps any one directory listable even
+    at 10^7+ partitions (100 TB-scale runs)."""
+    return f"shard-{partition_id[:3]}"
 
 
 def manifest_dir(out_dir: str) -> str:

@@ -274,9 +274,15 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _lsh_candidate_pairs_ds(bands, key: str):
+def _lsh_candidate_pairs_ds(bands, key: str, oversize: str = "star"):
     """(a, b) candidate pairs from band buckets, as a Ray Dataset — pairs
     live in the object store, never on the driver.
+
+    ``oversize`` controls buckets past 64 members: "star" (dedup default)
+    emits O(n) min-id star pairs — exactly the connectivity clustering
+    needs, but NOT the full pair list; "all" emits every pair — required
+    by the exact pair-LISTING queries, whose true answer is itself
+    quadratic in the bucket size.
 
     Per-group Python callbacks are paid ONLY for collision buckets: a
     C-vectorized ``groupby().aggregate(Count)`` finds buckets with ≥2
@@ -305,16 +311,17 @@ def _lsh_candidate_pairs_ds(bands, key: str):
         ids = sorted(set(g[key].tolist()))
         if len(ids) < 2:
             return _empty_df({"a": "int64", "b": "int64"})
-        if len(ids) > 64:
+        if len(ids) > 64 and oversize == "star":
             # pathological bucket (e.g. a massive duplicate cluster): emit
             # STAR pairs (min-id, other) — O(n) candidate volume instead of
             # O(n^2), and exactly the connectivity label propagation needs
             return pd.DataFrame({"a": pd.Series([ids[0]] * (len(ids) - 1),
                                                 dtype="int64"),
                                  "b": pd.Series(ids[1:], dtype="int64")})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"a": a, "b": b})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        arr = np.asarray(ids, np.int64)
+        return pd.DataFrame({"a": pd.Series(arr[iu], dtype="int64"),
+                             "b": pd.Series(arr[ju], dtype="int64")})
 
     raw = (keyed.map_batches(only_hot, batch_format="pyarrow")
            .groupby("bkey").map_groups(emit_pairs, batch_format="pandas"))
@@ -328,8 +335,9 @@ def _lsh_candidate_pairs_ds(bands, key: str):
 
 
 def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
-    """Driver-side wrapper for the bounded-output pair queries."""
-    df = _lsh_candidate_pairs_ds(bands, key).to_pandas()
+    """Driver-side wrapper for the bounded-output pair queries. Emits ALL
+    pairs of oversized buckets — the pair-listing contract is exact."""
+    df = _lsh_candidate_pairs_ds(bands, key, oversize="all").to_pandas()
     if len(df) == 0 or "a" not in df.columns:
         return _empty_df({"a": "int64", "b": "int64"})
     return df.drop_duplicates().astype({"a": "int64", "b": "int64"})
@@ -625,22 +633,25 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
     hot_ref = ray.put(pa.array(hot["bkey"].to_numpy()))
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
+        # no bucket cap: the pigeonhole recall guarantee (and the SQL
+        # oracle) require EVERY in-bucket pair to be checked — a giant
+        # bucket's exact answer is itself quadratic, so the cost is
+        # inherent to the query, not an implementation choice
         rows = g.drop_duplicates(subset=key)
-        if len(rows) < 2 or len(rows) > 512:
+        if len(rows) < 2:
             return _empty_df({"a": "int64", "b": "int64", "hamming": "int64"})
-        ids = rows[key].tolist()
+        ids = np.asarray(rows[key].to_numpy(), np.int64)
         hs = rows["simhash"].to_numpy().astype(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            ham = np.array([bin(v).count("1") for v in x])
-            for j, hm in enumerate(ham):
-                if hm <= max_hamming:
-                    a, b = sorted((ids[i], ids[i + 1 + j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_h.append(int(hm))
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = hs[iu] ^ hs[ju]
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+        keep = ham <= max_hamming
+        a = np.minimum(ids[iu[keep]], ids[ju[keep]])
+        b = np.maximum(ids[iu[keep]], ids[ju[keep]])
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64"),
+                             "hamming": pd.Series(ham[keep].astype(np.int64),
+                                                  dtype="int64")})
 
     pairs = (keyed.map_batches(
                 lambda b: b.filter(pc.is_in(b.column("bkey"),

@@ -118,8 +118,10 @@ def zone_prune(out_dir: str, zone_filter: dict) -> tuple[list, int]:
                 continue
             zmin, zmax = z["min"], z["max"]
             if z.get("ts"):
-                lo = None if lo is None else str(lo)
-                hi = None if hi is None else str(hi)
+                # zones store str(datetime) ('YYYY-MM-DD HH:MM:SS');
+                # normalize ISO 'T' separators so lexical order holds
+                lo = None if lo is None else str(lo).replace("T", " ")
+                hi = None if hi is None else str(hi).replace("T", " ")
             if (hi is not None and zmin > hi) or (lo is not None and zmax < lo):
                 alive = False
                 break
@@ -391,10 +393,6 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         # compaction
         recs = effective_records(out_dir)
     items = [{"path": os.path.join(out_dir, rec.chunk_file)} for rec in recs]
-    # decode is the ordering-sensitive pipeline (bit-identical round-trip
-    # preserves input row order); Ray's streaming executor reorders output
-    # blocks unless preserve_order is set
-    ray.data.DataContext.get_current().execution_options.preserve_order = True
 
     from ..encode import read_chunk_file
 
@@ -410,10 +408,23 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                     if col not in t.column_names:
                         continue
                     c = t.column(col)
+
+                    def _bound(v):
+                        # string bounds against timestamp columns (the CLI
+                        # passes timestamps as strings) cast to the column
+                        # type before comparing
+                        if v is None or isinstance(v, (int, float)):
+                            return v
+                        try:
+                            return pa.scalar(v).cast(c.type)
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                            return v
+
+                    lo_c, hi_c = _bound(lo), _bound(hi)
                     m = pc.and_kleene(
-                        pc.greater_equal(c, lo) if lo is not None
+                        pc.greater_equal(c, lo_c) if lo_c is not None
                         else pc.is_valid(c),
-                        pc.less_equal(c, hi) if hi is not None
+                        pc.less_equal(c, hi_c) if hi_c is not None
                         else pc.is_valid(c))
                     mask = m if mask is None else pc.and_kleene(mask, m)
                 if mask is not None:
@@ -429,9 +440,20 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         import pandas as pd
 
         return ray.data.from_pandas(pd.DataFrame())
-    return ray.data.from_items(items).map_batches(
-        decode_item, batch_size=1, batch_format="pyarrow"
-    )
+    # decode is the ordering-sensitive pipeline (bit-identical round-trip
+    # preserves input row order); Ray's streaming executor reorders output
+    # blocks unless preserve_order is set. Datasets SNAPSHOT the
+    # DataContext at creation, so set → build → restore scopes the flag to
+    # this dataset instead of degrading every later pipeline in-process.
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        return ray.data.from_items(items).map_batches(
+            decode_item, batch_size=1, batch_format="pyarrow"
+        )
+    finally:
+        ctx.execution_options.preserve_order = prev
 
 
 def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
@@ -493,8 +515,9 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
             stats = compute_stats_table(merged)
             plan = plan_from_stats(stats, merged.schema)
             blob, header = encode_table(merged, plan)
+            # full paths: basename-only ids collide across same-named shards
             sid = ";".join(
-                f"{os.path.basename(s['path'])}#rg{s['row_group']}"
+                f"{s['path']}#rg{s['row_group']}"
                 f"[{s.get('row_start', 0)}+{s['num_rows']}]" for s in sources)
             pid = hashlib.sha1(sid.encode()).hexdigest()[:16]
             chunk_file = os.path.join(shard_of(pid), f"part-{pid}.rde")

@@ -42,6 +42,18 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
                                  filter=filter)
 
 
+
+def _tmp_dir(tag: str, sf_dir: str) -> str:
+    """Stable per-(tag, sf_dir) scratch path: Python's hash() is salted
+    per process, so a hash()-derived name would never match the previous
+    run's directory and /tmp would accumulate orphaned stores."""
+    import hashlib
+    import tempfile
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"jtpr_{tag}_{h}")
+
+
 # ------------------------------------------------------------ codec roundtrips
 
 
@@ -304,8 +316,7 @@ def q_ann_ivf_recall(sf_dir: str):
     qs = _first_queries(sf_dir, 3)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     exact = ann.brute_force_topk(ds, qs, k=5)
-    idx = os.path.join(tempfile.gettempdir(),
-                       f"jtpr_ivf_{abs(hash(os.path.abspath(sf_dir))) % 999983}")
+    idx = _tmp_dir("ivf", sf_dir)
     shutil.rmtree(idx, ignore_errors=True)
     ann.ivf_build(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), idx,
                   n_clusters=8)
@@ -828,8 +839,7 @@ def q_keyed_store_en(sf_dir: str):
 
     from .pipelines import keyed_store
 
-    out = os.path.join(tempfile.gettempdir(),
-                       f"jtpr_ks_{abs(hash(os.path.abspath(sf_dir))) % 999983}")
+    out = _tmp_dir("ks", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     ds = _read(sf_dir, "documents")
     s = keyed_store.keyed_encode(ds, out, key_col="lang", salt_col="doc_id",
@@ -924,13 +934,12 @@ def q_zonemap_pruned_scan(sf_dir: str):
     from .pipelines.encode_job import decode_dataset, encode_job, zone_prune
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = os.path.join(tempfile.gettempdir(),
-                       f"jtpr_zm_{abs(hash(os.path.abspath(sf_dir))) % 999983}")
+    out = _tmp_dir("zm", sf_dir)
     shutil.rmtree(out, ignore_errors=True)
     encode_job(src, out, shared_dict_columns=None, max_rows_per_partition=64)
     zf = {"doc_id": (100, 163)}
     kept, skipped = zone_prune(out, zf)
-    assert skipped > 0 and len(kept) < len(kept) + skipped, (len(kept), skipped)
+    assert skipped > 0 and len(kept) > 0, (len(kept), skipped)
     return decode_dataset(out, zone_filter=zf)
 
 
@@ -1330,7 +1339,7 @@ ORACLE_SQL = {
         " AS text FROM documents"
     ),
     "repetition_ratio": (
-        "SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0 ELSE"
+        "SELECT doc_id, CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0.0 ELSE"
         "  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END"
         " AS rep_ratio FROM ("
         "  SELECT doc_id, list_filter("

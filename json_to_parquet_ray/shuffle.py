@@ -113,9 +113,13 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     lcols = [c for c in left.schema().names]
     rcols = [c for c in right.schema().names]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0][lcols]
-        rg = g[g["_side"] == 1][rcols]
+    def merge(g: pa.Table) -> pd.DataFrame:
+        # split sides while STILL Arrow: each side's own columns have no
+        # nulls from padding, so int64 keys never round-trip through
+        # pandas float64 (which silently merges keys above 2^53)
+        side = pc.equal(g.column("_side"), 0)
+        lg = g.filter(side).select(lcols).to_pandas()
+        rg = g.filter(pc.invert(side)).select(rcols).to_pandas()
         # always merge (even empty) so the output frame keeps its columns
         return lg.merge(rg, left_on=on, right_on=right_on, how=how)
 
@@ -135,7 +139,7 @@ def hash_join(left, right, on: str, right_on: str | None = None,
 
     u = lt.map_batches(pad(lcols), batch_format="pyarrow").union(
         rt.map_batches(pad(rcols), batch_format="pyarrow"))
-    return u.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    return u.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def heavy_hitters(ds, col: str, k: int = 20, salt_buckets: int = 8) -> pa.Table:

@@ -71,6 +71,6 @@ def test_cli_stats_plan_and_zone_decode(tmp_path):
     enc = str(tmp_path / "enc")
     run_cli("encode", src, enc)
     dec = str(tmp_path / "dec")
-    run_cli("decode", enc, dec, "--zone-filter", "id:300:499")
+    run_cli("decode", enc, dec, "--zone-filter", "id=300,499")
     back = pq.read_table(dec)
     assert sorted(back.column("id").to_pylist()) == list(range(300, 500))

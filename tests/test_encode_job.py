@@ -483,3 +483,19 @@ def test_keyed_store_salting_pruning_determinism(ray_session, tmp_path):
         a = open(os.path.join(out, r["chunk_file"]), "rb").read()
         b = open(os.path.join(out2, r["chunk_file"]), "rb").read()
         assert a == b
+
+
+def test_same_basename_shards_do_not_collide(ray_session, tmp_path):
+    """Two input files with the SAME basename in different directories
+    (normal sharded-writer layout) must encode as distinct partitions."""
+    d1, d2 = tmp_path / "s1", tmp_path / "s2"
+    d1.mkdir(), d2.mkdir()
+    write_cc_parquet(str(d1 / "part-0.parquet"), 500, seed=1, row_group_size=500)
+    write_cc_parquet(str(d2 / "part-0.parquet"), 500, seed=2, row_group_size=500)
+    out = str(tmp_path / "enc_bn")
+    s = encode_job([str(d1 / "part-0.parquet"), str(d2 / "part-0.parquet")],
+                   out, shared_dict_columns=None)
+    assert s["partitions_encoded"] == 2
+    assert len(load_manifest(out)) == 2
+    assert verify_job(out)["failed"] == []
+    assert decode_dataset(out).count() == 1000

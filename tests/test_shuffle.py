@@ -87,3 +87,20 @@ def test_hash_join_string_keys(ray_session):
                     on="name", right_on="who", num_partitions=4).to_pandas()
     got = sorted(zip(out["name"], out["y"]))
     assert got == [("bob", 20), ("cat", 30), ("cat", 31)]
+
+
+def test_hash_join_big_int64_keys_exact(ray_session):
+    """Keys above 2^53 must not merge through float64 — distinct int64
+    keys differing by 1 ulp-of-float53 stay distinct."""
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import hash_join
+
+    k1, k2 = 2**53, 2**53 + 1  # equal as float64, distinct as int64
+    left = pd.DataFrame({"k": [k1, k2], "a": ["one", "two"]})
+    right = pd.DataFrame({"rk": [k2], "b": [99]})
+    out = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="k", right_on="rk", num_partitions=2).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["a"] == "two"
+    assert out["k"].dtype == "int64"
