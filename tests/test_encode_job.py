@@ -499,3 +499,29 @@ def test_same_basename_shards_do_not_collide(ray_session, tmp_path):
     assert len(load_manifest(out)) == 2
     assert verify_job(out)["failed"] == []
     assert decode_dataset(out).count() == 1000
+
+
+def test_zone_filter_equals_post_filter_property(ray_session, tmp_path):
+    """Invariant: decode(zone_filter=R) == full decode filtered by R, for
+    randomized inclusive ranges (seeded) — chunk pruning must never change
+    the answer, only the I/O."""
+    import random
+
+    t = pa.table({"id": pa.array(range(1000), pa.int64()),
+                  "v": pa.array([i * 3 % 97 for i in range(1000)], pa.int64())})
+    src = str(tmp_path / "prop.parquet")
+    pq.write_table(t, src, row_group_size=125)  # 8 chunks
+    out = str(tmp_path / "enc_prop")
+    encode_job(src, out, shared_dict_columns=None)
+    full = decode_dataset(out).take_all()
+    rng = random.Random(5)
+    for _ in range(12):
+        lo = rng.choice([None, rng.randint(-50, 1050)])
+        hi = rng.choice([None, rng.randint(-50, 1050)])
+        col = rng.choice(["id", "v"])
+        got = sorted(r["id"] for r in
+                     decode_dataset(out, zone_filter={col: (lo, hi)}).take_all())
+        want = sorted(r["id"] for r in full
+                      if (lo is None or r[col] >= lo)
+                      and (hi is None or r[col] <= hi))
+        assert got == want, (col, lo, hi)
