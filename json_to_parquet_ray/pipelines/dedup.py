@@ -254,20 +254,38 @@ def _verify_pairs_distributed(pairs: pd.DataFrame, texts: dict,
 def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
                         threshold: float = 0.5) -> pd.DataFrame:
     """Verified (a, b, jaccard) pairs: MinHash-LSH candidates → exact
-    n-gram Jaccard ≥ threshold. The standalone n-gram-Jaccard operator."""
+    n-gram Jaccard ≥ threshold. The standalone n-gram-Jaccard operator.
+
+    Candidates stay in the OBJECT STORE through verification — the driver
+    only ever materializes the verified output (bounded by true pairs),
+    never the raw candidate set."""
     import math
+
+    import ray
 
     bands = ds.map_batches(
         lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
     )
-    pairs = _lsh_candidate_pairs(bands, key)
-    if not len(pairs):
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    texts = _collect_candidate_texts(
-        ds, sorted(set(pairs["a"]) | set(pairs["b"])), col, key)
-    df = _verify_pairs_distributed(pairs, texts, threshold)
+    pairs_ds = _lsh_candidate_pairs_ds(bands, key, oversize="all").materialize()
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if pairs_ds.count() == 0:
+        return empty
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [b.column("a").to_numpy(zero_copy_only=False),
+             b.column("b").to_numpy(zero_copy_only=False)]))
+        return pa.table({key: pa.array(u, pa.int64())})
+
+    cand_ids = sorted({r[key] for r in pairs_ds.map_batches(
+        endpoints, batch_format="pyarrow").take_all()})
+    texts = _collect_candidate_texts(ds, cand_ids, col, key)
+    df = _verify_pairs_ds(pairs_ds, texts, threshold).to_pandas()
+    if not len(df):
+        return empty
+    df = df.drop_duplicates(subset=["a", "b"])
     df["a"] = df["a"].astype("int64")
     df["b"] = df["b"].astype("int64")
     df["jaccard"] = df["jaccard"].map(lambda j: math.floor(j * 1e6) / 1e6)
@@ -334,13 +352,6 @@ def _lsh_candidate_pairs_ds(bands, key: str, oversize: str = "star"):
                            batch_format="pandas")
 
 
-def _lsh_candidate_pairs(bands, key: str) -> pd.DataFrame:
-    """Driver-side wrapper for the bounded-output pair queries. Emits ALL
-    pairs of oversized buckets — the pair-listing contract is exact."""
-    df = _lsh_candidate_pairs_ds(bands, key, oversize="all").to_pandas()
-    if len(df) == 0 or "a" not in df.columns:
-        return _empty_df({"a": "int64", "b": "int64"})
-    return df.drop_duplicates().astype({"a": "int64", "b": "int64"})
 
 
 def cluster_min_label(edges_ds, max_iters: int = 50):
@@ -616,7 +627,7 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
     # materialized: the banded rows feed BOTH the collision-count pass and
     # the emit pass — without pinning, the signature stage would run twice
     keyed = sims.map_batches(band_rows, batch_format="pyarrow").materialize()
-    # collision-bucket prefilter (same pattern as _lsh_candidate_pairs):
+    # collision-bucket prefilter (same pattern as _lsh_candidate_pairs_ds):
     # per-group Python runs only where a band bucket has ≥2 members
     import pyarrow.compute as pc
     import ray
