@@ -3,25 +3,28 @@ embedding-cosine near-dup.
 
 Shapes follow the scale-first patterns from the build brief:
 
-- exact: content-hash inside ``map_batches`` (vectorized md5) → hash-
-  partitioned ``groupby(hash)`` → keep first (min key) per group. The
-  shuffle moves only (hash, key) pairs plus the group rows.
+- exact: vectorized FNV content hash inside ``map_batches`` → hash-
+  partitioned ``groupby(hash)`` → exact-value dedupe per group
+  (collision-safe). The shuffle moves only (hash, key) plus group rows.
 - MinHash: signatures fully vectorized (rolling byte-shingle hashes +
-  multiply-shift permutations + ``np.minimum.reduceat`` per document) →
-  explode to (band_id, band_hash, doc_id) → ``groupby`` band buckets →
-  candidate pairs → exact Jaccard verify → greedy cluster by min-id.
-- SimHash: 64-bit signatures; near-dup candidates via 4x16-bit band
-  exact-match buckets (Hamming ≤ 3 guarantee needs 4 bands).
+  multiply-shift permutations + ``np.minimum.reduceat`` per document,
+  pure per-doc — batch-layout invariant) → explode to (bkey, doc_id)
+  band-bucket rows → ``groupby`` buckets → candidate pairs (object
+  store) → exact Jaccard verify → clustering (driver union-find small,
+  distributed min-label propagation large).
+- SimHash: md5-low64 token hashes (exact DuckDB-oracle parity), 64-bit
+  signatures; candidates via 4x16-bit band buckets (pigeonhole-exact
+  recall for Hamming ≤ 3).
 
-Candidate-pair verification and final clustering run on the candidate
-set only (provably small after banding); the full corpus is never
-pairwise-compared. At 100 TB the same code applies per hash-partition.
+Candidate-pair verification and clustering run on the candidate set
+only (bounded after banding; oversized buckets degrade to O(n) star
+pairs for dedup connectivity, or emit all pairs for the exact listing
+queries); the full corpus is never pairwise-compared.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections import defaultdict
 
 import numpy as np
 import pandas as pd
