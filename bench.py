@@ -49,8 +49,10 @@ def main() -> None:
     from json_to_parquet_ray.pipelines.encode_job import (
         decode_dataset, encode_job, verify_job,
     )
-    from json_to_parquet_ray.queries import QUERIES
+    from json_to_parquet_ray.queries import QUERIES, RETIRED_QUERIES
     from json_to_parquet_ray.stats import compute_stats
+
+    all_queries = {**QUERIES, **RETIRED_QUERIES}
 
     queries: dict[str, float] = {}
     extra: dict[str, object] = {}
@@ -173,7 +175,7 @@ def main() -> None:
                  "simhash_pairs", "jaccard_pairs", "embedding_near_dup",
                  "lang_id", "ann_ivf_recall", "order_lineitem_join",
                  "keyed_store_en", "zonemap_pruned_scan"]:
-        fn = QUERIES[name]
+        fn = all_queries[name]
         sec, res = timed(lambda fn=fn: fn(SF_DIR))
         if hasattr(res, "count"):
             res.count()  # consume lazily-built datasets

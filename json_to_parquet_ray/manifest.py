@@ -157,14 +157,21 @@ def effective_records(out_dir: str) -> list[PartitionRecord]:
     claimed: set[str] = set()
     chosen: list[PartitionRecord] = []
     for pass_merged in (True, False):
-        for rec in recs:
-            merged = "merged" in rec.fragment
-            if merged is not pass_merged:
-                continue
+        pass_recs = [r for r in recs
+                     if ("merged" in r.fragment) is pass_merged]
+        if pass_merged:
+            # A re-compaction produces a superset merged record M2 covering
+            # an earlier M1 plus fillers whose plain records are already
+            # retired. Both can share a sort_key, and dir-listing order is
+            # arbitrary — if M1 were accepted first, M2 would be rejected
+            # and the filler fragments silently dropped. Supersets first.
+            pass_recs.sort(key=lambda r: (-len(r.source_fragments),
+                                          r.sort_key))
+        for rec in pass_recs:
             keys = [frag_key(f) for f in rec.source_fragments]
             if any(k in claimed for k in keys):
                 continue
-            if merged and not is_complete(out_dir, rec):
+            if pass_merged and not is_complete(out_dir, rec):
                 continue  # torn merged chunk → fall back to plain records
             claimed.update(keys)
             chosen.append(rec)

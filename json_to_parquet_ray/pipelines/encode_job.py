@@ -386,6 +386,25 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
 
     if zone_filter:
         recs, _ = zone_prune(out_dir, zone_filter)
+        # fail fast ON THE DRIVER for bounds a temporal column can't
+        # parse (e.g. CLI ts=2024,2025): the zone prune compares zone
+        # STRINGS lexically so such bounds slip through it, and raising
+        # inside a Ray task would surface as an opaque RayTaskError
+        ts_cols = {c["name"] for rec in recs for c in rec.columns
+                   if c.get("ts")}
+        for col, (lo, hi) in zone_filter.items():
+            if col not in ts_cols:
+                continue
+            for v in (lo, hi):
+                if v is None:
+                    continue
+                try:
+                    pa.scalar(str(v)).cast(pa.timestamp("us"))
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    raise ValueError(
+                        f"zone-filter bound {v!r} is not a full literal "
+                        f"for timestamp column {col!r} (use e.g. "
+                        f"2024-01-01T00:00:00)") from None
     else:
         # input order is recomputed from the recorded fragment identity
         # (path, row_group, row_start) — stable under appends, unlike ids;
@@ -410,10 +429,27 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                     c = t.column(col)
 
                     def _bound(v):
-                        # string bounds against timestamp columns (the CLI
-                        # passes timestamps as strings) cast to the column
-                        # type before comparing
-                        if v is None or isinstance(v, (int, float)):
+                        # bounds arrive as int/float/str from the CLI; cast
+                        # to the column type before comparing. A
+                        # numeric-looking bound against a temporal column
+                        # (ts=2024,2025) passes the lexical zone prune but
+                        # must not crash the exact row filter — cast its
+                        # string form, and fail with a usable message if
+                        # the type can't parse it.
+                        if v is None:
+                            return None
+                        if pa.types.is_temporal(c.type):
+                            s = str(v)
+                            try:
+                                return pa.scalar(s).cast(c.type)
+                            except (pa.ArrowInvalid,
+                                    pa.ArrowNotImplementedError):
+                                raise ValueError(
+                                    f"zone-filter bound {v!r} is not a "
+                                    f"full literal for column {col!r} of "
+                                    f"type {c.type} (use e.g. "
+                                    f"2024-01-01T00:00:00)") from None
+                        if isinstance(v, (int, float)):
                             return v
                         try:
                             return pa.scalar(v).cast(c.type)

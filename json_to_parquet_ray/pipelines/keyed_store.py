@@ -52,14 +52,27 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
     hot = sorted(counts[counts["count"] > hot_threshold]["value"].tolist())
     hot_ref = ray.put(set(hot))
 
+    salt_suffixes = np.array([f"#s{s}" for s in range(salt_buckets)])
+
     def add_pkey(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pandas().astype(str)
+        import pyarrow.compute as pc
+
+        keys = pc.cast(b.column(key_col), pa.string())
+        # injective pkey: "<len>:<key>[#s<salt>]". The length prefix makes
+        # a literal key value "en#s3" partition differently from hot key
+        # "en"'s salt-3 sub-partition ("5:en#s3" vs "2:en#s3"), so one
+        # chunk can never mix rows of two distinct keys.
+        base = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(keys), pa.string()), keys, ":")
         sv = b.column(salt_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         salt = ((sv * _SALT_MUL) >> np.uint64(32)).astype(np.int64) % salt_buckets
-        hotset = ray.get(hot_ref)
-        pkey = [f"{k}#s{s}" if k in hotset else str(k)
-                for k, s in zip(keys, salt)]
-        return b.append_column("_pkey", pa.array(pkey, pa.string()))
+        hot_mask = pc.is_in(keys, value_set=pa.array(
+            [str(k) for k in ray.get(hot_ref)], pa.string())).to_numpy(
+                zero_copy_only=False)
+        suffix = np.where(hot_mask, salt_suffixes[salt], "")
+        pkey = pc.binary_join_element_wise(
+            base, pa.array(suffix, pa.string()), "")
+        return b.append_column("_pkey", pkey)
 
     keyed = ds.map_batches(add_pkey, batch_format="pyarrow")
 

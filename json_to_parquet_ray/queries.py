@@ -209,8 +209,11 @@ def q_top_words(sf_dir: str):
 
     parts = ds.map_batches(token_counts, batch_format="pyarrow")
     agg = parts.groupby("word").aggregate(Sum("partial", alias_name="count"))
-    df = agg.to_pandas().sort_values(["count", "word"],
-                                     ascending=[False, True]).head(20)
+    # distributed top-k: only 20 rows ever reach the driver — the full
+    # vocabulary (billions of distinct tokens at CC scale) stays in the
+    # cluster (same shape as shuffle.heavy_hitters)
+    top = agg.sort(["count", "word"], descending=[True, False]).limit(20)
+    df = top.to_pandas()
     df["count"] = df["count"].astype("int64")
     return df.reset_index(drop=True)[["word", "count"]]
 
@@ -796,8 +799,9 @@ def q_top_bigrams(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     agg = parts.groupby("bigram").aggregate(Sum("partial", alias_name="count"))
-    df = agg.to_pandas().sort_values(["count", "bigram"],
-                                     ascending=[False, True]).head(20)
+    # distributed top-k — the bigram vocabulary never reaches the driver
+    top = agg.sort(["count", "bigram"], descending=[True, False]).limit(20)
+    df = top.to_pandas()
     df["count"] = df["count"].astype("int64")
     return df.reset_index(drop=True)[["bigram", "count"]]
 
@@ -981,11 +985,8 @@ def q_multimodal_features(sf_dir: str):
 
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
-    "roundtrip_events": q_roundtrip_events,
-    "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "roundtrip_orders": q_roundtrip_orders,
-    "roundtrip_part": q_roundtrip_part,
     "roundtrip_documents_pruned": q_roundtrip_documents_pruned,
     "stats_documents": q_stats_documents,
     "codec_plan_documents": q_codec_plan_documents,
@@ -1019,7 +1020,6 @@ QUERIES = {
     "union_distinct_nations": q_union_distinct_nations,
     "events_type_stats": q_events_type_stats,
     "doc_length_histogram": q_doc_length_histogram,
-    "top_bigrams": q_top_bigrams,
     "order_lineitem_join": q_order_lineitem_join,
     "keyed_store_en": q_keyed_store_en,
     "redact_emails": q_redact_emails,
@@ -1036,13 +1036,26 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
 }
 
+# The driver's correctness harness records at most 50 queries per round;
+# round 2 registered 54 and the last four registered operators
+# (sliding window, zone maps, multimodal) fell off the report despite
+# passing locally. These four are REDUNDANT family members — their
+# operator family (encode/decode roundtrip; tokenize→count→top-k) stays
+# inside the cap via roundtrip_documents/orders/embeddings/_pruned and
+# top_words — so they live here: still runnable, still oracled by
+# tools/check_oracles.py and bench.py, just not registered with the
+# driver.
+RETIRED_QUERIES = {
+    "roundtrip_events": q_roundtrip_events,
+    "roundtrip_lineitem": q_roundtrip_lineitem,
+    "roundtrip_part": q_roundtrip_part,
+    "top_bigrams": q_top_bigrams,
+}
+
 ORACLE_SQL = {
     "roundtrip_documents": "SELECT * FROM documents",
-    "roundtrip_events": "SELECT * FROM events",
-    "roundtrip_lineitem": "SELECT * FROM lineitem",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "roundtrip_orders": "SELECT * FROM orders",
-    "roundtrip_part": "SELECT * FROM part",
     "roundtrip_documents_pruned": "SELECT doc_id, lang FROM documents",
     "stats_documents": (
         "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT lang) AS lang_card, "
@@ -1317,14 +1330,6 @@ ORACLE_SQL = {
         "SELECT CAST(n_chars // 100 AS BIGINT) AS bucket, "
         "COUNT(*) AS n_docs FROM documents GROUP BY 1 ORDER BY 1"
     ),
-    "top_bigrams": (
-        "SELECT bg AS bigram, COUNT(*) AS count FROM ("
-        "  SELECT unnest(list_transform(range(1, len(t)),"
-        "    i -> t[i] || ' ' || t[i+1])) AS bg FROM ("
-        "    SELECT list_filter(regexp_split_to_array(lower(text),"
-        "      '[^a-z0-9_]+'), x -> x <> '') AS t FROM documents)"
-        ") GROUP BY bg ORDER BY count DESC, bigram ASC LIMIT 20"
-    ),
     "order_lineitem_join": (
         "SELECT o.o_orderpriority, ROUND(SUM(l.l_quantity), 2) AS sum_qty, "
         "COUNT(*) AS n_items FROM orders o JOIN lineitem l "
@@ -1397,5 +1402,22 @@ ORACLE_SQL = {
     "multimodal_decode": (
         "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)"
         " AS n_bytes, TRUE AS decode_ok FROM documents"
+    ),
+}
+
+# Oracles for RETIRED_QUERIES — checked by tools/check_oracles.py and
+# tests, not registered with the driver (50-row report cap; see
+# RETIRED_QUERIES).
+RETIRED_ORACLE_SQL = {
+    "roundtrip_events": "SELECT * FROM events",
+    "roundtrip_lineitem": "SELECT * FROM lineitem",
+    "roundtrip_part": "SELECT * FROM part",
+    "top_bigrams": (
+        "SELECT bg AS bigram, COUNT(*) AS count FROM ("
+        "  SELECT unnest(list_transform(range(1, len(t)),"
+        "    i -> t[i] || ' ' || t[i+1])) AS bg FROM ("
+        "    SELECT list_filter(regexp_split_to_array(lower(text),"
+        "      '[^a-z0-9_]+'), x -> x <> '') AS t FROM documents)"
+        ") GROUP BY bg ORDER BY count DESC, bigram ASC LIMIT 20"
     ),
 }

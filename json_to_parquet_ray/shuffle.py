@@ -90,9 +90,19 @@ def hash_join(left, right, on: str, right_on: str | None = None,
 
     def bucket_of(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         t = col.type
-        if (pa.types.is_integer(t) or pa.types.is_floating(t)
-                or pa.types.is_temporal(t)):
-            a = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        if pa.types.is_integer(t) or pa.types.is_temporal(t):
+            # fill nulls at the Arrow level BEFORE to_numpy: a null key
+            # would otherwise force a float64 round-trip that corrupts
+            # keys >= 2^53, so the two sides hash the same key to
+            # different buckets and matching rows silently vanish
+            filled = pc.fill_null(col.cast(pa.int64()), 0)
+            a = filled.to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=False)
+            h = a * np.uint64(0x9E3779B97F4A7C15)
+        elif pa.types.is_floating(t):
+            filled = pc.fill_null(col, 0.0)
+            a = filled.to_numpy(zero_copy_only=False).astype(
+                np.uint64, copy=False)
             h = a * np.uint64(0x9E3779B97F4A7C15)
         else:  # strings/binary: vectorized C hash via pandas (siphash)
             h = pd.util.hash_array(

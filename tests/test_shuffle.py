@@ -104,3 +104,23 @@ def test_hash_join_big_int64_keys_exact(ray_session):
                     on="k", right_on="rk", num_partitions=2).to_pandas()
     assert len(out) == 1 and out.iloc[0]["a"] == "two"
     assert out["k"].dtype == "int64"
+
+
+def test_hash_join_null_key_does_not_corrupt_big_int64(ray_session):
+    """A null in an int64 key column must not force a float64 round-trip:
+    keys >= 2^53 have to hash identically on both sides even when one
+    side's column carries a null (regression: the float64 path bucketed
+    2^60+7 differently per side and the match silently vanished)."""
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import hash_join
+
+    big = 2**60 + 7
+    left = pd.DataFrame({"k": pd.array([big, None, 5], dtype="Int64"),
+                         "a": ["hit", "null", "five"]})
+    right = pd.DataFrame({"rk": pd.array([big], dtype="Int64"), "b": [1]})
+    out = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="k", right_on="rk", num_partitions=4).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["a"] == "hit" and int(out.iloc[0]["k"]) == big

@@ -69,6 +69,13 @@ def main():
     import __ray_entry__ as e
 
     qs, sqls = e.queries(), e.oracle_sql()
+    # retired queries stay locally verified even though the driver's
+    # 50-row report cap keeps them out of queries()
+    from json_to_parquet_ray.queries import (
+        RETIRED_ORACLE_SQL, RETIRED_QUERIES,
+    )
+    qs = {**qs, **RETIRED_QUERIES}
+    sqls = {**sqls, **RETIRED_ORACLE_SQL}
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
