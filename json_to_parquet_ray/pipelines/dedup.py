@@ -169,10 +169,103 @@ def minhash_band_rows(batch: pa.Table, col: str = "text", key: str = "doc_id",
     })
 
 
-def _collect_candidate_texts(ds, cand_ids: list, col: str, key: str) -> dict:
+class _ShardedBroadcast:
+    """id-keyed lookup broadcast as N object-store shards instead of one
+    giant ``ray.put`` object: pathological duplication (every doc an LSH
+    candidate) can then never create a single plasma object the size of
+    the corpus. Shards are fetched lazily and cached per task process, so
+    a task touching few ids deserializes few shards."""
+
+    def __init__(self, items: dict, max_per_shard: int = 100_000):
+        import ray
+
+        n = max(1, -(-len(items) // max_per_shard))
+        shards: list[dict] = [dict() for _ in range(n)]
+        for k, v in items.items():
+            shards[int(k) % n][k] = v
+        self.n = n
+        self.refs = [ray.put(s) for s in shards]
+        self._cache: dict = {}
+
+    def get(self, k, default=None):
+        import ray
+
+        i = int(k) % self.n
+        s = self._cache.get(i)
+        if s is None:
+            s = ray.get(self.refs[i])
+            self._cache[i] = s
+        return s.get(k, default)
+
+    def __len__(self) -> int:
+        return sum(len(self._cache.get(i, ())) for i in range(self.n)) \
+            if len(self._cache) == self.n else -1
+
+    def __getstate__(self):
+        return {"n": self.n, "refs": self.refs}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._cache = {}
+
+
+class _ShardedVectors:
+    """Sharded broadcast of an id → float-vector lookup with VECTORIZED
+    bulk gets: each shard holds (sorted ids, row-aligned matrix), lookups
+    are one ``np.searchsorted`` per touched shard — no per-row Python."""
+
+    def __init__(self, ids: np.ndarray, mat: np.ndarray,
+                 max_per_shard: int = 100_000):
+        import ray
+
+        ids = np.asarray(ids, np.int64)
+        n = max(1, -(-len(ids) // max_per_shard))
+        self.n = n
+        self.refs = []
+        part = (ids % n) if n > 1 else np.zeros(len(ids), np.int64)
+        for i in range(n):
+            m = part == i
+            sid = ids[m]
+            order = np.argsort(sid, kind="mergesort")
+            self.refs.append(ray.put((sid[order], mat[m][order])))
+        self._cache: dict = {}
+
+    def _shard(self, i: int):
+        import ray
+
+        s = self._cache.get(i)
+        if s is None:
+            s = ray.get(self.refs[i])
+            self._cache[i] = s
+        return s
+
+    def get_many(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, np.int64)
+        out = None
+        for i in (np.unique(ids % self.n) if self.n > 1 else (0,)):
+            sid, smat = self._shard(int(i))
+            m = (ids % self.n) == i if self.n > 1 else np.ones(len(ids), bool)
+            idx = np.searchsorted(sid, ids[m])
+            if out is None:
+                out = np.empty((len(ids), smat.shape[1]), smat.dtype)
+            out[m] = smat[idx]
+        return out
+
+    def __getstate__(self):
+        return {"n": self.n, "refs": self.refs}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._cache = {}
+
+
+def _collect_candidate_texts(ds, cand_ids: list, col: str,
+                             key: str) -> "_ShardedBroadcast | dict":
     """Broadcast semi-join: ship the candidate-id set once via ``ray.put``,
     filter every batch distributed (``pc.is_in``), and materialize ONLY the
-    candidate rows (provably small after LSH banding) on the driver."""
+    candidate rows (provably small after LSH banding) on the driver. The
+    result is re-broadcast SHARDED so extreme duplication (all docs
+    candidates) can't create one giant object."""
     import pyarrow.compute as pc
     import ray
 
@@ -185,7 +278,7 @@ def _collect_candidate_texts(ds, cand_ids: list, col: str, key: str) -> dict:
         return b.select([key, col]).filter(keep)
 
     rows = ds.map_batches(filt, batch_format="pyarrow").take_all()
-    return {r[key]: (r[col] or "") for r in rows}
+    return _ShardedBroadcast({r[key]: (r[col] or "") for r in rows})
 
 
 def _shingle_set(a: str, k: int = SHINGLE) -> frozenset:
@@ -199,31 +292,29 @@ def ngram_jaccard(a: str, b: str, k: int = SHINGLE) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
 
 
-def _verify_pairs_ds(pairs_ds, texts: dict, threshold: float):
+def _verify_pairs_ds(pairs_ds, texts, threshold: float):
     """Distributed exact-Jaccard verification of a candidate-pair Dataset.
 
-    Shingle sets are computed ONCE per candidate doc and broadcast via
-    ``ray.put``; pair batches stream through ``map_batches`` — 127k pairs
-    verify in well under a second instead of a driver-side loop."""
-    import ray
-
-    t_ref = ray.put(texts)  # broadcast raw texts (small: candidates only);
-    # shingle sets are built lazily per task and cached across its batches
+    ``texts`` is a ``_ShardedBroadcast`` (or plain dict for tests): raw
+    candidate texts live in the object store sharded; shingle sets are
+    built lazily per task and cached across its batches; pair batches
+    stream through ``map_batches`` — 127k pairs verify in well under a
+    second instead of a driver-side loop."""
+    lookup = texts.get
 
     _cache: dict = {}
 
-    def _sh(sh_texts, k):
+    def _sh(k):
         s = _cache.get(k)
         if s is None:
-            s = _shingle_set(sh_texts[k])
+            s = _shingle_set(lookup(k) or "")
             _cache[k] = s
         return s
 
     def check(batch: pd.DataFrame) -> pd.DataFrame:
-        sh_texts = ray.get(t_ref)
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch["a"].tolist(), batch["b"].tolist()):
-            sa, sb = _sh(sh_texts, a), _sh(sh_texts, b)
+            sa, sb = _sh(a), _sh(b)
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
             j = inter / union if union else 1.0
@@ -701,40 +792,96 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
     plane; ``tables`` independent sign-hash tables push recall to ~1
     (P_miss = (1-p^planes)^tables, p = 1 - angle/pi). Each vector emits
     ``tables`` bucket rows; the in-bucket exact verify keeps precision
-    exact, and duplicates across tables are dropped at the end. At 100 TB
-    the bucket id is the shuffle key — never all-pairs."""
-    def bucket_rows(b: pa.Table) -> pa.Table:
-        from .ann import embedding_matrix
+    exact, and duplicates across tables are dropped at the end.
 
+    Scale shape: the bucket shuffle moves TWO int64s per (vector, table)
+    — never the vectors themselves. Collision-bucket members' vectors are
+    fetched by a broadcast semi-join (sharded ``ray.put``, vectorized
+    shard lookups). Buckets over ``bucket_cap`` are NOT dropped: they are
+    deterministically sub-split with extra hyperplanes (a pair split here
+    still has ``tables-1`` other chances), and a sub-split that cannot
+    shrink (identical-vector mega-cluster) degrades to O(n) star pairs
+    around the min id; both events are counted and logged."""
+    import logging
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    from .ann import embedding_matrix
+
+    empty = _empty_df({"a": "int64", "b": "int64", "cosine": "float64"})
+
+    def bucket_rows(b: pa.Table) -> pa.Table:
         emb = embedding_matrix(b.column(vec_col))
         keys = b.column(key).to_numpy(zero_copy_only=False)
         H = np.random.default_rng(seed).standard_normal(
             (emb.shape[1], planes * tables))
         signs = (emb @ H) > 0  # (n, planes*tables)
-        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         weights = (1 << np.arange(planes)).astype(np.int64)
-        out_bkt, out_keys, out_rows = [], [], []
+        out_bkt, out_keys = [], []
         for t in range(tables):
             block = signs[:, t * planes : (t + 1) * planes]
             bucket = (block * weights).sum(axis=1).astype(np.int64) + (t << planes)
             out_bkt.append(bucket)
             out_keys.append(keys)
-            out_rows.append(emb)
         return pa.table({
             "bucket": pa.array(np.concatenate(out_bkt)),
-            key: pa.array(np.concatenate(out_keys)),
-            "vec": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.vstack(out_rows).ravel(), pa.float64()),
-                emb.shape[1]),
+            key: pa.array(np.concatenate(out_keys), pa.int64()),
         })
 
-    buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
+    buckets = ds.map_batches(bucket_rows, batch_format="pyarrow").materialize()
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > bucket_cap:
-            return _empty_df({"a": "int64", "b": "int64", "cosine": "float64"})
-        V = np.vstack(g["vec"].to_numpy())
-        ids = np.asarray(g[key].to_numpy(), np.int64)
+    # collision-bucket prefilter (vectorized Count → is_in), same shape as
+    # the MinHash path: per-group Python is paid only for buckets with ≥2
+    counts = buckets.groupby("bucket").aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return empty
+    n_over = int((hot["n"] > bucket_cap).sum())
+    if n_over:
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup: %d LSH buckets exceed bucket_cap=%d; "
+            "sub-splitting with extra hyperplanes (star-pair fallback for "
+            "unsplittable clusters)", n_over, bucket_cap)
+    hot_ref = ray.put(pa.array(hot["bucket"].to_numpy()))
+
+    def only_hot(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("bucket"), value_set=ray.get(hot_ref)))
+
+    hot_rows = buckets.map_batches(only_hot, batch_format="pyarrow")
+
+    # distinct collision-bucket members → broadcast semi-join vector fetch
+    def members(b: pa.Table) -> pa.Table:
+        u = np.unique(b.column(key).to_numpy(zero_copy_only=False))
+        return pa.table({key: pa.array(u, pa.int64())})
+
+    cand_ids = sorted({r[key] for r in hot_rows.map_batches(
+        members, batch_format="pyarrow").take_all()})
+    if not cand_ids:
+        return empty
+    ids_ref = ray.put(pa.array(cand_ids))
+
+    def fetch(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column(key), value_set=ray.get(ids_ref))
+        sel = b.select([key, vec_col]).filter(keep)
+        emb = embedding_matrix(sel.column(vec_col))
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                               1e-12)
+        return pa.table({
+            key: sel.column(key).cast(pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float64()), emb.shape[1]),
+        })
+
+    vrows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    vids = np.array([r[key] for r in vrows], np.int64)
+    vmat = np.vstack([np.asarray(r["vec"], np.float64) for r in vrows])
+    vecs = _ShardedVectors(vids, vmat)
+
+    def _exact_block(ids: np.ndarray, V: np.ndarray) -> pd.DataFrame:
         S = V @ V.T
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = S[iu, ju] >= threshold
@@ -743,7 +890,48 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
         return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64"),
                              "cosine": S[iu[hit], ju[hit]].astype("float64")})
 
-    pairs = buckets.groupby("bucket").map_groups(emit, batch_format="pandas").to_pandas()
+    def _star_block(ids: np.ndarray, V: np.ndarray) -> pd.DataFrame:
+        anchor = int(np.argmin(ids))
+        cos = V @ V[anchor]
+        m = np.ones(len(ids), bool)
+        m[anchor] = False
+        hit = m & (cos >= threshold)
+        a = np.minimum(ids[anchor], ids[hit])
+        b = np.maximum(ids[anchor], ids[hit])
+        return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64"),
+                             "cosine": cos[hit].astype("float64")})
+
+    def _split_pairs(ids, V, bucket_id: int, depth: int) -> list:
+        if len(ids) < 2:
+            return []
+        if len(ids) <= bucket_cap:
+            return [_exact_block(ids, V)]
+        if depth >= 16:
+            # unsplittable (near-identical vectors): O(n) star pairs —
+            # exactly what connectivity clustering needs, explicitly lossy
+            # for the full pair listing
+            return [_star_block(ids, V)]
+        rng = np.random.default_rng(
+            (abs(int(bucket_id)) + 1, seed, depth))
+        h = rng.standard_normal(V.shape[1])
+        side = (V @ h) > 0
+        if side.all() or not side.any():
+            return _split_pairs(ids, V, bucket_id, depth + 1)
+        return (_split_pairs(ids[side], V[side], bucket_id, depth + 1)
+                + _split_pairs(ids[~side], V[~side], bucket_id, depth + 1))
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.asarray(g[key].to_numpy(), np.int64))
+        if len(ids) < 2:
+            return empty
+        V = vecs.get_many(ids)
+        blocks = _split_pairs(ids, V, int(g["bucket"].iloc[0]), 0)
+        blocks = [b for b in blocks if len(b)]
+        return pd.concat(blocks, ignore_index=True) if blocks else empty
+
+    pairs = hot_rows.groupby("bucket").map_groups(
+        emit, batch_format="pandas").to_pandas()
     if len(pairs) == 0 or "a" not in pairs.columns:
-        return _empty_df({"a": "int64", "b": "int64", "cosine": "float64"})
-    return pairs.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+        return empty
+    return (pairs.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))

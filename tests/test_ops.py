@@ -282,3 +282,44 @@ def test_repetition_ratio_batch():
     assert out[2] == 0.0
     assert out[3] == pytest.approx(0.5)
     assert out[4] == 0.0
+
+
+def test_embedding_near_dup_oversized_bucket_not_dropped(ray_session):
+    """Regression: buckets over bucket_cap used to return ZERO pairs
+    silently. A planted cluster larger than the cap must still surface
+    its near-dup pairs (sub-split for separable groups, star pairs for
+    identical-vector clusters)."""
+    import ray
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    n = 40  # one LSH bucket of 40 identical-direction vectors, cap 16
+    emb = np.vstack([base + 1e-6 * rng.standard_normal(16) for _ in range(n)]
+                    + [rng.standard_normal(16)])
+    tbl = pa.table({
+        "vec_id": pa.array(range(n + 1), pa.int64()),
+        "embedding": pa.array(list(emb.astype(float)), pa.list_(pa.float64())),
+    })
+    pairs = dedup.embedding_near_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.99, bucket_cap=16)
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    # every cluster member must be connected (star pairs at minimum: the
+    # anchor 0 reaches all 39 others); the outlier stays out
+    anchor_pairs = {(0, i) for i in range(1, n)}
+    assert anchor_pairs <= got
+    assert not any(n in p for p in got)
+
+
+def test_sharded_broadcast_lookup(ray_session):
+    items = {i: f"t{i}" for i in range(2500)}
+    sb = dedup._ShardedBroadcast(items, max_per_shard=1000)
+    assert sb.n == 3
+    assert all(sb.get(i) == f"t{i}" for i in (0, 999, 1000, 2499))
+    assert sb.get(99999) is None
+    rng = np.random.default_rng(0)
+    ids = np.arange(500, dtype=np.int64)
+    mat = rng.standard_normal((500, 8))
+    sv = dedup._ShardedVectors(ids[::-1].copy(), mat[::-1].copy(),
+                               max_per_shard=100)
+    want = np.array([7, 123, 499, 0])
+    np.testing.assert_allclose(sv.get_many(want), mat[want])
