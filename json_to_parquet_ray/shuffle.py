@@ -69,7 +69,9 @@ def salted_group_count(ds, col: str, salt_buckets: int = 8):
 
 
 def hash_join(left, right, on: str, right_on: str | None = None,
-              how: str = "inner", num_partitions: int | None = None):
+              how: str = "inner", num_partitions: int | None = None,
+              salt_threshold: int | str | None = "auto",
+              salt_buckets: int = 8, _return_tagged: bool = False):
     """Distributed partitioned hash join for two LARGE datasets.
 
     Both sides are tagged and bucketed by a deterministic hash of the
@@ -77,6 +79,15 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     each bucket a C-speed ``pd.merge`` joins the sides. One all-to-all
     exchange total (the groupby); per-bucket Python cost is O(buckets),
     not O(rows). Use a broadcast join instead when one side is small.
+
+    Skew: hot join keys are SALTED. A combiner census of the left
+    (probe) side finds keys whose row count exceeds ``salt_threshold``
+    ("auto" = 2x a reducer's fair share); hot-key probe rows spread over
+    ``salt_buckets`` sub-buckets and the matching right (build) rows are
+    replicated into each, so one pathological key can no longer land on
+    a single reducer. Applied for inner/left joins (replicating build
+    rows would duplicate unmatched rows under right/outer); pass
+    ``salt_threshold=None`` to disable.
 
     Ray's native ``Dataset.join`` fails on empty right partitions (as of
     2.49), which is why this exists. Column-name collisions aside from
@@ -87,6 +98,55 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     right_on = right_on or on
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    hot_ref = None
+    if salt_threshold is not None and how in ("inner", "left"):
+        # LOCALLY-HEAVY census (one cheap pass, near-empty exchange): a
+        # batch emits a key only if it holds ≥ 1/(4*num_partitions) of
+        # that batch — a globally hot key (≥ 2x a reducer's fair share)
+        # is locally heavy in almost every batch, so the tiny groupby
+        # sums only true-skew candidates, never the full key space.
+        # Detection is a pure optimization: a missed hot key just means
+        # the unsalted (previous) placement — results are identical.
+        from ray.data.aggregate import Sum
+
+        min_frac = 1.0 / (4 * num_partitions)
+
+        def heavy_partials(b: pa.Table) -> pa.Table:
+            vc = b.column(on).value_counts()
+            counts = vc.field("counts").cast(pa.int64())
+            floor = max(int(min_frac * len(b)), 4)
+            keep = pc.greater_equal(counts, floor)
+            return pa.table({
+                "value": vc.field("values").filter(keep),
+                "partial": counts.filter(keep),
+                "batch_rows": pa.array(
+                    np.full(int(pc.sum(keep).as_py() or 0), len(b),
+                            np.int64)),
+            })
+
+        partials = left.map_batches(heavy_partials, batch_format="pyarrow")
+        agg = partials.groupby("value").aggregate(
+            Sum("partial", alias_name="count"),
+            Sum("batch_rows", alias_name="rows_seen"))
+        if salt_threshold == "auto":
+            # compare each candidate against its OWN observed denominator
+            # (sum of batch sizes it was heavy in) — no extra count pass
+            def hot_filter(b: pa.Table) -> pa.Table:
+                share = pc.divide(
+                    pc.cast(b.column("count"), pa.float64()),
+                    pc.cast(pc.max_element_wise(
+                        b.column("rows_seen"), 1), pa.float64()))
+                return b.filter(pc.greater(share, 2.0 / num_partitions))
+        else:
+            thr = int(salt_threshold)
+
+            def hot_filter(b: pa.Table) -> pa.Table:
+                return b.filter(pc.greater(b.column("count"), thr))
+
+        hot_df = agg.map_batches(hot_filter, batch_format="pyarrow").to_pandas()
+        if len(hot_df):
+            hot_ref = ray.put(pa.Array.from_pandas(hot_df["value"]))
 
     def bucket_of(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         t = col.type
@@ -111,8 +171,36 @@ def hash_join(left, right, on: str, right_on: str | None = None,
 
     def tag(side: int, key: str):
         def fn(b: pa.Table) -> pa.Table:
+            base = bucket_of(b.column(key))
+            if hot_ref is None:
+                bucket = base
+            else:
+                vs = ray.get(hot_ref)
+                col = b.column(key)
+                try:
+                    vs = vs.cast(col.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    pass
+                hotmask = pc.is_in(col, value_set=vs).to_numpy(
+                    zero_copy_only=False)
+                if side == 0:
+                    # probe rows of a hot key fan out over salt_buckets
+                    salt = np.arange(len(b), dtype=np.int64) % salt_buckets
+                    bucket = base * salt_buckets + np.where(hotmask, salt, 0)
+                else:
+                    # build rows of a hot key replicate into every
+                    # sub-bucket so each probe shard can match locally
+                    cold_idx = np.nonzero(~hotmask)[0]
+                    hot_idx = np.nonzero(hotmask)[0]
+                    idx = np.concatenate(
+                        [cold_idx] + [hot_idx] * salt_buckets)
+                    bucket = np.concatenate(
+                        [base[cold_idx] * salt_buckets]
+                        + [base[hot_idx] * salt_buckets + s
+                           for s in range(salt_buckets)])
+                    b = b.take(pa.array(idx, pa.int64()))
             return (b.append_column("_bucket",
-                                    pa.array(bucket_of(b.column(key))))
+                                    pa.array(bucket.astype(np.int64)))
                     .append_column("_side", pa.array(
                         np.full(len(b), side, np.int8))))
         return fn
@@ -149,6 +237,8 @@ def hash_join(left, right, on: str, right_on: str | None = None,
 
     u = lt.map_batches(pad(lcols), batch_format="pyarrow").union(
         rt.map_batches(pad(rcols), batch_format="pyarrow"))
+    if _return_tagged:  # test hook: expose per-bucket row placement
+        return u
     return u.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 

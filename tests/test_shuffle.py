@@ -124,3 +124,40 @@ def test_hash_join_null_key_does_not_corrupt_big_int64(ray_session):
                     on="k", right_on="rk", num_partitions=4).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["a"] == "hit" and int(out.iloc[0]["k"]) == big
+
+
+def test_hash_join_hot_key_salting_balances_reducers(ray_session):
+    """A 90%-one-key probe side must not land on a single reducer: hot
+    keys salt across sub-buckets (build rows replicated), and the join
+    output still matches pandas exactly."""
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import hash_join
+
+    n = 4000
+    keys = [7] * (9 * n // 10) + list(range(100, 100 + n // 10))
+    left = pd.DataFrame({"k": keys, "a": range(n)})
+    right = pd.DataFrame({"k": [7] + list(range(100, 100 + n // 10)),
+                          "b": range(1 + n // 10)})
+    lds = ray.data.from_pandas(left).repartition(8)
+    rds = ray.data.from_pandas(right)
+
+    out = hash_join(lds, rds, on="k", num_partitions=4,
+                    salt_threshold=100, salt_buckets=4).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(out) == len(want)
+    assert out["a"].sum() == want["a"].sum()
+    assert sorted(out.columns) == sorted(want.columns)
+
+    # reducer balance: the hot key's PROBE rows spread over 4 sub-buckets
+    tagged = hash_join(lds, rds, on="k", num_partitions=4,
+                       salt_threshold=100, salt_buckets=4,
+                       _return_tagged=True).to_pandas()
+    probe_hot = tagged[(tagged["_side"] == 0) & (tagged["k"] == 7)]
+    sizes = probe_hot.groupby("_bucket").size()
+    assert len(sizes) == 4  # spread, not one giant bucket
+    assert sizes.max() <= 2 * sizes.min()
+    # and every sub-bucket got its replica of the matching build row
+    build_hot = tagged[(tagged["_side"] == 1) & (tagged["k"] == 7)]
+    assert set(build_hot["_bucket"]) == set(probe_hot["_bucket"])
