@@ -445,31 +445,24 @@ def q_grouped_topk(sf_dir: str):
 
 def q_asof_latest_order(sf_dir: str):
     """As-of join: for each event, the latest order of the same customer
-    with o_orderdate <= ts. The small side (orders) is broadcast pre-sorted
-    via ray.put; each batch does a vectorized ``pd.merge_asof``. At scale
-    (both sides large) the same merge runs per key-hash bucket inside
-    ``groupby(bucket).map_groups`` — the partitioning assumption is
-    co-location of a key's rows."""
-    import ray
+    with o_orderdate <= ts. LARGE-LARGE shape: both sides co-partition by
+    hash(customer) and a per-bucket sorted ``pd.merge_asof`` runs inside
+    ``groupby(bucket).map_groups`` — one all-to-all exchange, neither
+    side materialized on the driver (``shuffle.asof_join``)."""
+    from .shuffle import asof_join
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders.sort_values("o_orderdate").reset_index(drop=True)
-    o_ref = ray.put(orders)
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    joined = asof_join(events, orders, by="user_id", on="ts",
+                       right_by="o_custkey", right_on="o_orderdate",
+                       direction="backward")
 
-    def asof(batch: pa.Table) -> pa.Table:
-        right = ray.get(o_ref)
-        left = batch.to_pandas().sort_values("ts")
-        m = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
-                          left_by="user_id", right_by="o_custkey",
-                          direction="backward")
-        m = m.dropna(subset=["o_orderdate"])
-        return pa.Table.from_pandas(
-            m[["event_id", "o_orderdate"]].rename(
-                columns={"o_orderdate": "order_date"}),
-            preserve_index=False)
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.dropna(subset=["o_orderdate"])
+        return (m[["event_id", "o_orderdate"]]
+                .rename(columns={"o_orderdate": "order_date"}))
 
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    out = ds.map_batches(asof, batch_format="pyarrow")
+    out = joined.map_batches(finish, batch_format="pandas")
     df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
     return df
 

@@ -68,6 +68,95 @@ def salted_group_count(ds, col: str, salt_buckets: int = 8):
     return out
 
 
+def key_buckets(col: pa.ChunkedArray | pa.Array,
+                num_partitions: int) -> np.ndarray:
+    """Deterministic key → bucket hash shared by every co-partitioning
+    operator (hash join, as-of join): both sides of an exchange MUST use
+    this exact function or matching keys land in different buckets."""
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_temporal(t):
+        # fill nulls at the Arrow level BEFORE to_numpy: a null key
+        # would otherwise force a float64 round-trip that corrupts
+        # keys >= 2^53, so the two sides hash the same key to
+        # different buckets and matching rows silently vanish
+        filled = pc.fill_null(col.cast(pa.int64()), 0)
+        a = filled.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        h = a * np.uint64(0x9E3779B97F4A7C15)
+    elif pa.types.is_floating(t):
+        filled = pc.fill_null(col, 0.0)
+        a = filled.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        h = a * np.uint64(0x9E3779B97F4A7C15)
+    else:  # strings/binary: vectorized C hash via pandas (siphash)
+        h = pd.util.hash_array(
+            np.asarray(col.to_pandas(), dtype=object), categorize=False)
+    return ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def asof_join(left, right, by: str, on: str, right_by: str | None = None,
+              right_on: str | None = None, direction: str = "backward",
+              num_partitions: int | None = None):
+    """Distributed LARGE-LARGE as-of join: for each left row, the nearest
+    right row of the same ``by`` key with ``right_on`` <= ``on``
+    (direction="backward"; "forward"/"nearest" as in ``pd.merge_asof``).
+
+    Both sides co-partition by ``hash(by) % num_partitions``
+    (``key_buckets``) — ONE all-to-all exchange, no broadcast, neither
+    side ever materializes on the driver. Inside each bucket both sides
+    sort by the ordering column and a C-speed ``pd.merge_asof`` runs.
+    Partitioning assumption: all rows of a key share a bucket, which the
+    hash guarantees; per-bucket memory is bounded by the bucket's rows,
+    so size ``num_partitions`` to the cluster as for any hash join."""
+    import ray
+
+    right_by = right_by or by
+    right_on = right_on or on
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def tag(side: int, key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return (b.append_column("_bucket", pa.array(
+                        key_buckets(b.column(key), num_partitions)))
+                    .append_column("_side", pa.array(
+                        np.full(len(b), side, np.int8))))
+        return fn
+
+    lt = left.map_batches(tag(0, by), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_by), batch_format="pyarrow")
+
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def pad():
+        def fn(b: pa.Table) -> pa.Table:
+            out = {}
+            for c in all_cols:
+                out[c] = (b.column(c) if c in b.column_names
+                          else pa.nulls(len(b)))
+            out["_bucket"] = b.column("_bucket")
+            out["_side"] = b.column("_side")
+            return pa.table(out)
+        return fn
+
+    def merge(g: pa.Table) -> pd.DataFrame:
+        side = pc.equal(g.column("_side"), 0)
+        lg = (g.filter(side).select(lcols).to_pandas()
+              .sort_values(on, kind="mergesort").reset_index(drop=True))
+        rg = (g.filter(pc.invert(side)).select(rcols).to_pandas()
+              .sort_values(right_on, kind="mergesort").reset_index(drop=True))
+        if not len(lg):
+            return lg.reindex(columns=lcols + [c for c in rcols
+                                               if c not in lcols])
+        return pd.merge_asof(lg, rg, left_on=on, right_on=right_on,
+                             left_by=by, right_by=right_by,
+                             direction=direction)
+
+    u = lt.map_batches(pad(), batch_format="pyarrow").union(
+        rt.map_batches(pad(), batch_format="pyarrow"))
+    return u.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def hash_join(left, right, on: str, right_on: str | None = None,
               how: str = "inner", num_partitions: int | None = None,
               salt_threshold: int | str | None = "auto",
@@ -148,26 +237,8 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         if len(hot_df):
             hot_ref = ray.put(pa.Array.from_pandas(hot_df["value"]))
 
-    def bucket_of(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-        t = col.type
-        if pa.types.is_integer(t) or pa.types.is_temporal(t):
-            # fill nulls at the Arrow level BEFORE to_numpy: a null key
-            # would otherwise force a float64 round-trip that corrupts
-            # keys >= 2^53, so the two sides hash the same key to
-            # different buckets and matching rows silently vanish
-            filled = pc.fill_null(col.cast(pa.int64()), 0)
-            a = filled.to_numpy(zero_copy_only=False).astype(
-                np.uint64, copy=False)
-            h = a * np.uint64(0x9E3779B97F4A7C15)
-        elif pa.types.is_floating(t):
-            filled = pc.fill_null(col, 0.0)
-            a = filled.to_numpy(zero_copy_only=False).astype(
-                np.uint64, copy=False)
-            h = a * np.uint64(0x9E3779B97F4A7C15)
-        else:  # strings/binary: vectorized C hash via pandas (siphash)
-            h = pd.util.hash_array(
-                np.asarray(col.to_pandas(), dtype=object), categorize=False)
-        return ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int64)
+    def bucket_of(col):
+        return key_buckets(col, num_partitions)
 
     def tag(side: int, key: str):
         def fn(b: pa.Table) -> pa.Table:

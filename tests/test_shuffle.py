@@ -161,3 +161,40 @@ def test_hash_join_hot_key_salting_balances_reducers(ray_session):
     # and every sub-bucket got its replica of the matching build row
     build_hot = tagged[(tagged["_side"] == 1) & (tagged["k"] == 7)]
     assert set(build_hot["_bucket"]) == set(probe_hot["_bucket"])
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """Distributed co-partitioned as-of join == global pd.merge_asof,
+    including keys that exist on only one side (empty per-bucket sides)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "uid": rng.integers(0, 12, 300),
+        "t": rng.integers(0, 1000, 300).astype("int64"),
+        "ev": range(300),
+    })
+    right = pd.DataFrame({
+        "cid": rng.integers(5, 20, 80),  # uids 0-4 have no right rows
+        "ot": rng.integers(0, 1000, 80).astype("int64"),
+        "o": range(80),
+    })
+    got = asof_join(ray.data.from_pandas(left).repartition(5),
+                    ray.data.from_pandas(right).repartition(3),
+                    by="uid", on="t", right_by="cid", right_on="ot",
+                    num_partitions=4).to_pandas()
+    want = pd.merge_asof(left.sort_values("t", kind="mergesort"),
+                         right.sort_values("ot", kind="mergesort"),
+                         left_on="t", right_on="ot",
+                         left_by="uid", right_by="cid",
+                         direction="backward")
+    got = got.sort_values("ev").reset_index(drop=True)
+    want = want.sort_values("ev").reset_index(drop=True)
+    assert len(got) == len(want) == 300
+    pd.testing.assert_series_equal(
+        got["o"].astype("float64"), want["o"].astype("float64"),
+        check_names=False)
