@@ -103,6 +103,24 @@ def assign_buckets(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_vec_sample(ds, vec_col: str, sample_rows: int) -> np.ndarray:
+    """k-means training sample spread across EVERY block by a fixed row
+    stride (same pattern as the shared-FSST trainer in encode_job.py) —
+    a head ``.limit(n)`` sample would train centroids on only the first
+    fragments and mis-center on corpora whose embedding distribution
+    drifts across files."""
+    total = ds.count()
+    step = max(1, total // max(sample_rows, 1))
+
+    def strided(b: pa.Table) -> pa.Table:
+        return b.select([vec_col]).take(list(range(0, len(b), step)))
+
+    batches = [embedding_matrix(b.column(vec_col))
+               for b in ds.map_batches(strided, batch_format="pyarrow")
+               .iter_batches(batch_format="pyarrow") if len(b)]
+    return np.vstack(batches) if batches else np.zeros((0, 0))
+
+
 def ivf_build(ds, index_dir: str, n_clusters: int = 16,
               vec_col: str = "embedding", key: str = "vec_id",
               sample_rows: int = 4096, seed: int = 42) -> np.ndarray:
@@ -114,9 +132,7 @@ def ivf_build(ds, index_dir: str, n_clusters: int = 16,
     import json
     import os
 
-    sample = embedding_matrix(
-        ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
-        .column(vec_col))
+    sample = stratified_vec_sample(ds, vec_col, sample_rows)
     C = kmeans_fit(sample, n_clusters, seed=seed)
     bucketed = assign_buckets(ds, C, vec_col)
     bucketed.write_parquet(index_dir, partition_cols=["ivf_bucket"])
@@ -158,9 +174,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", key: str = "vec_id",
              sample_rows: int = 4096, seed: int = 42) -> pd.DataFrame:
     """Approximate cosine top-k probing only ``nprobe`` IVF buckets per query."""
-    sample = embedding_matrix(
-        ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
-        .column(vec_col))
+    sample = stratified_vec_sample(ds, vec_col, sample_rows)
     C = kmeans_fit(sample, n_clusters, seed=seed)
     bucketed = assign_buckets(ds, C, vec_col)
     qn = _normalize(np.asarray(queries, np.float64))

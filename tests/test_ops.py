@@ -323,3 +323,42 @@ def test_sharded_broadcast_lookup(ray_session):
                                max_per_shard=100)
     want = np.array([7, 123, 499, 0])
     np.testing.assert_allclose(sv.get_many(want), mat[want])
+
+
+def test_ivf_stratified_sample_on_drifting_corpus(ray_session, tmp_path):
+    """k-means must train on a sample spanning ALL fragments: a corpus
+    whose embedding distribution drifts across blocks (cluster A first,
+    cluster B last) still yields centroids covering both, so recall@10
+    for queries in the LATE cluster stays perfect."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import ann
+
+    rng = np.random.default_rng(9)
+    dim, n = 16, 2000
+    a_center = rng.standard_normal(dim)
+    b_center = rng.standard_normal(dim)
+    # first half near A, second half near B — ordered, so a head sample
+    # would see only A
+    emb = np.vstack([a_center + 0.05 * rng.standard_normal((n // 2, dim)),
+                     b_center + 0.05 * rng.standard_normal((n // 2, dim))])
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(emb.astype(float)),
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+
+    sample = ann.stratified_vec_sample(ds, "embedding", 256)
+    # the sample must cover the late half too
+    sims_b = ann._normalize(sample) @ (b_center / np.linalg.norm(b_center))
+    assert (sims_b > 0.9).sum() >= len(sample) // 4
+
+    queries = emb[[n - 1, n - 10]]  # late-cluster queries
+    exact = ann.brute_force_topk(ds, queries, k=10)
+    approx = ann.ivf_topk(ds, queries, k=10, n_clusters=4, nprobe=1,
+                          sample_rows=256)
+    for qid in (0, 1):
+        want = set(exact[exact["query_id"] == qid]["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        assert len(want & got) / 10 >= 0.9
