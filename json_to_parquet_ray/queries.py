@@ -384,13 +384,17 @@ def q_lineitem_agg(sf_dir: str):
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
-            n=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        # pure-Arrow combiner — no pandas conversion in the hot path
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("l_quantity_sum"),
+            "sum_price": g.column("l_extendedprice_sum"),
+            "n": g.column("l_quantity_count").cast(pa.int64()),
+        })
 
     from ray.data.aggregate import Sum
 
@@ -413,10 +417,13 @@ def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("event_type", as_index=False).agg(
-            sum_value=("value", "sum"), n=("value", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        g = batch.group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "sum_value": g.column("value_sum"),
+            "n": g.column("value_count").cast(pa.int64()),
+        })
 
     from ray.data.aggregate import Sum
 
