@@ -210,6 +210,20 @@ def main() -> None:
             res.count()  # consume lazily-built datasets
         queries[name] = round(sec, 3)
 
+    # BPE tokenizer: distributed word census → merge training →
+    # actor-pool encode (exact token counts)
+    from json_to_parquet_ray.pipelines.bpe import bpe_tokenize
+
+    def run_bpe():
+        docs = ray.data.read_parquet(
+            os.path.join(SF_DIR, "documents.parquet"),
+            columns=["doc_id", "text"])
+        out, _merges = bpe_tokenize(docs, vocab_size=512, concurrency=8)
+        return out.count()
+
+    sec, _ = timed(run_bpe)
+    queries["bpe_tokenize"] = round(sec, 3)
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "headline pipelines wall time",

@@ -362,3 +362,88 @@ def test_ivf_stratified_sample_on_drifting_corpus(ray_session, tmp_path):
         want = set(exact[exact["query_id"] == qid]["vec_id"])
         got = set(approx[approx["query_id"] == qid]["vec_id"])
         assert len(want & got) / 10 >= 0.9
+
+
+# ------------------------------------------------------------------- BPE
+
+
+def _naive_bpe_train(word_counts, n_merges):
+    """Obviously-correct reference trainer: full pair recount each round."""
+    words = {w: [w.encode()[i:i+1] for i in range(len(w.encode()))]
+             for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc_ = {}
+        for w, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                pc_[p] = pc_.get(p, 0) + word_counts[w]
+        if not pc_:
+            break
+        best = max(pc_.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if pc_[best] < 2:
+            break
+        merges.append(best)
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i+1]) == best:
+                    out.append(syms[i] + syms[i+1]); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_naive_reference():
+    from json_to_parquet_ray.pipelines import bpe
+
+    wc = {" the": 50, " then": 10, " than": 8, " cat": 5, " cats": 4,
+          "The": 3, "!": 7, " 123": 2}
+    fast = bpe.train_bpe(wc, vocab_size=256 + 12)
+    naive = _naive_bpe_train(wc, 12)
+    assert fast == naive
+    # merges actually learned multi-byte symbols
+    assert any(len(a + b) >= 3 for a, b in fast)
+
+
+def test_bpe_encode_roundtrip_and_consistency():
+    from json_to_parquet_ray.pipelines import bpe
+
+    wc = {" hello": 20, " help": 10, " world": 15, " word": 5}
+    merges = bpe.train_bpe(wc, vocab_size=256 + 20)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in [" hello", " help", " held", " helicopter", "xyz", ""]:
+        syms = bpe.bpe_encode_word(w.encode(), ranks)
+        assert b"".join(syms) == w.encode()  # lossless
+    # trained words compress below raw byte length
+    assert len(bpe.bpe_encode_word(b" hello", ranks)) < 6
+
+
+def test_bpe_tokenize_distributed(ray_session):
+    import ray
+
+    from json_to_parquet_ray.pipelines import bpe
+
+    texts = ["the cat sat on the mat", "the cats sat", "on a mat!",
+             "", "the the the"] * 40
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out1, merges = bpe.bpe_tokenize(
+        ray.data.from_arrow(tbl).repartition(1), vocab_size=256 + 30,
+        concurrency=2)
+    out7, _ = bpe.bpe_tokenize(
+        ray.data.from_arrow(tbl).repartition(7), vocab_size=256 + 30,
+        concurrency=2)
+    d1 = out1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    d7 = out7.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # batch-layout invariant
+    assert (d1["bpe_token_count"] == d7["bpe_token_count"]).all()
+    assert d1.loc[3, "bpe_token_count"] == 0  # empty doc
+    # exact per-doc count == sum of per-word encode lengths
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    import re as _re
+    w_re = _re.compile(bpe._WORD_RE)
+    for i in (0, 1, 4):
+        want = sum(len(bpe.bpe_encode_word(w.encode(), ranks))
+                   for w in w_re.findall(texts[i]))
+        assert d1.loc[i, "bpe_token_count"] == want
