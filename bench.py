@@ -110,29 +110,31 @@ def main() -> None:
     # per-partition MARGINAL cost is what scales to 10^12 docs. Encode
     # the same table sliced into ~1k partitions both ways and derive
     # marginal ms/partition against the 16-partition runs above.
-    am: dict[str, float] = {}
-    for label, cols in (("stateless", None), ("shared", ["lang"])):
-        d = os.path.join(CC_BASE, f"enc_amort_{label}_{NUM_CPUS}")
-        shutil.rmtree(d, ignore_errors=True)
-        s, summ = timed(lambda cols=cols, d=d: encode_job(
-            cc_dir, d, shared_dict_columns=cols, max_rows_per_partition=40))
-        am[label] = s
-        am[f"{label}_parts"] = summ["partitions_total"]
-    parts_1k = am["stateless_parts"]
-    parts_16 = extra["cc_partitions"]
-    marg_stateless = (am["stateless"] - queries["encode_cc"]) / max(
-        parts_1k - parts_16, 1) * 1000
-    marg_shared = (am["shared"] - queries["encode_cc_shared_dict"]) / max(
-        parts_1k - parts_16, 1) * 1000
-    queries["encode_cc_1k_parts"] = round(am["stateless"], 3)
-    queries["encode_cc_shared_dict_1k_parts"] = round(am["shared"], 3)
-    extra["amortization"] = {
-        "partitions": int(parts_1k),
-        "marginal_ms_per_part_stateless": round(marg_stateless, 2),
-        "marginal_ms_per_part_shared": round(marg_shared, 2),
-        "marginal_ratio_shared_vs_stateless": round(
-            marg_shared / max(marg_stateless, 1e-9), 3),
-    }
+    if os.environ.get("GRAFT_BENCH_ONLY") != "encode":  # skip in scaling runs
+        am: dict[str, float] = {}
+        for label, cols in (("stateless", None), ("shared", ["lang"])):
+            d = os.path.join(CC_BASE, f"enc_amort_{label}_{NUM_CPUS}")
+            shutil.rmtree(d, ignore_errors=True)
+            s, summ = timed(lambda cols=cols, d=d: encode_job(
+                cc_dir, d, shared_dict_columns=cols,
+                max_rows_per_partition=40))
+            am[label] = s
+            am[f"{label}_parts"] = summ["partitions_total"]
+        parts_1k = am["stateless_parts"]
+        parts_16 = extra["cc_partitions"]
+        marg_stateless = (am["stateless"] - queries["encode_cc"]) / max(
+            parts_1k - parts_16, 1) * 1000
+        marg_shared = (am["shared"] - queries["encode_cc_shared_dict"]) / max(
+            parts_1k - parts_16, 1) * 1000
+        queries["encode_cc_1k_parts"] = round(am["stateless"], 3)
+        queries["encode_cc_shared_dict_1k_parts"] = round(am["shared"], 3)
+        extra["amortization"] = {
+            "partitions": int(parts_1k),
+            "marginal_ms_per_part_stateless": round(marg_stateless, 2),
+            "marginal_ms_per_part_shared": round(marg_shared, 2),
+            "marginal_ratio_shared_vs_stateless": round(
+                marg_shared / max(marg_stateless, 1e-9), 3),
+        }
 
     sec, _ = timed(lambda: decode_dataset(out_dir).count())
     queries["decode_cc"] = round(sec, 3)
