@@ -48,8 +48,17 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
 
     from ..shuffle import salted_group_count
 
-    counts = salted_group_count(ds, key_col).to_pandas()
-    hot = sorted(counts[counts["count"] > hot_threshold]["value"].tolist())
+    import pyarrow.compute as pc
+
+    counts = salted_group_count(ds, key_col)
+    # filter to HOT keys distributed: the driver sees at most
+    # total_rows/hot_threshold keys, never the full distinct-key census
+    # (a url-grained key column would otherwise materialize every
+    # distinct value here)
+    hot_df = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("count"), hot_threshold)),
+        batch_format="pyarrow").to_pandas()
+    hot = sorted(hot_df["value"].tolist())
     hot_ref = ray.put(set(hot))
 
     salt_suffixes = np.array([f"#s{s}" for s in range(salt_buckets)])
