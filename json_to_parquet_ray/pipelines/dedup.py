@@ -197,10 +197,6 @@ class _ShardedBroadcast:
             self._cache[i] = s
         return s.get(k, default)
 
-    def __len__(self) -> int:
-        return sum(len(self._cache.get(i, ())) for i in range(self.n)) \
-            if len(self._cache) == self.n else -1
-
     def __getstate__(self):
         return {"n": self.n, "refs": self.refs}
 
