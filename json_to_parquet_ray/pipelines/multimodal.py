@@ -131,20 +131,51 @@ def frame_sample_batch(batch: pa.Table, payload_col: str = "payload",
                        every: int = 4096, max_frames: int = 8) -> pa.Table:
     """STUB video frame-sampler: slices the payload at fixed strides —
     real frame decode would replace the slicing; the explode layout
-    (one output row per sampled frame, media_id carried along) is real."""
-    ids, frames, idxs = [], [], []
-    for mid, p in zip(batch.column("media_id").to_pylist(),
-                      batch.column(payload_col).to_pylist()):
-        if not p:
-            continue
-        for fi in range(min(max_frames, max(1, len(p) // every))):
-            ids.append(mid)
-            idxs.append(fi)
-            frames.append(p[fi * every : fi * every + 256])
+    (one output row per sampled frame, media_id carried along) is real.
+
+    Vectorized: one ``binary_slice`` kernel call per frame INDEX (≤
+    ``max_frames`` calls per batch), never a Python loop over rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    pay = batch.column(payload_col)
+    if isinstance(pay, pa.ChunkedArray):
+        pay = pay.combine_chunks()
+    ids = batch.column("media_id")
+    lens = pc.binary_length(pay)
+    lens_np = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False)
+    n_frames = np.clip(lens_np // every, 1, max_frames)
+    n_frames[lens_np == 0] = 0
+
+    pieces = []
+    row_pos = np.arange(len(batch))
+    for fi in range(int(n_frames.max()) if len(n_frames) else 0):
+        m = n_frames > fi
+        sel = pa.array(m)
+        pieces.append(pa.table({
+            "_pos": pa.array(row_pos[m], pa.int64()),
+            "media_id": ids.filter(sel),
+            "frame_index": pa.array(
+                np.full(int(m.sum()), fi, np.int32), pa.int32()),
+            "frame": pc.binary_slice(pay.filter(sel),
+                                     start=fi * every,
+                                     stop=fi * every + 256),
+        }))
+    if not pieces:
+        return pa.table({
+            "media_id": pa.array([], pa.int64()),
+            "frame_index": pa.array([], pa.int32()),
+            "frame": pa.array([], pa.binary()),
+        })
+    t = pa.concat_tables(pieces)
+    # restore row-major (input row, frame) order
+    order = pc.sort_indices(t, sort_keys=[("_pos", "ascending"),
+                                          ("frame_index", "ascending")])
+    t = t.take(order).drop_columns(["_pos"])
     return pa.table({
-        "media_id": pa.array(ids, pa.int64()),
-        "frame_index": pa.array(idxs, pa.int32()),
-        "frame": pa.array(frames, pa.binary()),
+        "media_id": t.column("media_id").cast(pa.int64()),
+        "frame_index": t.column("frame_index"),
+        "frame": t.column("frame").cast(pa.binary()),
     })
 
 
