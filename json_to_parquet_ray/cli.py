@@ -69,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     pl = sub.add_parser("plan", help="codec auto-selection plan for parquet input")
     pl.add_argument("inputs", nargs="+")
 
+    tk = sub.add_parser("tokenize", help="BPE: train on the corpus, write "
+                                         "per-doc exact token counts")
+    tk.add_argument("inputs", nargs="+")
+    tk.add_argument("parquet_out")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--vocab-size", type=int, default=4096)
+    tk.add_argument("--max-words", type=int, default=50_000)
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -150,6 +158,17 @@ def main(argv: list[str] | None = None) -> int:
             schema = pq.read_schema(first).remove_metadata()
             plan = plan_from_stats(stats, schema)
             print(json.dumps(plan.to_json(), sort_keys=True))
+        elif args.cmd == "tokenize":
+            from .pipelines.bpe import bpe_tokenize
+
+            ds = ray.data.read_parquet(args.inputs)
+            out, merges = bpe_tokenize(ds, col=args.text_col,
+                                       vocab_size=args.vocab_size,
+                                       max_words=args.max_words)
+            out.write_parquet(args.parquet_out)
+            print(json.dumps({"out": args.parquet_out,
+                              "merges_learned": len(merges),
+                              "vocab_size": 256 + len(merges)}))
     finally:
         ray.shutdown()
     return 0
