@@ -198,3 +198,64 @@ def test_asof_join_matches_pandas(ray_session):
     pd.testing.assert_series_equal(
         got["o"].astype("float64"), want["o"].astype("float64"),
         check_names=False)
+
+
+def test_hash_join_randomized_vs_pandas(ray_session):
+    """Randomized equivalence: salted distributed join == pd.merge over
+    mixed-skew int keys, across join types and partition counts."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import hash_join
+
+    rng = np.random.default_rng(21)
+    for trial, how in [(0, "inner"), (1, "left"), (2, "inner")]:
+        n = int(rng.integers(200, 1500))
+        # zipf-ish skew: a few hot keys + a long tail
+        keys = np.where(rng.random(n) < 0.4, rng.integers(0, 3, n),
+                        rng.integers(0, n, n))
+        left = pd.DataFrame({"k": keys, "a": rng.integers(0, 100, n)})
+        m = int(rng.integers(50, 400))
+        right = pd.DataFrame({"k": rng.integers(0, max(n // 2, 5), m),
+                              "b": rng.integers(0, 100, m)})
+        got = hash_join(
+            ray.data.from_pandas(left).repartition(int(rng.integers(1, 7))),
+            ray.data.from_pandas(right),
+            on="k", how=how, num_partitions=int(rng.integers(2, 9)),
+            salt_threshold=50, salt_buckets=int(rng.integers(2, 5))
+        ).to_pandas()
+        want = left.merge(right, on="k", how=how)
+        assert len(got) == len(want), (trial, how)
+        gs = got.fillna(-1).groupby(["k", "a", "b"]).size().sort_index()
+        ws = want.fillna(-1).groupby(["k", "a", "b"]).size().sort_index()
+        assert gs.equals(ws), (trial, how)
+
+
+def test_asof_join_forward_direction(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import asof_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"u": rng.integers(0, 6, 150),
+                         "t": rng.integers(0, 500, 150).astype("int64"),
+                         "i": range(150)})
+    right = pd.DataFrame({"u": rng.integers(0, 6, 60),
+                          "t2": rng.integers(0, 500, 60).astype("int64"),
+                          "v": range(60)})
+    got = asof_join(ray.data.from_pandas(left),
+                    ray.data.from_pandas(right), by="u", on="t",
+                    right_on="t2", direction="forward",
+                    num_partitions=3).to_pandas()
+    want = pd.merge_asof(left.sort_values("t", kind="mergesort"),
+                         right.sort_values("t2", kind="mergesort"),
+                         left_on="t", right_on="t2", by="u",
+                         direction="forward")
+    got = got.sort_values("i").reset_index(drop=True)
+    want = want.sort_values("i").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["v"].astype("float64"),
+                                   want["v"].astype("float64"),
+                                   check_names=False)
