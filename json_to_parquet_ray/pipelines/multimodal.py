@@ -127,6 +127,65 @@ class ExtractFeatures:
                                pa.array(argmax, pa.int64(), mask=nnz == 0)))
 
 
+class ResizeMedia:
+    """Actor-pool stage: binary payload → resized binary payload plus the
+    (target_w, target_h) metadata a downstream loader needs.
+
+    STUB resize: with no image library in the container, the "resized"
+    payload is a deterministic byte-stride downsample of the original
+    whose length scales with target_area/source_area — the real
+    contract (output smaller, deterministic, schema'd binary + dims) is
+    kept and tested; a real decoder+resampler drops into ``__call__``.
+    Vectorized: one ``binary_slice``-free gather via numpy index math
+    per batch, no per-row Python.
+    """
+
+    def __init__(self, payload_col: str = "payload",
+                 target: tuple[int, int] = (224, 224)):
+        self.payload_col = payload_col
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = batch.column(self.payload_col).combine_chunks() \
+            .cast(pa.large_binary())
+        n = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1,
+                             offset=arr.offset * 8)
+        buf = arr.buffers()[2]
+        data = (np.frombuffer(buf, np.uint8)[offs[0]:offs[-1]]
+                if buf is not None else np.zeros(0, np.uint8))
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        # STUB: keep ~(target_area / est_source_area) of the bytes via a
+        # per-row stride; floor 1 byte for non-empty payloads
+        tw, th = self.target
+        budget = max(tw * th // 256, 16)  # stub bytes-per-image budget
+        out_lens = np.minimum(lens, budget)
+        strides = np.maximum(lens // np.maximum(out_lens, 1), 1)
+        # gather indices: for each row, offs[i] + stride*k for k<out_len
+        row_of = np.repeat(np.arange(n), out_lens)
+        k = np.arange(len(row_of)) - np.repeat(
+            np.concatenate([[0], np.cumsum(out_lens)[:-1]]), out_lens)
+        idx = offs[:-1][row_of] + strides[row_of] * k
+        sel = data[np.minimum(idx, np.repeat(offs[1:] - 1, out_lens))] \
+            if len(row_of) else np.zeros(0, np.uint8)
+        out = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(np.concatenate(
+                [[0], np.cumsum(out_lens)]).astype(np.int64).tobytes()),
+             pa.py_buffer(sel.tobytes())])
+        valid = pc.is_valid(arr)
+        out = pc.if_else(valid, out, pa.scalar(None, pa.large_binary()))
+        return (batch.drop_columns([self.payload_col])
+                .append_column("resized", out.cast(pa.binary()))
+                .append_column("target_w", pa.array(
+                    np.full(n, tw, np.int32), pa.int32()))
+                .append_column("target_h", pa.array(
+                    np.full(n, th, np.int32), pa.int32())))
+
+
 def frame_sample_batch(batch: pa.Table, payload_col: str = "payload",
                        every: int = 4096, max_frames: int = 8) -> pa.Table:
     """STUB video frame-sampler: slices the payload at fixed strides —

@@ -447,3 +447,23 @@ def test_bpe_tokenize_distributed(ray_session):
         want = sum(len(bpe.bpe_encode_word(w.encode(), ranks))
                    for w in w_re.findall(texts[i]))
         assert d1.loc[i, "bpe_token_count"] == want
+
+
+def test_multimodal_resize_stub():
+    payloads = [bytes(range(256)) * 40, b"ab", b"", None]
+    t = pa.table({"media_id": pa.array(range(4), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    stage = multimodal.ResizeMedia(target=(224, 224))
+    out = stage(t)
+    assert out.column_names == ["media_id", "resized", "target_w", "target_h"]
+    r = out.column("resized").to_pylist()
+    budget = max(224 * 224 // 256, 16)
+    assert len(r[0]) == budget and len(r[0]) < len(payloads[0])  # shrank
+    assert r[1] == b"ab" and r[2] == b"" and r[3] is None  # null preserved
+    assert set(out.column("target_w").to_pylist()) == {224}
+    # deterministic
+    out2 = multimodal.ResizeMedia(target=(224, 224))(t)
+    assert out.column("resized").equals(out2.column("resized"))
+    # byte content is a stride-sample of the source
+    stride = len(payloads[0]) // budget
+    assert r[0][:4] == bytes(payloads[0][i * stride] for i in range(4))
