@@ -242,6 +242,14 @@ class _ShardedVectors:
             sid, smat = self._shard(int(i))
             m = (ids % self.n) == i if self.n > 1 else np.ones(len(ids), bool)
             idx = np.searchsorted(sid, ids[m])
+            # fail loudly on a missing id — searchsorted would otherwise
+            # silently hand back a neighbor's vector
+            clipped = np.minimum(idx, max(len(sid) - 1, 0))
+            bad = ((idx >= len(sid)) | (sid[clipped] != ids[m])
+                   if len(sid) else np.ones(int(m.sum()), bool))
+            if bad.any():
+                raise KeyError(f"ids not in sharded vector store: "
+                               f"{ids[m][bad][:5].tolist()}...")
             if out is None:
                 out = np.empty((len(ids), smat.shape[1]), smat.dtype)
             out[m] = smat[idx]
