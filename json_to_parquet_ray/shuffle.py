@@ -205,7 +205,11 @@ def hash_join(left, right, on: str, right_on: str | None = None,
             vc = b.column(on).value_counts()
             counts = vc.field("counts").cast(pa.int64())
             floor = max(int(min_frac * len(b)), 4)
-            keep = pc.greater_equal(counts, floor)
+            # null keys never salt: they already co-locate via the cold
+            # fill_null(0) hash, and a null in the hot set would poison
+            # the census groupby and the is_in mask
+            keep = pc.and_(pc.greater_equal(counts, floor),
+                           pc.is_valid(vc.field("values")))
             return pa.table({
                 "value": vc.field("values").filter(keep),
                 "partial": counts.filter(keep),

@@ -259,3 +259,25 @@ def test_asof_join_forward_direction(ray_session):
     pd.testing.assert_series_equal(got["v"].astype("float64"),
                                    want["v"].astype("float64"),
                                    check_names=False)
+
+
+def test_hash_join_mostly_null_keys_with_salting(ray_session):
+    """A mostly-null key column must not poison the hot-key census or the
+    salting path; null keys keep pandas merge semantics."""
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import hash_join
+
+    left = pd.DataFrame({"k": pd.array([None] * 900 + [1] * 100,
+                                       dtype="Int64"),
+                         "a": range(1000)})
+    right = pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64"),
+                          "b": [10, 20, 30]})
+    got = hash_join(ray.data.from_pandas(left).repartition(4),
+                    ray.data.from_pandas(right), on="k",
+                    num_partitions=4, salt_threshold=50,
+                    salt_buckets=4).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(got) == len(want)
+    assert got["b"].sum() == want["b"].sum()
