@@ -66,7 +66,9 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
     def add_pkey(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        keys = pc.cast(b.column(key_col), pa.string())
+        # null keys partition as the literal string "None" (matching the
+        # pre-round-3 str() behavior and keyed_read's str(k) lookups)
+        keys = pc.fill_null(pc.cast(b.column(key_col), pa.string()), "None")
         # injective pkey: "<len>:<key>[#s<salt>]". The length prefix makes
         # a literal key value "en#s3" partition differently from hot key
         # "en"'s salt-3 sub-partition ("5:en#s3" vs "2:en#s3"), so one
