@@ -132,8 +132,11 @@ def main() -> None:
             "partitions": int(parts_1k),
             "marginal_ms_per_part_stateless": round(marg_stateless, 2),
             "marginal_ms_per_part_shared": round(marg_shared, 2),
-            "marginal_ratio_shared_vs_stateless": round(
-                marg_shared / max(marg_stateless, 1e-9), 3),
+            # None when noise makes the stateless marginal non-positive —
+            # a clamped denominator would fabricate an absurd ratio
+            "marginal_ratio_shared_vs_stateless": (
+                round(marg_shared / marg_stateless, 3)
+                if marg_stateless > 0 else None),
         }
 
     sec, _ = timed(lambda: decode_dataset(out_dir).count())

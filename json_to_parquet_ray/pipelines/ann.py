@@ -104,21 +104,37 @@ def assign_buckets(ds, centroids: np.ndarray, vec_col: str = "embedding"):
 
 
 def stratified_vec_sample(ds, vec_col: str, sample_rows: int) -> np.ndarray:
-    """k-means training sample spread across EVERY block by a fixed row
-    stride (same pattern as the shared-FSST trainer in encode_job.py) —
-    a head ``.limit(n)`` sample would train centroids on only the first
+    """k-means training sample spread across the WHOLE dataset — a head
+    ``.limit(n)`` sample would train centroids on only the first
     fragments and mis-center on corpora whose embedding distribution
-    drifts across files."""
-    total = ds.count()
-    step = max(1, total // max(sample_rows, 1))
+    drifts across files.
 
-    def strided(b: pa.Table) -> pa.Table:
-        return b.select([vec_col]).take(list(range(0, len(b), step)))
+    Selection is a deterministic CONTENT-hash: a row is kept iff the
+    FNV-mix of its vector bits is ≡ 0 mod (total/sample_rows). That
+    makes the sample batch-layout independent and its expected size
+    ``sample_rows`` regardless of how many blocks the dataset has — a
+    per-batch stride would leak ≥1 row per block (unbounded at 10^9
+    rows / 10^6 blocks). Driver memory is hard-capped at
+    4·sample_rows."""
+    total = ds.count()
+    mod = max(total // max(sample_rows, 1), 1)
+
+    def sampled(b: pa.Table) -> pa.Table:
+        emb = embedding_matrix(b.column(vec_col))
+        if not len(emb):
+            return b.select([vec_col]).slice(0, 0)
+        bits = np.ascontiguousarray(emb).view(np.uint64)
+        h = np.zeros(len(emb), np.uint64)
+        for j in range(bits.shape[1]):  # dim-bounded, row-vectorized
+            h = (h ^ bits[:, j]) * np.uint64(0x100000001B3)
+        keep = (h % np.uint64(mod)) == 0
+        return b.select([vec_col]).filter(pa.array(keep))
 
     batches = [embedding_matrix(b.column(vec_col))
-               for b in ds.map_batches(strided, batch_format="pyarrow")
+               for b in ds.map_batches(sampled, batch_format="pyarrow")
                .iter_batches(batch_format="pyarrow") if len(b)]
-    return np.vstack(batches) if batches else np.zeros((0, 0))
+    out = np.vstack(batches) if batches else np.zeros((0, 0))
+    return out[:4 * sample_rows]
 
 
 def ivf_build(ds, index_dir: str, n_clusters: int = 16,

@@ -25,8 +25,6 @@ GPT-2's public code):
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -36,7 +34,6 @@ import pyarrow.compute as pc
 # punctuation, with the GPT-2-style leading-space convention folded into
 # the word itself so merges can learn space-prefixed tokens
 _WORD_RE = r" ?(?:'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)"
-_WORD_CRE = re.compile(_WORD_RE)
 
 
 def _word_count_partials(batch: pa.Table, col: str) -> pa.Table:
@@ -160,6 +157,10 @@ class BpeEncoder:
     per-row cost collapses to a dict lookup for all but first-seen word
     types (Zipf makes that the overwhelming majority)."""
 
+    CACHE_CAP = 1_000_000  # entries; bounds actor memory on corpora with
+    # unbounded type cardinality (URLs, UUIDs) — a reset costs one cold
+    # re-encode of the hot head, negligible under Zipf
+
     def __init__(self, merges: list[tuple[bytes, bytes]],
                  col: str = "text", out: str = "bpe_token_count"):
         self.ranks = {tuple(p): i for i, p in enumerate(merges)}
@@ -171,6 +172,8 @@ class BpeEncoder:
         n = self._word_len.get(w)
         if n is None:
             n = len(bpe_encode_word(w.encode("utf-8"), self.ranks))
+            if len(self._word_len) >= self.CACHE_CAP:
+                self._word_len.clear()
             self._word_len[w] = n
         return n
 

@@ -871,18 +871,27 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
     def fetch(b: pa.Table) -> pa.Table:
         keep = pc.is_in(b.column(key), value_set=ray.get(ids_ref))
         sel = b.select([key, vec_col]).filter(keep)
+        if sel.num_rows == 0:
+            # a candidate-free batch must emit a typed empty block — a
+            # FixedSizeListArray of size 0 raises ArrowInvalid
+            return pa.table({key: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
         emb = embedding_matrix(sel.column(vec_col))
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
                                1e-12)
-        return pa.table({
-            key: sel.column(key).cast(pa.int64()),
-            "vec": pa.FixedSizeListArray.from_arrays(
-                pa.array(emb.ravel(), pa.float64()), emb.shape[1]),
-        })
+        n, dim = emb.shape
+        offs = (np.arange(n + 1, dtype=np.int32) * dim * 8)
+        vec = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(emb, np.float64).tobytes())])
+        return pa.table({key: sel.column(key).cast(pa.int64()), "vec": vec})
 
     vrows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    if not vrows:
+        return empty
     vids = np.array([r[key] for r in vrows], np.int64)
-    vmat = np.vstack([np.asarray(r["vec"], np.float64) for r in vrows])
+    vmat = np.vstack([np.frombuffer(r["vec"], np.float64) for r in vrows])
     vecs = _ShardedVectors(vids, vmat)
 
     def _exact_block(ids: np.ndarray, V: np.ndarray) -> pd.DataFrame:

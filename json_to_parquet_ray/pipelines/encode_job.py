@@ -102,12 +102,14 @@ def _zone_maps(table: pa.Table) -> dict[str, dict]:
     return out
 
 
-def zone_prune(out_dir: str, zone_filter: dict) -> tuple[list, int]:
+def zone_prune(out_dir: str, zone_filter: dict,
+               recs: list | None = None) -> tuple[list, int]:
     """Manifest-level chunk pruning: returns (surviving records in input
     order, number skipped). ``zone_filter``: {col: (lo, hi)} inclusive;
     a chunk survives iff every filtered column's zone overlaps [lo, hi]
     (chunks without a zone map for the column conservatively survive)."""
-    recs = effective_records(out_dir)
+    if recs is None:
+        recs = effective_records(out_dir)
     keep, skipped = [], 0
     for rec in recs:
         zones = {c["name"]: c for c in rec.columns}
@@ -385,12 +387,15 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     import ray
 
     if zone_filter:
-        recs, _ = zone_prune(out_dir, zone_filter)
+        all_recs = effective_records(out_dir)
         # fail fast ON THE DRIVER for bounds a temporal column can't
         # parse (e.g. CLI ts=2024,2025): the zone prune compares zone
         # STRINGS lexically so such bounds slip through it, and raising
-        # inside a Ray task would surface as an opaque RayTaskError
-        ts_cols = {c["name"] for rec in recs for c in rec.columns
+        # inside a Ray task would surface as an opaque RayTaskError.
+        # Validate against ALL records BEFORE pruning — a bad bound can
+        # lexically prune every chunk, and an empty result must not
+        # masquerade as success
+        ts_cols = {c["name"] for rec in all_recs for c in rec.columns
                    if c.get("ts")}
         for col, (lo, hi) in zone_filter.items():
             if col not in ts_cols:
@@ -405,6 +410,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                         f"zone-filter bound {v!r} is not a full literal "
                         f"for timestamp column {col!r} (use e.g. "
                         f"2024-01-01T00:00:00)") from None
+        recs, _ = zone_prune(out_dir, zone_filter, recs=all_recs)
     else:
         # input order is recomputed from the recorded fragment identity
         # (path, row_group, row_start) — stable under appends, unlike ids;

@@ -578,8 +578,14 @@ def test_keyed_store_literal_salt_suffix_key_no_collision(ray_session, tmp_path)
     out = str(tmp_path / "ks")
     keyed_encode(ray.data.from_pandas(rows), out, key_col="lang",
                  salt_col="doc_id", hot_threshold=100, salt_buckets=4)
+    # every chunk's manifest key must match ALL the rows inside it — the
+    # exact mixed-key corruption the injective pkey prevents
+    from json_to_parquet_ray.encode import decode_table
+
     for rec in keyed_manifest(out):
-        pass  # every chunk's manifest key must match ALL its rows
+        with open(os.path.join(out, rec["chunk_file"]), "rb") as f:
+            body = decode_table(f.read())
+        assert set(body.column("lang").to_pylist()) == {rec["key"]}, rec
     ds, _ = keyed_read(out, keys=["en#s3"])
     got = ds.to_pandas()
     assert set(got["lang"]) == {"en#s3"} and len(got) == 5
@@ -599,6 +605,10 @@ def test_zone_filter_numeric_bound_on_timestamp_errors_cleanly(
         # 2025..2026 passes the lexical zone prune (fixture data is in
         # 2025) so the exact row filter actually runs
         decode_dataset(out, zone_filter={"warc_ts": (2025, 2026)}).take_all()
+    with pytest.raises(ValueError, match="zone-filter bound"):
+        # 2024..2025 lexically prunes EVERY chunk — the bad bound must
+        # still error, not silently return an empty dataset
+        decode_dataset(out, zone_filter={"warc_ts": (2024, 2025)}).take_all()
     # a full ISO literal still filters fine
     res = decode_dataset(
         out, zone_filter={"warc_ts": ("2000-01-01", "2100-01-01")}).take_all()
