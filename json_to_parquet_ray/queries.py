@@ -698,10 +698,9 @@ def q_events_sliding_window(sf_dir: str):
             w = pc.subtract(base, pa.scalar(_dt.timedelta(minutes=15 * k)))
             tables.append(pa.table({"w": w}))
         t = pa.concat_tables(tables)
-        df = t.to_pandas().groupby("w", as_index=False).size() \
-            .rename(columns={"size": "n"})
-        return pa.Table.from_pandas(df, preserve_index=False) \
-            .replace_schema_metadata(None)
+        g = t.group_by("w").aggregate([("w", "count")])
+        return pa.table({"w": g.column("w"),
+                         "n": g.column("w_count").cast(pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     out = parts.groupby("w").aggregate(Sum("n", alias_name="event_count"))
