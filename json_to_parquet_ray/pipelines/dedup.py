@@ -311,7 +311,10 @@ def _verify_pairs_ds(pairs_ds, texts, threshold: float):
     def _sh(k):
         s = _cache.get(k)
         if s is None:
-            s = _shingle_set(lookup(k) or "")
+            t = lookup(k)
+            if t is None:  # collect stores '' for null texts, so None = bug
+                raise KeyError(f"candidate text missing for id {k}")
+            s = _shingle_set(t)
             _cache[k] = s
         return s
 
