@@ -467,3 +467,55 @@ def test_multimodal_resize_stub():
     # byte content is a stride-sample of the source
     stride = len(payloads[0]) // budget
     assert r[0][:4] == bytes(payloads[0][i * stride] for i in range(4))
+
+
+def test_embedding_near_dup_batch_layout_invariant(ray_session):
+    import ray
+
+    rng = np.random.default_rng(17)
+    emb = rng.standard_normal((600, 24))
+    emb[100] = emb[7] + 1e-5
+    emb[550] = emb[7] - 1e-5 * rng.standard_normal(24)
+    tbl = pa.table({
+        "vec_id": pa.array(range(600), pa.int64()),
+        "embedding": pa.array(list(emb.astype(float)), pa.list_(pa.float64())),
+    })
+    outs = []
+    for parts in (1, 7, 13):
+        pairs = dedup.embedding_near_dup_pairs(
+            ray.data.from_arrow(tbl).repartition(parts), threshold=0.999)
+        outs.append(sorted(zip(pairs["a"], pairs["b"])))
+    assert outs[0] == outs[1] == outs[2]
+    assert (7, 100) in outs[0] and (7, 550) in outs[0]
+
+
+def test_keyed_store_pkey_injective_fuzz(ray_session, tmp_path):
+    """Randomized: adversarial key values (salt-suffix lookalikes, colons,
+    unicode, length-prefix spoofs) — every chunk stays single-key and
+    every key reads back exactly its own rows."""
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.pipelines.keyed_store import (
+        keyed_encode, keyed_read,
+    )
+
+    keys = ["en", "en#s0", "en#s1", "2:en", "3:en#s0", "é#s2", ":", "a:b",
+            "5:é#s2", ""]
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(600):
+        rows.append({"k": keys[int(rng.integers(0, len(keys)))], "doc_id": i})
+    # make 'en' hot
+    rows += [{"k": "en", "doc_id": 600 + i} for i in range(300)]
+    df = pd.DataFrame(rows)
+    out = str(tmp_path / "fz")
+    keyed_encode(ray.data.from_pandas(df), out, key_col="k",
+                 salt_col="doc_id", hot_threshold=120, salt_buckets=3)
+    for k in keys:
+        ds, _ = keyed_read(out, keys=[k])
+        got = ds.to_pandas()
+        want = df[df["k"] == k]
+        assert len(got) == len(want), k
+        if len(got):
+            assert set(got["k"]) == {k}
