@@ -130,11 +130,27 @@ def stratified_vec_sample(ds, vec_col: str, sample_rows: int) -> np.ndarray:
         keep = (h % np.uint64(mod)) == 0
         return b.select([vec_col]).filter(pa.array(keep))
 
-    batches = [embedding_matrix(b.column(vec_col))
-               for b in ds.map_batches(sampled, batch_format="pyarrow")
-               .iter_batches(batch_format="pyarrow") if len(b)]
-    out = np.vstack(batches) if batches else np.zeros((0, 0))
-    return out[:4 * sample_rows]
+    # stream with an early stop: the driver holds at most the cap plus
+    # one batch even if a duplicate-heavy corpus over-collects (identical
+    # vectors share one hash, so they pass or fail the filter together)
+    cap = 4 * sample_rows
+    batches, kept = [], 0
+    for b in (ds.map_batches(sampled, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        if not len(b):
+            continue
+        m = embedding_matrix(b.column(vec_col))
+        batches.append(m)
+        kept += len(m)
+        if kept >= cap:
+            break
+    if not batches:
+        # all-duplicate corpus whose single hash missed the modulus: fall
+        # back to a bounded head sample rather than returning empty
+        head = ds.limit(min(sample_rows, max(total, 1))).take_batch(
+            sample_rows, batch_format="pyarrow")
+        return embedding_matrix(head.column(vec_col))
+    return np.vstack(batches)[:cap]
 
 
 def ivf_build(ds, index_dir: str, n_clusters: int = 16,

@@ -55,11 +55,21 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
     # total_rows/hot_threshold keys, never the full distinct-key census
     # (a url-grained key column would otherwise materialize every
     # distinct value here)
-    hot_df = counts.map_batches(
+    hot_parts = list(counts.map_batches(
         lambda b: b.filter(pc.greater(b.column("count"), hot_threshold)),
-        batch_format="pyarrow").to_pandas()
-    hot = sorted(hot_df["value"].tolist())
-    hot_ref = ray.put(set(hot))
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    # stringify with the SAME Arrow cast add_pkey uses (str(k) renders
+    # 5.0/'True'/timestamps differently and would silently disable
+    # salting for non-string keys); a hot NULL key becomes "None", the
+    # literal its rows partition under
+    hot_arr = (pc.fill_null(pc.cast(
+        pa.concat_tables(hot_parts).column("value").combine_chunks(),
+        pa.string()), "None")
+        if hot_parts else pa.array([], pa.string()))
+    hot = sorted(hot_arr.to_pylist())
+    # broadcast the Arrow value_set ONCE — tasks fetch it plasma-cached
+    # instead of rebuilding a pa.array per batch
+    hot_ref = ray.put(hot_arr)
 
     salt_suffixes = np.array([f"#s{s}" for s in range(salt_buckets)])
 
@@ -77,9 +87,8 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
             pc.cast(pc.utf8_length(keys), pa.string()), keys, ":")
         sv = b.column(salt_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         salt = ((sv * _SALT_MUL) >> np.uint64(32)).astype(np.int64) % salt_buckets
-        hot_mask = pc.is_in(keys, value_set=pa.array(
-            [str(k) for k in ray.get(hot_ref)], pa.string())).to_numpy(
-                zero_copy_only=False)
+        hot_mask = pc.is_in(keys, value_set=ray.get(hot_ref)).to_numpy(
+            zero_copy_only=False)
         suffix = np.where(hot_mask, salt_suffixes[salt], "")
         pkey = pc.binary_join_element_wise(
             base, pa.array(suffix, pa.string()), "")

@@ -151,6 +151,12 @@ class ResizeMedia:
         arr = batch.column(self.payload_col).combine_chunks() \
             .cast(pa.large_binary())
         n = len(arr)
+        if n == 0:  # Ray delivers empty blocks; np.repeat math below
+            # broadcasts a (1,) seed against (0,) and crashes
+            return (batch.drop_columns([self.payload_col])
+                    .append_column("resized", pa.array([], pa.binary()))
+                    .append_column("target_w", pa.array([], pa.int32()))
+                    .append_column("target_h", pa.array([], pa.int32())))
         offs = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1,
                              offset=arr.offset * 8)
         buf = arr.buffers()[2]

@@ -387,13 +387,13 @@ def q_lineitem_agg(sf_dir: str):
         # pure-Arrow combiner — no pandas conversion in the hot path
         g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("l_quantity", "count")])
+             ([], "count_all")])  # count_all == COUNT(*) (rows, not non-null)
         return pa.table({
             "l_returnflag": g.column("l_returnflag"),
             "l_linestatus": g.column("l_linestatus"),
             "sum_qty": g.column("l_quantity_sum"),
             "sum_price": g.column("l_extendedprice_sum"),
-            "n": g.column("l_quantity_count").cast(pa.int64()),
+            "n": g.column("count_all").cast(pa.int64()),
         })
 
     from ray.data.aggregate import Sum
@@ -418,11 +418,11 @@ def q_events_by_type(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("event_type").aggregate(
-            [("value", "sum"), ("value", "count")])
+            [("value", "sum"), ([], "count_all")])
         return pa.table({
             "event_type": g.column("event_type"),
             "sum_value": g.column("value_sum"),
-            "n": g.column("value_count").cast(pa.int64()),
+            "n": g.column("count_all").cast(pa.int64()),
         })
 
     from ray.data.aggregate import Sum

@@ -245,17 +245,22 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         return key_buckets(col, num_partitions)
 
     def tag(side: int, key: str):
+        cast_cache: dict = {}  # per-task: cast the value_set once per type
+
         def fn(b: pa.Table) -> pa.Table:
             base = bucket_of(b.column(key))
             if hot_ref is None:
                 bucket = base
             else:
-                vs = ray.get(hot_ref)
                 col = b.column(key)
-                try:
-                    vs = vs.cast(col.type)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    pass
+                vs = cast_cache.get(str(col.type))
+                if vs is None:
+                    vs = ray.get(hot_ref)
+                    try:
+                        vs = vs.cast(col.type)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        pass
+                    cast_cache[str(col.type)] = vs
                 hotmask = pc.is_in(col, value_set=vs).to_numpy(
                     zero_copy_only=False)
                 if side == 0:
