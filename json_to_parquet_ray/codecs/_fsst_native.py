@@ -13,6 +13,7 @@ deterministic, so Ray task retries reproduce identical chunks).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -66,7 +67,10 @@ long long fsst_encode(const uint8_t* in, long long n, uint8_t* out,
     return o;
 }
 
+/* out_cap bounds every write: a corrupted payload must return -1, not
+   scribble past the caller's buffer */
 long long fsst_decode(const uint8_t* in, long long n, uint8_t* out,
+                      long long out_cap,
                       const uint8_t* sym_bytes, const uint8_t* sym_lens,
                       int n_sym) {
     int offs[256];
@@ -76,9 +80,12 @@ long long fsst_decode(const uint8_t* in, long long n, uint8_t* out,
     while (i < n) {
         uint8_t c = in[i++];
         if (c == ESCAPE) {
+            if (i >= n || o >= out_cap) return -1;
             out[o++] = in[i++];
         } else {
+            if (c >= n_sym) return -1;
             int L = sym_lens[c];
+            if (o + L > out_cap) return -1;
             memcpy(out + o, sym_bytes + offs[c], L);
             o += L;
         }
@@ -116,7 +123,10 @@ def _cache_dir() -> str:
 
 def _build() -> ctypes.CDLL | None:
     try:
-        cache = os.path.join(_cache_dir(), "jtpr_fsst_native.so")
+        # source-hash in the name: a changed C source auto-invalidates
+        # the compiled cache
+        tag = hashlib.sha1(_C_SRC.encode()).hexdigest()[:10]
+        cache = os.path.join(_cache_dir(), f"jtpr_fsst_native_{tag}.so")
     except OSError:
         return None
     if os.path.exists(cache) and os.stat(cache).st_uid != os.getuid():
@@ -140,10 +150,14 @@ def _build() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(cache)
     except OSError:
         return None
-    for fn in (lib.fsst_encode, lib.fsst_decode):
-        fn.restype = ctypes.c_longlong
-        fn.argtypes = [ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
-                       ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.fsst_encode.restype = ctypes.c_longlong
+    lib.fsst_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.fsst_decode.restype = ctypes.c_longlong
+    lib.fsst_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+        ctypes.c_longlong, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     return lib
 
 
@@ -174,6 +188,11 @@ def native_decode(enc: bytes, symbols: list[bytes], out_size: int) -> bytes | No
         return None
     lens = bytes(len(s) for s in symbols)
     blob = b"".join(symbols)
-    out = ctypes.create_string_buffer(max(out_size, 1))
-    n = lib.fsst_decode(enc, len(enc), out, blob, lens, len(symbols))
+    cap = max(out_size, 1)
+    out = ctypes.create_string_buffer(cap)
+    n = lib.fsst_decode(enc, len(enc), out, cap, blob, lens, len(symbols))
+    if n < 0:
+        raise ValueError(
+            "corrupt FSST stream: decoded size exceeds recorded size, "
+            "truncated escape, or out-of-range code")
     return out.raw[:n]

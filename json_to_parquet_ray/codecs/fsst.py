@@ -321,29 +321,10 @@ def fsst_decode(enc: bytes, symbols: list[bytes], out_size: int | None = None) -
         if native is not None:
             return native
     arr = np.frombuffer(enc, np.uint8)
-    n = len(arr)
-    # classify escape bytes: within each maximal run of 0xFF, even offsets
-    # are escapes; an odd-length run's final escape consumes the following
-    # non-FF byte as its literal.
-    is_token = np.ones(n, bool)  # token start positions (code or escape)
-    is_escape = np.zeros(n, bool)
-    pos = np.flatnonzero(arr == ESCAPE)
-    if len(pos):
-        # an FF is an escape iff it sits at an even offset within its
-        # maximal FF-run (the odd offsets are the escaped literal FFs)
-        new_run = np.concatenate(([True], np.diff(pos) > 1))
-        run_starts = pos[new_run]
-        run_idx = np.cumsum(new_run) - 1
-        offset_in_run = pos - run_starts[run_idx]
-        esc_pos = pos[offset_in_run % 2 == 0]
-        is_escape[esc_pos] = True
-        nxt = esc_pos + 1
-        is_token[nxt[nxt < n]] = False  # literal slots are not tokens
-    tok = np.flatnonzero(is_token)
-    # extended code space: 0..len(symbols)-1 = symbols, 256+b = literal byte b
-    esc_tok = is_escape[tok]
-    codes = np.where(esc_tok, 256 + arr[np.minimum(tok + 1, n - 1)].astype(np.int64),
-                     arr[tok].astype(np.int64))
+    # extended code space: 0..len(symbols)-1 = symbols, 256+b = literal
+    # byte b — the escape-run classification lives ONLY in _token_codes
+    # (the trainer shares it; two copies would drift)
+    codes = _token_codes(arr)
     sym_lens = np.array([len(s) for s in symbols] + [0] * (256 - len(symbols)) +
                         [1] * 256, np.int64)
     sym_buf = b"".join(symbols) + bytes(range(256))

@@ -124,7 +124,11 @@ class ConstantCodec(Codec):
         one = ipc_read(payload)
         if n == 1:
             return one
-        return pa.concat_arrays([one] * n) if n > 0 else one.slice(0, 0)
+        if n == 0:
+            return one.slice(0, 0)
+        # gather n copies with one vectorized take — concat of n
+        # single-element arrays costs ~0.3 s per 500k rows
+        return pc.take(one, pa.array(np.zeros(n, np.int64)))
 
 
 class BssCodec(Codec):

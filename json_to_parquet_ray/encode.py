@@ -117,7 +117,10 @@ def decode_table(blob: bytes, columns: list[str] | None = None,
     """Decode a chunk file back to an Arrow table (optionally a column subset)."""
     header, base = read_chunk_header(blob)
     schema = schema_from_b64(header["schema"])
-    want = list(columns) if columns else [c["name"] for c in header["columns"]]
+    # columns=[] is an explicit empty projection (0 columns), NOT "all" —
+    # a falsy check would silently decode the full chunk
+    want = (list(columns) if columns is not None
+            else [c["name"] for c in header["columns"]])
     by_name = {c["name"]: c for c in header["columns"]}
     arrays, fields = [], []
     for name in want:

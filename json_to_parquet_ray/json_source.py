@@ -133,19 +133,38 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
     import pickle
 
     if mode == "engine":
-        ds = read_json_arrow(input_paths)
+        try:
+            ds = read_json_arrow(input_paths)
 
-        def schema_partial(batch: pa.Table) -> pa.Table:
-            return pa.table({"schema": pa.array(
-                [pickle.dumps(batch.schema.remove_metadata())], pa.binary())})
+            def schema_partial(batch: pa.Table) -> pa.Table:
+                return pa.table({"schema": pa.array(
+                    [pickle.dumps(batch.schema.remove_metadata())],
+                    pa.binary())})
 
-        parts = ds.map_batches(schema_partial, batch_format="pyarrow")
-        schemas = [pickle.loads(r["schema"]) for r in parts.take_all()]
-        schema = unify(schemas, mode)
-        ds2 = read_json_arrow(input_paths, schema=schema)
-        ds2.map_batches(lambda b: align_table(b, schema),
-                        batch_format="pyarrow").write_parquet(out_dir)
-        return schema
+            parts = ds.map_batches(schema_partial, batch_format="pyarrow")
+            schemas = [pickle.loads(r["schema"]) for r in parts.take_all()]
+        except Exception:
+            # Arrow's C++ reader refuses inputs whose types flip WITHIN a
+            # parse block ("Column changed from number to string") — fall
+            # through to the exact Python parse path rather than dying on
+            # valid JSON
+            schemas = None
+        if schemas is not None:
+            schema = unify(schemas, mode)
+            # explicit_schema makes Arrow parse strictly: if unify had to
+            # WIDEN a conflicting key (int in one file, string in another
+            # → string), a numeric token no longer parses into the string
+            # field. Detect that case and parse per block + cast instead.
+            try:
+                pa.unify_schemas(schemas, promote_options="permissive")
+                explicit = schema
+            except (pa.ArrowTypeError, pa.ArrowInvalid,
+                    pa.ArrowNotImplementedError):
+                explicit = None
+            ds2 = read_json_arrow(input_paths, schema=explicit)
+            ds2.map_batches(lambda b: align_table(b, schema),
+                            batch_format="pyarrow").write_parquet(out_dir)
+            return schema
 
     docs_ds = read_json_docs(input_paths)
     schema = infer_schema_distributed(docs_ds, mode)

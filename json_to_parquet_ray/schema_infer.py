@@ -124,15 +124,26 @@ def _align_array(arr: pa.Array, target: pa.DataType) -> pa.Array:
             mask=None if validity is None else pa.compute.invert(validity))
     if (pa.types.is_list(target) or pa.types.is_large_list(target)) and (
             pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+        # flatten() returns values REBASED to 0 (slicing and null-slot
+        # gaps removed), so the original arr.offsets must not be reused —
+        # rebuild canonical offsets from per-slot lengths instead (a
+        # sliced or non-canonical source would otherwise crash or read
+        # the wrong value ranges)
         values = _align_array(arr.flatten(), target.value_type)
-        offsets = arr.offsets
-        validity = None
+        lens = pa.compute.fill_null(
+            pa.compute.list_value_length(arr), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        new_offs = np.concatenate([[0], np.cumsum(lens)])
+        mask = None
         if arr.null_count:
-            validity = pa.compute.invert(arr.is_valid())
-        # rebuild (offsets already account for slicing via flatten? use from_arrays)
-        la = pa.ListArray.from_arrays(offsets, values)
-        if validity is not None:
-            la = pa.compute.if_else(arr.is_valid(), la, pa.nulls(len(arr), la.type))
+            mask = pa.compute.invert(arr.is_valid())
+        if pa.types.is_large_list(target):
+            la = pa.LargeListArray.from_arrays(
+                pa.array(new_offs, pa.int64()), values, mask=mask)
+        else:
+            la = pa.ListArray.from_arrays(
+                pa.array(new_offs.astype(np.int32), pa.int32()), values,
+                mask=mask)
         return la.cast(target) if not la.type.equals(target) else la
     if pa.types.is_int32(target) and pa.types.is_int64(arr.type):
         # Q3 conformance: Java Long.intValue() truncation (wraparound)
@@ -174,7 +185,15 @@ def table_from_docs(docs: list[dict]) -> pa.Table:
     if not keys:  # all docs empty → 0-column table that still has the rows
         return _rows_only_table(len(docs))
     filled = [{k: d.get(k) for k in keys} for d in docs]
-    return pa.Table.from_pylist(filled)
+    try:
+        return pa.Table.from_pylist(filled)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # a key flips type WITHIN this batch ({"id": 1} then {"id": "x"}):
+        # build per-doc tables, widen via unify's conflict resolution, and
+        # align — the exceptional path only; clean batches stay one call
+        per = [pa.Table.from_pylist([d]) for d in filled]
+        schema = unify([t.schema for t in per])
+        return pa.concat_tables([align_table(t, schema) for t in per])
 
 
 def _rows_only_table(n: int) -> pa.Table:
@@ -187,9 +206,58 @@ def infer_batch_schema(docs: list[dict], mode: str = "engine") -> pa.Schema:
     return table_from_docs(docs).schema
 
 
+def _unify_types(name: str, types: list[pa.DataType]) -> pa.DataType:
+    """Resolve one key's cross-batch types when Arrow's permissive
+    promotion can't (it only promotes numerics/null): scalar-type
+    conflicts widen to string (the standard JSON-engine resolution — the
+    original lexical text is recoverable via cast), nested/nested merge
+    recursively, nested/scalar mixes fail with a usable error."""
+    try:
+        return pa.unify_schemas(
+            [pa.schema([pa.field(name, t)]) for t in types],
+            promote_options="permissive").field(0).type
+    except (pa.ArrowTypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    non_null = [t for t in types if not pa.types.is_null(t)]
+    if all(not pa.types.is_nested(t) for t in non_null):
+        return pa.string()
+    if all(pa.types.is_struct(t) for t in non_null):
+        child_types: dict[str, list] = {}
+        order: list[str] = []
+        for t in non_null:
+            for f in t:
+                if f.name not in child_types:
+                    order.append(f.name)
+                child_types.setdefault(f.name, []).append(f.type)
+        return pa.struct([pa.field(n, _unify_types(n, child_types[n]))
+                          for n in order])
+    if all(pa.types.is_list(t) or pa.types.is_large_list(t)
+           for t in non_null):
+        return pa.list_(_unify_types(name + ".item",
+                                     [t.value_type for t in non_null]))
+    raise ValueError(
+        f"JSON key {name!r} mixes object/array and scalar types across "
+        f"documents ({sorted(str(t) for t in non_null)}) — cannot unify")
+
+
 def unify(schemas: list[pa.Schema], mode: str = "engine") -> pa.Schema:
     """Cross-document/batch unification (supersedes quirk Q1)."""
-    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    try:
+        unified = pa.unify_schemas(schemas, promote_options="permissive")
+    except (pa.ArrowTypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        # same key, non-promotable types across batches ({"id": 1} in one
+        # file, {"id": "x"} in another) — resolve per field instead of
+        # crashing the whole job on valid JSON
+        types_by_name: dict[str, list] = {}
+        order: list[str] = []
+        for s in schemas:
+            for f in s:
+                if f.name not in types_by_name:
+                    order.append(f.name)
+                types_by_name.setdefault(f.name, []).append(f.type)
+        unified = pa.schema(
+            [pa.field(n, _unify_types(n, types_by_name[n]), nullable=True)
+             for n in order])
     if mode == "conformance":
         fields = []
         for f in unified:

@@ -90,12 +90,7 @@ class ColumnStats:
     @property
     def entropy(self) -> float:
         """Shannon entropy (bits/byte) of the sampled values' bytes."""
-        buf = _sample_bytes(self.sample)
-        if not buf:
-            return 0.0
-        counts = np.bincount(np.frombuffer(buf, np.uint8), minlength=256)
-        p = counts[counts > 0] / len(buf)
-        return float(-(p * np.log2(p)).sum())
+        return entropy_of_bytes(_sample_bytes(self.sample))
 
     @property
     def value_range(self) -> object:
@@ -219,30 +214,47 @@ def column_stats_partial(arr: pa.Array, name: str) -> ColumnStats:
     return st
 
 
+def _est_bytes(v) -> int:
+    if isinstance(v, (str, bytes)):
+        return len(v)
+    if isinstance(v, (list, tuple, dict)):
+        # nested values must count their real weight — flat-8 would let a
+        # 10k-element list column blow the cap by ~10,000x
+        return 8 * max(len(v), 1)
+    if hasattr(v, "nbytes"):  # numpy scalar/array
+        return int(v.nbytes)
+    return 8
+
+
 def _cap_sample(vals: list) -> list:
     out, total = [], 0
     for v in vals:
         out.append(v)
-        total += len(v) if isinstance(v, (str, bytes)) else 8
+        total += _est_bytes(v)
         if total >= SAMPLE_BYTES_CAP:
             break
     return out
+
+
+_GATE_CTR = {"n": 0}  # per-worker-process batch counter for sample_gate
 
 
 def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None,
                         sample_gate: int = 1) -> pa.Table:
     """map_batches fn: emit one pickled partial per column (tiny output).
 
-    ``sample_gate`` > 1 keeps the raw-value sample on only ~1/gate of the
-    batches (chosen deterministically from the batch content) so the
-    total partial volume stays bounded at extreme batch counts while
-    cardinality/min-max/runs remain exact."""
+    ``sample_gate`` > 1 keeps the raw-value sample on exactly every
+    gate-th batch THIS WORKER PROCESS sees (round-robin counter, first
+    batch always kept) so the total partial volume stays bounded at
+    extreme batch counts while cardinality/min-max/runs remain exact.
+    A content hash is NOT used: on a near-constant column every batch
+    hashes identically, so the gate would keep all samples or none."""
     cols = columns or batch.column_names
     keep_sample = True
     if sample_gate > 1 and batch.num_rows:
-        h = pd.util.hash_array(
-            np.asarray([str(batch.column(cols[0])[0])], dtype=object))[0]
-        keep_sample = (h % sample_gate) == 0
+        k = _GATE_CTR["n"]
+        _GATE_CTR["n"] = k + 1
+        keep_sample = (k % sample_gate) == 0
     partials = []
     for c in cols:
         st = column_stats_partial(batch.column(c).combine_chunks(), c)

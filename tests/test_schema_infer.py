@@ -127,3 +127,49 @@ def test_split_documents_quote_aware_q6():
 def test_split_documents_nested():
     text = '{"a":{"b":{"c":[1,2,{"d":3}]}}}'
     assert split_documents(text) == [text]
+
+
+def test_unify_int_vs_string_widens_instead_of_crashing(ray_session, tmp_path):
+    """Valid JSON where the same key is int in one file and string in
+    another must convert (widen to string), not die in unify()."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from json_to_parquet_ray.json_source import json_to_parquet_job
+
+    d = tmp_path / "mixed"
+    os.makedirs(d)
+    with open(d / "a.jsonl", "w") as f:
+        f.write(_json.dumps({"id": 1, "v": 2.5}) + "\n")
+        f.write(_json.dumps({"id": 2, "v": 3}) + "\n")
+    with open(d / "b.jsonl", "w") as f:
+        f.write(_json.dumps({"id": "x7", "v": 4}) + "\n")
+    out = str(tmp_path / "out")
+    json_to_parquet_job([str(d / "a.jsonl"), str(d / "b.jsonl")], out)
+    t = pq.ParquetDataset(out).read()
+    ids = sorted(t.column("id").to_pylist())
+    assert ids == ["1", "2", "x7"]  # int side rendered as its lexical text
+
+
+def test_ingest_in_block_type_flip_falls_back_to_python_parse(
+        ray_session, tmp_path):
+    """A type flip WITHIN one file/parse block (Arrow C++ reader refuses)
+    must fall back to the exact Python parser, not crash."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from json_to_parquet_ray.json_source import json_to_parquet_job
+
+    d = tmp_path / "flip"
+    os.makedirs(d)
+    with open(d / "a.jsonl", "w") as f:
+        f.write(_json.dumps({"id": 1}) + "\n")
+        f.write(_json.dumps({"id": "x"}) + "\n")
+    out = str(tmp_path / "out")
+    json_to_parquet_job(str(d / "a.jsonl"), out)
+    t = pq.ParquetDataset(out).read()
+    assert sorted(str(v) for v in t.column("id").to_pylist()) == ["1", "x"]
