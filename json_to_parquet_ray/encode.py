@@ -85,10 +85,13 @@ def read_chunk_header(blob: bytes) -> tuple[dict, int]:
 
 
 def read_chunk_file(path: str, columns: list[str] | None = None,
-                    verify_crc: bool = False) -> pa.Table:
+                    verify_crc: bool = False,
+                    missing_ok: bool = False) -> pa.Table:
     """Decode a chunk file from disk; with ``columns`` given, only the
     header and the selected columns' byte ranges are read (seek-based) —
-    column pruning at the I/O level, not just the decode level."""
+    column pruning at the I/O level, not just the decode level.
+    ``missing_ok`` skips requested columns absent from the chunk (old
+    chunks under read-time schema evolution) instead of raising."""
     with open(path, "rb") as f:
         if columns is None:
             return decode_table(f.read(), verify_crc=verify_crc)
@@ -102,6 +105,8 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
         by_name = {c["name"]: c for c in header["columns"]}
         arrays, fields = [], []
         for name in columns:
+            if missing_ok and name not in by_name:
+                continue
             col = by_name[name]
             f.seek(base + col["offset"])
             payload = f.read(col["size"])

@@ -132,7 +132,7 @@ def cc_dataset_dir(base_dir: str, num_rows: int, seed: int = 42,
     """
     import ray
 
-    tag = f"cc_{num_rows}_{seed}_{shard_rows}"
+    tag = f"cc_{num_rows}_{seed}_{shard_rows}_rg{row_group_size}"
     out = os.path.join(base_dir, tag)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):

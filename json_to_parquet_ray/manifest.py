@@ -151,10 +151,28 @@ def effective_records(out_dir: str) -> list[PartitionRecord]:
     accept plain records for still-unclaimed fragments."""
     recs = sorted(load_manifest(out_dir).values(), key=lambda r: r.sort_key)
 
-    def frag_key(f: dict) -> str:
-        return json.dumps(f, sort_keys=True)
+    # claims are ROW-RANGE intervals per (path, row_group): two records
+    # covering overlapping rows of the same row group must never both
+    # decode (re-encoding a store with a different max_rows_per_partition
+    # writes sliced records alongside stale whole-group ones — exact
+    # fragment-dict claims would let both generations through and
+    # silently duplicate every row)
+    claimed: dict[tuple, list[tuple[int, int]]] = {}
 
-    claimed: set[str] = set()
+    def intervals(rec: PartitionRecord) -> list:
+        out = []
+        for f in rec.source_fragments:
+            s = int(f.get("row_start", 0))
+            # a legacy record without num_rows claims its whole row group
+            n = int(f.get("num_rows", 1 << 62))
+            out.append(((f["path"], f["row_group"]), (s, s + n)))
+        return out
+
+    def conflicts(iv: list) -> bool:
+        return any(s < ce and cs < e
+                   for key, (s, e) in iv
+                   for cs, ce in claimed.get(key, ()))
+
     chosen: list[PartitionRecord] = []
     for pass_merged in (True, False):
         pass_recs = [r for r in recs
@@ -167,13 +185,20 @@ def effective_records(out_dir: str) -> list[PartitionRecord]:
             # and the filler fragments silently dropped. Supersets first.
             pass_recs.sort(key=lambda r: (-len(r.source_fragments),
                                           r.sort_key))
+        else:
+            # on a sort_key tie (whole row group vs its first slice),
+            # larger coverage wins so exactly one generation decodes
+            pass_recs.sort(key=lambda r: (
+                r.sort_key,
+                -sum(int(f["num_rows"]) for f in r.source_fragments)))
         for rec in pass_recs:
-            keys = [frag_key(f) for f in rec.source_fragments]
-            if any(k in claimed for k in keys):
+            iv = intervals(rec)
+            if conflicts(iv):
                 continue
             if pass_merged and not is_complete(out_dir, rec):
                 continue  # torn merged chunk → fall back to plain records
-            claimed.update(keys)
+            for key, rng in iv:
+                claimed.setdefault(key, []).append(rng)
             chosen.append(rec)
     return sorted(chosen, key=lambda r: r.sort_key)
 

@@ -30,7 +30,6 @@ from dataclasses import asdict
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codecs import encode_array
 from ..encode import decode_table, encode_table
 from ..manifest import (
     FragmentRef,
@@ -124,9 +123,16 @@ def zone_prune(out_dir: str, zone_filter: dict,
                 # normalize ISO 'T' separators so lexical order holds
                 lo = None if lo is None else str(lo).replace("T", " ")
                 hi = None if hi is None else str(hi).replace("T", " ")
-            if (hi is not None and zmin > hi) or (lo is not None and zmax < lo):
-                alive = False
-                break
+            try:
+                if (hi is not None and zmin > hi) or (
+                        lo is not None and zmax < lo):
+                    alive = False
+                    break
+            except TypeError:
+                raise ValueError(
+                    f"zone-filter bound for column {col!r} "
+                    f"({lo!r}, {hi!r}) is not comparable with its "
+                    f"{type(zmin).__name__} zone values") from None
         if alive:
             keep.append(rec)
         else:
@@ -272,10 +278,15 @@ def encode_job(
     ]
     shared: dict[str, pa.Array] = {}
     shared_ref = None
+    # distinct file list: frags are ROW-GROUP slices, so the raw path
+    # list repeats each file once per slice — read_parquet would re-read
+    # every file that many times (and skew any sample toward
+    # multi-fragment files)
+    frag_paths = sorted({f.path for f in frags})
     if work and shared_dict_columns:
         if shared_dict_columns == "auto":
             stats = compute_stats(
-                ray.data.read_parquet([f.path for f in frags]))
+                ray.data.read_parquet(frag_paths))
             shared_dict_columns = [
                 n for n, st in stats.items()
                 if st.type_str in ("string", "large_string")
@@ -283,7 +294,7 @@ def encode_job(
             ]
         for coln in shared_dict_columns:
             # prune at the read: the distinct build only needs ITS column
-            ds_col = ray.data.read_parquet([f.path for f in frags],
+            ds_col = ray.data.read_parquet(frag_paths,
                                            columns=[coln])
             shared[coln] = distinct_values(ds_col, coln)
         if shared:
@@ -304,7 +315,7 @@ def encode_job(
             return b.take(list(range(0, len(b), step)))
 
         sample_rows = (ray.data.read_parquet(
-            [f.path for f in frags], columns=list(shared_fsst_columns))
+            frag_paths, columns=list(shared_fsst_columns))
             .map_batches(strided, batch_format="pyarrow").take_all())
         for coln in shared_fsst_columns:
             buf = b"".join(
@@ -421,12 +432,25 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
 
     from ..encode import read_chunk_file
 
+    # the exact row filter needs the filtered columns even when the
+    # caller's projection omits them — read them too, filter, THEN project
+    # (skipping the filter for unprojected columns returned whole chunks)
+    read_cols = columns
+    if columns is not None and zone_filter:
+        read_cols = list(columns) + [c for c in zone_filter
+                                     if c not in columns]
+    # tolerate absent columns only where absence is legitimate: filter
+    # columns an old chunk may lack, or read-time schema evolution — a
+    # plain typo'd projection should still fail loudly
+    missing_ok = (read_cols is not columns) or (schema is not None)
+
     def decode_item(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         tables = []
         for path in batch.column("path").to_pylist():
-            t = read_chunk_file(path, columns=columns)
+            t = read_chunk_file(path, columns=read_cols,
+                                missing_ok=missing_ok)
             if zone_filter:
                 mask = None
                 for col, (lo, hi) in zone_filter.items():
@@ -471,6 +495,9 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                     mask = m if mask is None else pc.and_kleene(mask, m)
                 if mask is not None:
                     t = t.filter(pc.fill_null(mask, False))
+                if columns is not None:  # drop the filter-only columns
+                    t = t.select([c for c in columns
+                                  if c in t.column_names])
             if schema is not None:
                 from ..schema_infer import align_table
 
@@ -564,6 +591,7 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
             pid = hashlib.sha1(sid.encode()).hexdigest()[:16]
             chunk_file = os.path.join(shard_of(pid), f"part-{pid}.rde")
             write_atomic(os.path.join(out_dir, chunk_file), blob)
+            zones = _zone_maps(merged)  # once — not once per column
             rec = PartitionRecord(
                 partition_id=pid,
                 fragment={"merged": sources},
@@ -573,7 +601,7 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
                 columns=[{"name": c["name"], "codec": c["codec"],
                           "size": c["size"], "offset": c["offset"],
                           "crc32": c["crc32"],
-                          **_zone_maps(merged).get(c["name"], {})}
+                          **zones.get(c["name"], {})}
                          for c in header["columns"]],
                 wall_time_s=time.time() - t0,
             )

@@ -80,7 +80,9 @@ class LangId:
         self.cjk = r"[一-鿿]"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch.column(self.col)
+        # null text must classify as 'unknown', not ride NaN scores to
+        # argmax index 0 ('en')
+        text = pc.fill_null(batch.column(self.col), "")
         n = pc.max_element_wise(pc.utf8_length(text).cast(pa.float64()), 1.0)
         scores = {}
         for lang, pat in self.patterns.items():

@@ -613,3 +613,44 @@ def test_zone_filter_numeric_bound_on_timestamp_errors_cleanly(
     res = decode_dataset(
         out, zone_filter={"warc_ts": ("2000-01-01", "2100-01-01")}).take_all()
     assert len(res) > 0
+
+
+def test_reencode_with_different_partitioning_no_duplication(
+        ray_session, tmp_path):
+    """Re-running encode on an existing store with a different
+    max_rows_per_partition writes overlapping records; decode must
+    produce exactly one generation (row-range claims), never doubled
+    rows."""
+    src = str(tmp_path / "re.parquet")
+    write_cc_parquet(src, 200, seed=2, row_group_size=100)
+    out = str(tmp_path / "re_out")
+    encode_job(src, out)
+    encode_job(src, out, max_rows_per_partition=50)
+    got = decode_dataset(out, columns=["url"]).take_all()
+    exp = pq.read_table(src, columns=["url"]).column("url").to_pylist()
+    assert [r["url"] for r in got] == exp  # one generation, input order
+    assert verify_job(out)["failed"] == []
+
+
+def test_zone_filter_exact_even_when_column_not_projected(
+        ray_session, tmp_path):
+    """The exact row filter must apply even when the filter column is not
+    in the caller's projection (it used to silently return whole
+    surviving chunks)."""
+    src = str(tmp_path / "zdoc.parquet")
+    t = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(400)], pa.string()),
+    })
+    pq.write_table(t, src, row_group_size=100)
+    out = str(tmp_path / "zp")
+    encode_job(src, out, shared_dict_columns=None)
+    full = decode_dataset(out, zone_filter={"doc_id": (60, 70)}).take_all()
+    proj = decode_dataset(out, columns=["url"],
+                          zone_filter={"doc_id": (60, 70)}).take_all()
+    assert len(proj) == len(full) == 11
+    assert all(set(r) == {"url"} for r in proj[:3])
+    assert sorted(r["url"] for r in proj) == [f"u{i}" for i in range(60, 71)]
+    # non-numeric bound against a numeric zone errors usably
+    with pytest.raises(ValueError, match="zone-filter bound"):
+        decode_dataset(out, zone_filter={"doc_id": (10, "abc")}).take_all()
