@@ -106,3 +106,35 @@ def test_fuzz_splitter_non_ascii(docs):
     texts = [json.dumps(d, ensure_ascii=False) for d in docs]
     joined = "\n中文 noise — ünïcode ✓\n".join(texts)
     assert split_documents(joined) == texts
+
+
+def test_fuzz_unify_random_type_flips(ray_session):
+    """Randomized: batches of docs whose keys flip among scalar types must
+    always unify + align without crashing, and the widened column keeps
+    every value's lexical form."""
+    import random
+
+    from json_to_parquet_ray.json_source import json_docs_to_table
+
+    rng = random.Random(7)
+    gens = [lambda: rng.randint(-10, 10), lambda: round(rng.random(), 3),
+            lambda: rng.choice(["a", "b", "x7"]), lambda: rng.random() > 0.5,
+            lambda: None]
+    for _ in range(10):
+        docs = []
+        for _ in range(rng.randint(2, 12)):
+            docs.append({k: rng.choice(gens)()
+                         for k in ("p", "q") if rng.random() > 0.2})
+        import json as _json
+
+        texts = [_json.dumps(d) for d in docs]
+        t = json_docs_to_table(texts)
+        assert t.num_rows == len(docs)
+        # every non-null original value survives in SOME readable form
+        for col in t.column_names:
+            vals = t.column(col).to_pylist()
+            orig = [d.get(col) for d in docs]
+            for o, v in zip(orig, vals):
+                if o is None:
+                    continue
+                assert v is not None, (docs, col)
