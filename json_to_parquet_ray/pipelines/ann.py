@@ -64,6 +64,10 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
     parts = ds.map_batches(topk_batch, batch_format="pyarrow")
     df = parts.to_pandas()  # ≤ #batches x Q x k rows
+    if not len(df):  # zero input rows → typed empty, not a KeyError
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             key: pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     df = (df.sort_values(["query_id", "cosine", key],
                          ascending=[True, False, True])
             .groupby("query_id", as_index=False).head(k)
@@ -196,6 +200,12 @@ def ivf_probe_topk(index_dir: str, queries: np.ndarray, k: int = 10,
                  if f"ivf_bucket={b}" in all_parts]
     paths = [os.path.join(d, f) for d in part_dirs for f in sorted(os.listdir(d))
              if f.endswith(".parquet")]
+    if not paths:  # every probed bucket empty → typed empty result
+        return (pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              key: pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")}),
+                {"buckets_read": 0, "buckets_total": len(all_parts),
+                 "files_read": 0})
     ds = ray.data.read_parquet(paths)  # ONLY probed partitions' files open
     out = brute_force_topk(ds, qn, k=k, vec_col=vec_col, key=key)
     return out, {"buckets_read": len(part_dirs), "buckets_total": len(all_parts),

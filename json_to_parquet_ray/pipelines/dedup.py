@@ -124,12 +124,16 @@ def minhash_signatures(arr: pa.Array, perms: int = MINHASH_PERMS,
     sig = np.full((ndocs, perms), umax, np.uint64)
     h, starts, counts = _shingle_hashes(data, offs, k)
     if len(h):
-        rstarts = np.minimum(starts, len(h) - 1)
+        # reduceat ONLY over docs that have shingles: clipping empty
+        # docs' starts to len(h)-1 would shear the final shingle off the
+        # preceding doc's segment, making signatures depend on whether an
+        # empty/short doc trails the batch (batch-layout dependence)
         has = counts > 0
+        has_idx = np.flatnonzero(has)
+        tstarts = starts[has]  # strictly increasing, all < len(h)
         for j in range(perms):
             hj = h * _PERM_A[j]  # multiply-shift; uint64 wraparound
-            mins = np.minimum.reduceat(hj, rstarts)
-            sig[has, j] = mins[has]  # empty segments: reduceat garbage masked
+            sig[has_idx, j] = np.minimum.reduceat(hj, tstarts)
     # short docs (0 < len < k): single shingle = FNV over the whole doc
     doc_lens = offs[1:] - offs[:-1]
     short = np.flatnonzero((doc_lens > 0) & (doc_lens < k))
@@ -640,6 +644,9 @@ class SimHash:
     matrix — no per-row Python in the hot path.
     """
 
+    CACHE_CAP = 1_000_000  # bounds actor memory on unbounded-cardinality
+    # token streams (URLs, UUIDs); same policy as BpeEncoder
+
     def __init__(self, col: str = "text", key: str = "doc_id"):
         self.col = col
         self.key = key
@@ -652,6 +659,8 @@ class SimHash:
             h = cache.get(t)
             if h is None:
                 h = _md5_low64(t.encode())
+                if len(cache) >= self.CACHE_CAP:
+                    cache.clear()
                 cache[t] = h
             out[i] = h
         return out
@@ -680,15 +689,38 @@ class SimHash:
             uh = self._hash_tokens(uniq.to_pylist())
             idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
             th = uh[idx]  # (ntokens,) uint64 per flattened token
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            starts = np.concatenate([[0], kept_ends[:-1]]).astype(np.int64)
-            rstarts = np.minimum(starts, max(len(th) - 1, 0))
-            ones = np.add.reduceat(bits, rstarts, axis=0)  # (ndocs, 64)
-            votes = 2 * ones - kept_counts[:, None]
-            packed = np.left_shift((votes > 0).astype(np.uint64),
-                                   np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+            # reduceat ONLY over docs that have tokens: clipping a
+            # token-less trailing doc's start would shear the preceding
+            # doc's last token out of its vote (batch-layout dependence)
             has = kept_counts > 0
-            sig[has] = packed[has]
+            has_idx = np.flatnonzero(has)
+            starts = np.concatenate([[0], kept_ends[:-1]]).astype(np.int64)
+            tstarts = starts[has]
+            ones = np.empty((len(tstarts), 64), np.int64)
+            # int32 bit matrix (4x lighter than int64), built in
+            # segment-aligned chunks so the transient stays ~512 MB even
+            # on batches of very long documents
+            chunk = 1 << 21
+            bounds = np.concatenate([tstarts, [len(th)]])
+            pos = 0
+            shifts = np.arange(64, dtype=np.uint64)
+            while pos < len(tstarts):
+                end = pos
+                tok0 = int(bounds[pos])
+                while (end < len(tstarts)
+                       and bounds[end + 1] - tok0 <= chunk):
+                    end += 1
+                end = max(end, pos + 1)
+                tok1 = int(bounds[end])
+                bits = ((th[tok0:tok1, None] >> shifts)
+                        & np.uint64(1)).astype(np.int32)
+                ones[pos:end] = np.add.reduceat(
+                    bits, (tstarts[pos:end] - tok0), axis=0)
+                pos = end
+            votes = 2 * ones - kept_counts[has][:, None]
+            packed = np.left_shift((votes > 0).astype(np.uint64),
+                                   shifts).sum(axis=1, dtype=np.uint64)
+            sig[has_idx] = packed
         return batch.append_column(
             "simhash", pa.array(sig.astype(np.int64), pa.int64()))
 
@@ -706,7 +738,14 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
     the Hamming budget must agree exactly on at least one band)."""
     sims = ds.map_batches(SimHash, fn_constructor_args=(col, key),
                           batch_format="pyarrow", concurrency=(1, 4))
-    n_bands = min(max_hamming + 1, 8)
+    if max_hamming > 7:
+        # 8 bands is the most 64 bits can give at width 8; past that the
+        # pigeonhole guarantee silently breaks — refuse rather than
+        # return an incomplete pair list
+        raise ValueError(
+            "simhash_near_dup_pairs supports max_hamming <= 7 "
+            "(pigeonhole banding over 64 bits caps at 8 bands)")
+    n_bands = max_hamming + 1
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
 

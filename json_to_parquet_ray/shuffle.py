@@ -68,6 +68,24 @@ def salted_group_count(ds, col: str, salt_buckets: int = 8):
     return out
 
 
+_NULLABLE_INT_MAP = None
+
+
+def _exact_pandas(t: pa.Table) -> pd.DataFrame:
+    """Arrow → pandas preserving int exactness: an int64 column holding a
+    null otherwise round-trips through float64, silently merging distinct
+    keys >= 2^53 inside the per-bucket joins."""
+    global _NULLABLE_INT_MAP
+    if _NULLABLE_INT_MAP is None:
+        _NULLABLE_INT_MAP = {
+            pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
+            pa.int16(): pd.Int16Dtype(), pa.int8(): pd.Int8Dtype(),
+            pa.uint64(): pd.UInt64Dtype(), pa.uint32(): pd.UInt32Dtype(),
+            pa.uint16(): pd.UInt16Dtype(), pa.uint8(): pd.UInt8Dtype(),
+        }
+    return t.to_pandas(types_mapper=_NULLABLE_INT_MAP.get)
+
+
 def key_buckets(col: pa.ChunkedArray | pa.Array,
                 num_partitions: int) -> np.ndarray:
     """Deterministic key → bucket hash shared by every co-partitioning
@@ -139,15 +157,30 @@ def asof_join(left, right, by: str, on: str, right_by: str | None = None,
             return pa.table(out)
         return fn
 
+    # typed empty frames, computed ONCE on the driver: a one-sided bucket
+    # produces null-typed padding columns whose to_pandas comes out as
+    # object dtype and breaks merge_asof / makes block schemas disagree
+    def _empty_frame(ray_schema) -> pd.DataFrame:
+        sch = pa.schema([pa.field(n, t) for n, t in
+                         zip(ray_schema.names, ray_schema.types)])
+        return _exact_pandas(sch.empty_table())
+
+    l_empty = _empty_frame(left.schema())
+    r_empty = _empty_frame(right.schema())
+    out_template = pd.merge_asof(l_empty, r_empty, left_on=on,
+                                 right_on=right_on, left_by=by,
+                                 right_by=right_by, direction=direction)
+
     def merge(g: pa.Table) -> pd.DataFrame:
         side = pc.equal(g.column("_side"), 0)
-        lg = (g.filter(side).select(lcols).to_pandas()
+        lg = (_exact_pandas(g.filter(side).select(lcols))
               .sort_values(on, kind="mergesort").reset_index(drop=True))
-        rg = (g.filter(pc.invert(side)).select(rcols).to_pandas()
+        rg = (_exact_pandas(g.filter(pc.invert(side)).select(rcols))
               .sort_values(right_on, kind="mergesort").reset_index(drop=True))
         if not len(lg):
-            return lg.reindex(columns=lcols + [c for c in rcols
-                                               if c not in lcols])
+            return out_template.iloc[0:0].copy()
+        if not len(rg):
+            rg = r_empty
         return pd.merge_asof(lg, rg, left_on=on, right_on=right_on,
                              left_by=by, right_by=right_by,
                              direction=direction)
@@ -292,12 +325,13 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     rcols = [c for c in right.schema().names]
 
     def merge(g: pa.Table) -> pd.DataFrame:
-        # split sides while STILL Arrow: each side's own columns have no
-        # nulls from padding, so int64 keys never round-trip through
-        # pandas float64 (which silently merges keys above 2^53)
+        # split sides while STILL Arrow (padding nulls never touch a
+        # side's own columns), and convert with nullable-Int dtypes: a
+        # GENUINE null in an int64 key column would otherwise force
+        # float64, silently merging distinct keys above 2^53
         side = pc.equal(g.column("_side"), 0)
-        lg = g.filter(side).select(lcols).to_pandas()
-        rg = g.filter(pc.invert(side)).select(rcols).to_pandas()
+        lg = _exact_pandas(g.filter(side).select(lcols))
+        rg = _exact_pandas(g.filter(pc.invert(side)).select(rcols))
         # always merge (even empty) so the output frame keeps its columns
         return lg.merge(rg, left_on=on, right_on=right_on, how=how)
 
