@@ -267,6 +267,45 @@ class _ShardedVectors:
         self._cache = {}
 
 
+def _candidate_ids(pairs_ds, key: str) -> list:
+    """Distinct endpoint ids of a candidate-pair Dataset: per-block
+    vectorized unique → small driver set-union (bounded by docs in
+    collision buckets, never by pairs). Shared by every dedup operator
+    that fetches candidate payloads."""
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [b.column("a").to_numpy(zero_copy_only=False),
+             b.column("b").to_numpy(zero_copy_only=False)]))
+        return pa.table({key: pa.array(u, pa.int64())})
+
+    return sorted({r[key] for r in pairs_ds.map_batches(
+        endpoints, batch_format="pyarrow").take_all()})
+
+
+def _collision_rows(rows_ds, col: str):
+    """Collision-bucket prefilter shared by every LSH operator: vectorized
+    ``groupby(col).Count`` → distributed ≥2 filter → broadcast ``is_in``.
+    Returns (hot_counts_df, filtered_ds); ``filtered_ds`` is None when no
+    bucket has two members. Per-group Python downstream is then paid only
+    for buckets that can actually produce a pair."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = rows_ds.groupby(col).aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return hot, None
+    ref = ray.put(pa.array(hot[col].to_numpy()))
+    filtered = rows_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(col), value_set=ray.get(ref))),
+        batch_format="pyarrow")
+    return hot, filtered
+
+
 def _collect_candidate_texts(ds, cand_ids: list, col: str,
                              key: str) -> "_ShardedBroadcast | dict":
     """Broadcast semi-join: ship the candidate-id set once via ``ray.put``,
@@ -366,8 +405,6 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
     never the raw candidate set."""
     import math
 
-    import ray
-
     bands = ds.map_batches(
         lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
     )
@@ -378,14 +415,7 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
     if pairs_ds.count() == 0:
         return empty
 
-    def endpoints(b: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate(
-            [b.column("a").to_numpy(zero_copy_only=False),
-             b.column("b").to_numpy(zero_copy_only=False)]))
-        return pa.table({key: pa.array(u, pa.int64())})
-
-    cand_ids = sorted({r[key] for r in pairs_ds.map_batches(
-        endpoints, batch_format="pyarrow").take_all()})
+    cand_ids = _candidate_ids(pairs_ds, key)
     texts = _collect_candidate_texts(ds, cand_ids, col, key)
     df = _verify_pairs_ds(pairs_ds, texts, threshold).to_pandas()
     if not len(df):
@@ -414,21 +444,12 @@ def _lsh_candidate_pairs_ds(bands, key: str, oversize: str = "star"):
     per-group pair emission runs on the small remainder. Cross-band
     duplicate pairs are removed by a vectorized ``groupby(a,b)`` count
     (no per-group Python)."""
-    import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count
 
     keyed = bands.materialize()  # consumed twice: count pass + emit pass
-    counts = keyed.groupby("bkey").aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
-        batch_format="pyarrow").to_pandas()
-    if not len(hot):
+    _hot, hot_rows = _collision_rows(keyed, "bkey")
+    if hot_rows is None:
         return ray.data.from_pandas(_empty_df({"a": "int64", "b": "int64"}))
-    hot_ref = ray.put(pa.array(hot["bkey"].to_numpy()))
-
-    def only_hot(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b.column("bkey"), value_set=ray.get(hot_ref)))
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[key].tolist()))
@@ -446,8 +467,8 @@ def _lsh_candidate_pairs_ds(bands, key: str, oversize: str = "star"):
         return pd.DataFrame({"a": pd.Series(arr[iu], dtype="int64"),
                              "b": pd.Series(arr[ju], dtype="int64")})
 
-    raw = (keyed.map_batches(only_hot, batch_format="pyarrow")
-           .groupby("bkey").map_groups(emit_pairs, batch_format="pandas"))
+    raw = hot_rows.groupby("bkey").map_groups(emit_pairs,
+                                              batch_format="pandas")
     # LOCAL per-block dedupe only: a global groupby(a,b) shuffle costs more
     # than verifying the few surviving cross-block duplicates (measured
     # ~3% dup rate for 15s of shuffle at sf0.1); downstream consumers
@@ -574,14 +595,7 @@ def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
     # candidate-id set for the text fetch: per-block distinct (vectorized)
     # then a driver set-union — avoids a full aggregate shuffle; the result
     # is bounded by docs in collision buckets, not by pairs
-    def endpoints(b: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate(
-            [b.column("a").to_numpy(zero_copy_only=False),
-             b.column("b").to_numpy(zero_copy_only=False)]))
-        return pa.table({key: pa.array(u, pa.int64())})
-
-    cand_ids = sorted({r[key] for r in pairs_ds.map_batches(
-        endpoints, batch_format="pyarrow").take_all()})
+    cand_ids = _candidate_ids(pairs_ds, key)
     texts = _collect_candidate_texts(ds, cand_ids, col, key)
     verified_ds = _verify_pairs_ds(pairs_ds, texts, threshold).materialize()
     n_verified = verified_ds.count()
@@ -767,21 +781,12 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
     # materialized: the banded rows feed BOTH the collision-count pass and
     # the emit pass — without pinning, the signature stage would run twice
     keyed = sims.map_batches(band_rows, batch_format="pyarrow").materialize()
-    # collision-bucket prefilter (same pattern as _lsh_candidate_pairs_ds):
-    # per-group Python runs only where a band bucket has ≥2 members
-    import pyarrow.compute as pc
-    import ray
-    from ray.data.aggregate import Count
-
-    counts = keyed.groupby("bkey").aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
-        batch_format="pyarrow").to_pandas()
-    if not len(hot):
+    # collision-bucket prefilter (shared _collision_rows helper)
+    _hot, hot_rows = _collision_rows(keyed, "bkey")
+    if hot_rows is None:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "hamming": pd.Series([], dtype="int64")})
-    hot_ref = ray.put(pa.array(hot["bkey"].to_numpy()))
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         # no bucket cap: the pigeonhole recall guarantee (and the SQL
@@ -804,11 +809,7 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
                              "hamming": pd.Series(ham[keep].astype(np.int64),
                                                   dtype="int64")})
 
-    pairs = (keyed.map_batches(
-                lambda b: b.filter(pc.is_in(b.column("bkey"),
-                                            value_set=ray.get(hot_ref))),
-                batch_format="pyarrow")
-             .groupby("bkey").map_groups(emit, batch_format="pandas")
+    pairs = (hot_rows.groupby("bkey").map_groups(emit, batch_format="pandas")
              ).to_pandas()
     if len(pairs) == 0 or "a" not in pairs.columns:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -852,7 +853,6 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
 
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count
 
     from .ann import embedding_matrix
 
@@ -878,13 +878,9 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
 
     buckets = ds.map_batches(bucket_rows, batch_format="pyarrow").materialize()
 
-    # collision-bucket prefilter (vectorized Count → is_in), same shape as
-    # the MinHash path: per-group Python is paid only for buckets with ≥2
-    counts = buckets.groupby("bucket").aggregate(Count(alias_name="n"))
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("n"), 2)),
-        batch_format="pyarrow").to_pandas()
-    if not len(hot):
+    # collision-bucket prefilter (shared _collision_rows helper)
+    hot, hot_rows = _collision_rows(buckets, "bucket")
+    if hot_rows is None:
         return empty
     n_over = int((hot["n"] > bucket_cap).sum())
     if n_over:
@@ -892,13 +888,6 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
             "embedding_near_dup: %d LSH buckets exceed bucket_cap=%d; "
             "sub-splitting with extra hyperplanes (star-pair fallback for "
             "unsplittable clusters)", n_over, bucket_cap)
-    hot_ref = ray.put(pa.array(hot["bucket"].to_numpy()))
-
-    def only_hot(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b.column("bucket"), value_set=ray.get(hot_ref)))
-
-    hot_rows = buckets.map_batches(only_hot, batch_format="pyarrow")
-
     # distinct collision-bucket members → broadcast semi-join vector fetch
     def members(b: pa.Table) -> pa.Table:
         u = np.unique(b.column(key).to_numpy(zero_copy_only=False))
