@@ -3,8 +3,8 @@ embedding-cosine near-dup.
 
 Shapes follow the scale-first patterns from the build brief:
 
-- exact: vectorized FNV content hash inside ``map_batches`` → hash-
-  partitioned ``groupby(hash)`` → exact-value dedupe per group
+- exact: vectorized polynomial content hash inside ``map_batches`` →
+  hash-partitioned ``groupby(hash)`` → exact-value dedupe per group
   (collision-safe). The shuffle moves only (hash, key) plus group rows.
 - MinHash: signatures fully vectorized (rolling byte-shingle hashes +
   multiply-shift permutations + ``np.minimum.reduceat`` per document,
@@ -35,9 +35,10 @@ import pyarrow as pa
 
 def add_content_hash(batch: pa.Table, col: str = "text",
                      out: str = "content_hash") -> pa.Table:
-    """Vectorized 64-bit FNV-1a content hash (no per-row Python). Used as
-    the shuffle partitioning key only — groups verify on the exact value,
-    so a hash collision can never merge distinct texts."""
+    """Vectorized 64-bit polynomial content hash (segment-sum reduceat;
+    see text.fingerprint_batch_fast). Used as the shuffle partitioning
+    key only — groups verify on the exact value, so a hash collision can
+    never merge distinct texts."""
     from .text import fingerprint_batch_fast
 
     t = fingerprint_batch_fast(batch, col)
@@ -682,19 +683,10 @@ class SimHash:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from .text import token_stream
+
         lowered = pc.utf8_lower(batch.column(self.col).fill_null(""))
-        toks = pc.split_pattern_regex(lowered, r"\s+").combine_chunks()
-        flat = toks.flatten()
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        # drop empty tokens (leading/trailing whitespace artifacts)
-        nonempty = pc.not_equal(flat, "")
-        ne_np = nonempty.to_numpy(zero_copy_only=False)
-        flat = flat.filter(nonempty)
-        # per-doc token counts after the empty-filter
-        ends = np.cumsum(counts)
-        kept_prefix = np.concatenate([[0], np.cumsum(ne_np)]) if len(ne_np) else np.zeros(1, np.int64)
-        kept_ends = kept_prefix[ends] if len(counts) else np.zeros(0, np.int64)
-        kept_counts = np.diff(np.concatenate([[0], kept_ends])).astype(np.int64)
+        flat, kept_counts, kept_ends = token_stream(lowered, r"\s+")
 
         ndocs = len(batch)
         sig = np.zeros(ndocs, np.uint64)

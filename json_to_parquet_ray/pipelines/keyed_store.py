@@ -49,6 +49,14 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
     from ..shuffle import salted_group_count
 
     import pyarrow.compute as pc
+    import shutil
+
+    # a RE-encode into an existing dir must not leave the previous
+    # generation's records readable: partition ids derive from pkeys, so
+    # changed data/hot-keys produce a different id set and keyed_read
+    # would otherwise return both generations (orphaned chunk bytes are
+    # harmless — reads go through the manifest)
+    shutil.rmtree(_manifest_dir(out_dir), ignore_errors=True)
 
     counts = salted_group_count(ds, key_col)
     # filter to HOT keys distributed: the driver sees at most
@@ -62,11 +70,19 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
     # 5.0/'True'/timestamps differently and would silently disable
     # salting for non-string keys); a hot NULL key becomes "None", the
     # literal its rows partition under
-    hot_arr = (pc.fill_null(pc.cast(
-        pa.concat_tables(hot_parts).column("value").combine_chunks(),
-        pa.string()), "None")
-        if hot_parts else pa.array([], pa.string()))
-    hot = sorted(hot_arr.to_pylist())
+    if hot_parts:
+        hot_vals = pa.concat_tables(hot_parts).column("value").combine_chunks()
+        hot_arr = pc.fill_null(pc.cast(hot_vals, pa.string()), "None")
+        # the SUMMARY (and keyed_read lookups) use Python str() rendering
+        # — the same rendering encode_group records in the manifest — so
+        # keyed_read(out, keys=summary["hot_keys"]) round-trips for
+        # float/bool/timestamp keys too (Arrow renders 5.0 as '5',
+        # str() as '5.0')
+        hot = sorted(str(v) if v is not None else "None"
+                     for v in hot_vals.to_pylist())
+    else:
+        hot_arr = pa.array([], pa.string())
+        hot = []
     # broadcast the Arrow value_set ONCE — tasks fetch it plasma-cached
     # instead of rebuilding a pa.array per batch
     hot_ref = ray.put(hot_arr)

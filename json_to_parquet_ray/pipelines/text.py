@@ -121,22 +121,37 @@ def redact_batch(batch: pa.Table, col: str = "text",
 # ----------------------------------------------------- repetition ratio
 
 
-def repetition_ratio_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Gopher-style repetition signal: 1 - distinct_words/words per doc.
-    Fully vectorized: per-doc distincts come from one np.unique over
-    (doc_index, token_id) pairs — no per-row Python."""
-    toks = pc.split_pattern_regex(batch.column(col).fill_null(""), r"\s+")
-    toks = toks.combine_chunks()
+def token_stream(text_col, pattern: str = r"\s+"):
+    """Flattened NON-EMPTY token stream of a string column plus per-doc
+    bookkeeping: returns (flat_tokens, kept_counts, kept_ends). The
+    subtle counts/ne/ends/kept_prefix index arithmetic lives only here —
+    it was previously copy-pasted across three operators, and this exact
+    class of flattened-stream indexing has produced batch-layout bugs."""
+    toks = pc.split_pattern_regex(
+        text_col.fill_null("") if hasattr(text_col, "fill_null")
+        else text_col, pattern)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
     flat = toks.flatten()
-    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     nonempty = pc.not_equal(flat, "")
     ne = nonempty.to_numpy(zero_copy_only=False)
     flat = flat.filter(nonempty)
     ends = np.cumsum(counts)
     kept_prefix = (np.concatenate([[0], np.cumsum(ne)])
                    if len(ne) else np.zeros(1, np.int64))
-    kept_counts = np.diff(np.concatenate(
-        [[0], kept_prefix[ends] if len(counts) else []])).astype(np.int64)
+    kept_ends = (kept_prefix[ends] if len(counts)
+                 else np.zeros(0, np.int64)).astype(np.int64)
+    kept_counts = np.diff(np.concatenate([[0], kept_ends])).astype(np.int64)
+    return flat, kept_counts, kept_ends
+
+
+def repetition_ratio_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition signal: 1 - distinct_words/words per doc.
+    Fully vectorized: per-doc distincts come from one np.unique over
+    (doc_index, token_id) pairs — no per-row Python."""
+    flat, kept_counts, _ = token_stream(batch.column(col))
 
     n = len(batch)
     distinct = np.zeros(n, np.int64)
@@ -185,28 +200,43 @@ def fingerprint_batch_fast(batch: pa.Table, col: str = "text") -> pa.Table:
     offs = offs - offs[0]
     lens = offs[1:] - offs[:-1]
     h = np.full(n, np.uint64(0xCBF29CE484222325))  # sentinel: empty/null
-    nz = np.flatnonzero(lens > 0)
+    # mega-docs would size the power table by their length (8 bytes per
+    # byte of the longest doc) — hash them with one C blake2b call each
+    # instead; a different hash family per size class is fine for a
+    # partitioning key
+    MEGA = 4 << 20
+    huge = np.flatnonzero(lens > MEGA)
+    for i in huge:
+        import hashlib as _hl
+
+        dg = _hl.blake2b(data[offs[i]:offs[i + 1]].tobytes(),
+                         digest_size=8).digest()
+        h[i] = np.uint64(int.from_bytes(dg, "little"))
+    nz = np.flatnonzero((lens > 0) & (lens <= MEGA))
     if len(nz):
-        maxlen = int(lens.max())
+        maxlen = int(lens[nz].max())
         pw = np.empty(maxlen, np.uint64)
         pw[0] = 1
         if maxlen > 1:
             pw[1:] = np.uint64(0x100000001B3)
             np.cumprod(pw, out=pw)  # P^0..P^(maxlen-1), uint64 wraparound
-        chunk = 1 << 22  # doc-aligned byte chunks bound the transient
+        # doc-aligned byte chunks bound the transient; an explicit GATHER
+        # (not a contiguous slice) keeps excluded docs' bytes — empty or
+        # mega — out of the segments
+        chunk = 1 << 22
+        csum = np.concatenate([[0], np.cumsum(lens[nz])])
         pos = 0
         while pos < len(nz):
-            end = pos
-            b0 = int(offs[nz[pos]])
-            while end < len(nz) and offs[nz[end] + 1] - b0 <= chunk:
-                end += 1
-            end = max(end, pos + 1)
+            end = int(np.searchsorted(csum, csum[pos] + chunk,
+                                      side="right")) - 1
+            end = min(max(end, pos + 1), len(nz))
             docs = nz[pos:end]
-            b1 = int(offs[docs[-1] + 1])
-            sub = data[b0:b1].astype(np.uint64) + np.uint64(1)
-            exps = (np.repeat(offs[docs + 1], lens[docs])
-                    - 1 - np.arange(b0, b1)).astype(np.int64)
-            terms = sub * pw[exps]
-            h[docs] = np.add.reduceat(terms, offs[docs] - b0)
+            dl = lens[docs]
+            seg_starts = np.concatenate([[0], np.cumsum(dl)[:-1]])
+            within = np.arange(int(dl.sum())) - np.repeat(seg_starts, dl)
+            gidx = np.repeat(offs[docs], dl) + within
+            sub = data[gidx].astype(np.uint64) + np.uint64(1)
+            exps = np.repeat(dl, dl) - 1 - within
+            h[docs] = np.add.reduceat(sub * pw[exps], seg_starts)
             pos = end
     return batch.append_column("fp_fnv", pa.array(h.astype(np.int64), pa.int64()))

@@ -44,14 +44,27 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
 
 
 def _tmp_dir(tag: str, sf_dir: str) -> str:
-    """Stable per-(tag, sf_dir) scratch path: Python's hash() is salted
-    per process, so a hash()-derived name would never match the previous
-    run's directory and /tmp would accumulate orphaned stores."""
+    """Per-(tag, sf_dir, pid) scratch path. The pid suffix keeps two
+    concurrent harnesses (bench + oracle check on the same sf_dir) from
+    rmtree-ing each other's store mid-read; stale siblings from dead
+    processes are swept opportunistically so /tmp doesn't accumulate
+    orphans (Python's salted hash() would never even match a previous
+    run's name)."""
+    import glob
     import hashlib
+    import shutil
     import tempfile
+    import time as _time
 
     h = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"jtpr_{tag}_{h}")
+    base = os.path.join(tempfile.gettempdir(), f"jtpr_{tag}_{h}")
+    for old in glob.glob(base + "_p*"):
+        try:
+            if _time.time() - os.path.getmtime(old) > 7200:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    return f"{base}_p{os.getpid()}"
 
 
 # ------------------------------------------------------------ codec roundtrips
@@ -768,17 +781,10 @@ def q_top_bigrams(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
+        from .pipelines.text import token_stream
+
+        flat, _counts, kept_ends = token_stream(
             pc.utf8_lower(b.column("text").fill_null("")), "[^a-z0-9_]+")
-        toks = toks.combine_chunks()
-        flat = toks.flatten()
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pc.not_equal(flat, ""))
-        ends = np.cumsum(counts)
-        kept_prefix = (np.concatenate([[0], np.cumsum(ne)])
-                       if len(ne) else np.zeros(1, np.int64))
-        kept_ends = kept_prefix[ends] if len(counts) else np.zeros(0, np.int64)
         words = flat.to_pandas().to_numpy()
         if len(words) < 2:
             return pa.table({"bigram": pa.array([], pa.string()),
@@ -1245,7 +1251,9 @@ ORACLE_SQL = {
         " 5 * len(regexp_extract_all(text, '[一-鿿]')) AS zh "
         "FROM documents) "
         "SELECT doc_id, CASE "
-        " WHEN greatest(en, de, fr, es, zh) <= 0 THEN 'unknown' "
+        # NULL text: every count is NULL, so without this arm the CASE
+        # would fall through to 'zh' while the engine says 'unknown'
+        " WHEN en IS NULL OR greatest(en, de, fr, es, zh) <= 0 THEN 'unknown' "
         " WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en' "
         " WHEN de >= fr AND de >= es AND de >= zh THEN 'de' "
         " WHEN fr >= es AND fr >= zh THEN 'fr' "

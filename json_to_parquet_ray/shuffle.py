@@ -357,9 +357,14 @@ def hash_join(left, right, on: str, right_on: str | None = None,
 
 
 def heavy_hitters(ds, col: str, k: int = 20, salt_buckets: int = 8) -> pa.Table:
-    """Top-k values by count (small result → materialized on the driver)."""
+    """Top-k values by count (small result → materialized on the driver).
+
+    The sort is (count DESC, value ASC): without the value tie-break the
+    k survivors of a tied count would be whatever rows Ray emits first —
+    nondeterministic under parallelism and unverifiable against an
+    ORDER BY oracle."""
     counts = salted_group_count(ds, col, salt_buckets)
-    top = counts.sort("count", descending=True).limit(k)
+    top = counts.sort(["count", "value"], descending=[True, False]).limit(k)
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
 
 

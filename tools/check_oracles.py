@@ -76,6 +76,10 @@ def main():
     )
     qs = {**qs, **RETIRED_QUERIES}
     sqls = {**sqls, **RETIRED_ORACLE_SQL}
+    unknown = only - set(qs)
+    if unknown:  # a typo'd name must not report '0 failures' over nothing
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -112,7 +116,12 @@ def main():
                             cm[c] = cm[c].astype(co[c].dtype)
                         except (TypeError, ValueError):
                             pass
-                ok_hash = value_hash(cm) == value_hash(co)
+                # cm/co are already canonicalized — hash directly instead
+                # of paying canon()'s sort twice per side
+                ok_hash = (int(pd.util.hash_pandas_object(
+                    cm, index=False).sum())
+                    == int(pd.util.hash_pandas_object(
+                        co, index=False).sum()))
                 if not ok_hash:
                     diff = (cm != co)
                     print("   first diffs:", [(c, cm[c][diff[c]].head(2).tolist(),
