@@ -137,7 +137,11 @@ _INT_TYPES = {
 
 
 def is_int_like(t: pa.DataType) -> bool:
-    """Integer, timestamp, date, time, duration, bool — all int-castable losslessly."""
+    """Integer, timestamp, date, time, duration, bool. Caveat: uint64
+    VALUES above 2^63-1 don't fit the int64 working dtype — the int
+    codecs raise on such chunks and encode_table falls back to plain
+    (logged); the planner's trial encode rejects them up front when the
+    sample contains one."""
     return (
         t in _INT_TYPES
         or pa.types.is_timestamp(t)

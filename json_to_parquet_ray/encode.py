@@ -54,7 +54,15 @@ def encode_table(table: pa.Table, plan: CodecPlan | None = None) -> tuple[bytes,
         cp = plan.codec_for(name)
         try:
             payload, meta = encode_array(arr, cp.codec, **cp.kwargs)
-        except Exception:
+        except Exception as ex:
+            # fallback keeps the job alive and bit-identical, but a
+            # SYSTEMATIC failure (bad plan kwargs, uint64 > 2^63 under an
+            # int codec) must not silently degrade every column to plain
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "codec %r failed on column %r (%s: %s) — falling back to "
+                "plain", cp.codec, name, type(ex).__name__, ex)
             payload, meta = encode_array(arr, "plain")
         columns.append({
             "name": name,
@@ -114,7 +122,17 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
                 raise IOError(f"CRC mismatch for column {name}")
             arrays.append(decode_array(payload, col["meta"]))
             fields.append(schema.field(name))
+        if not arrays:
+            return _rows_only(header.get("num_rows", 0))
         return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _rows_only(n: int) -> pa.Table:
+    """0-column table that still CARRIES its row count — an empty (or
+    all-missing under schema evolution) projection must not collapse the
+    chunk's rows to zero; align_table can then null-fill n rows."""
+    rb = pa.RecordBatch.from_struct_array(pa.array([{}] * n, pa.struct([])))
+    return pa.Table.from_batches([rb], schema=pa.schema([]))
 
 
 def decode_table(blob: bytes, columns: list[str] | None = None,
@@ -135,4 +153,6 @@ def decode_table(blob: bytes, columns: list[str] | None = None,
             raise IOError(f"CRC mismatch for column {col['name']}")
         arrays.append(decode_array(payload, col["meta"]))
         fields.append(schema.field(name))
+    if not arrays:
+        return _rows_only(header.get("num_rows", 0))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

@@ -51,8 +51,10 @@ def split_documents(text: str) -> list[str]:
                 in_str = False
             continue
         if ch == '"':
-            if depth > 0:
-                in_str = True
+            # track strings at depth 0 TOO: a brace inside a top-level
+            # quoted string would otherwise start a bogus document and
+            # desync the splitter, silently dropping later objects
+            in_str = True
         elif ch == "{":
             if depth == 0:
                 start = i
@@ -150,18 +152,14 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
             # valid JSON
             schemas = None
         if schemas is not None:
-            schema = unify(schemas, mode)
             # explicit_schema makes Arrow parse strictly: if unify had to
             # WIDEN a conflicting key (int in one file, string in another
             # → string), a numeric token no longer parses into the string
-            # field. Detect that case and parse per block + cast instead.
-            try:
-                pa.unify_schemas(schemas, promote_options="permissive")
-                explicit = schema
-            except (pa.ArrowTypeError, pa.ArrowInvalid,
-                    pa.ArrowNotImplementedError):
-                explicit = None
-            ds2 = read_json_arrow(input_paths, schema=explicit)
+            # field — parse per block + cast instead. unify() itself
+            # reports whether it widened, so the detection can't drift.
+            schema, widened = unify(schemas, mode, return_widened=True)
+            ds2 = read_json_arrow(input_paths,
+                                  schema=None if widened else schema)
             ds2.map_batches(lambda b: align_table(b, schema),
                             batch_format="pyarrow").write_parquet(out_dir)
             return schema

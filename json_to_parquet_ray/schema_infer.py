@@ -240,11 +240,19 @@ def _unify_types(name: str, types: list[pa.DataType]) -> pa.DataType:
         f"documents ({sorted(str(t) for t in non_null)}) — cannot unify")
 
 
-def unify(schemas: list[pa.Schema], mode: str = "engine") -> pa.Schema:
-    """Cross-document/batch unification (supersedes quirk Q1)."""
+def unify(schemas: list[pa.Schema], mode: str = "engine",
+          return_widened: bool = False):
+    """Cross-document/batch unification (supersedes quirk Q1).
+
+    With ``return_widened=True`` returns (schema, widened): ``widened``
+    is True iff Arrow's permissive promotion failed and the per-field
+    conflict resolution ran — callers that feed the schema back into a
+    STRICT parser (explicit_schema) must not do so for a widened schema."""
+    widened = False
     try:
         unified = pa.unify_schemas(schemas, promote_options="permissive")
     except (pa.ArrowTypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        widened = True
         # same key, non-promotable types across batches ({"id": 1} in one
         # file, {"id": "x"} in another) — resolve per field instead of
         # crashing the whole job on valid JSON
@@ -266,7 +274,7 @@ def unify(schemas: list[pa.Schema], mode: str = "engine") -> pa.Schema:
                 continue  # R4: all-null key dropped
             fields.append(pa.field(f.name, _narrow_type(t), nullable=True))
         unified = pa.schema(fields)
-    return unified
+    return (unified, widened) if return_widened else unified
 
 
 def docs_to_table(docs: list[dict], schema: pa.Schema | None = None,

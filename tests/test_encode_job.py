@@ -654,3 +654,27 @@ def test_zone_filter_exact_even_when_column_not_projected(
     # non-numeric bound against a numeric zone errors usably
     with pytest.raises(ValueError, match="zone-filter bound"):
         decode_dataset(out, zone_filter={"doc_id": (10, "abc")}).take_all()
+
+
+def test_empty_projection_keeps_row_count(tmp_path):
+    """A projection with no decodable columns (explicit [] or all columns
+    missing under schema evolution) must keep the chunk's ROW COUNT —
+    null-filling via align_table then yields n null rows, not zero."""
+    from json_to_parquet_ray.encode import read_chunk_file
+
+    t = make_cc_table(30, seed=1)
+    blob, _ = encode_table(t)
+    assert decode_table(blob, columns=[]).num_rows == 30
+    p = str(tmp_path / "c.rde")
+    with open(p, "wb") as f:
+        f.write(blob)
+    got = read_chunk_file(p, columns=["not_there"], missing_ok=True)
+    assert got.num_rows == 30 and got.num_columns == 0
+    import pyarrow as _pa
+
+    from json_to_parquet_ray.schema_infer import align_table
+
+    aligned = align_table(got, _pa.schema([_pa.field("not_there",
+                                                     _pa.int64())]))
+    assert aligned.num_rows == 30
+    assert aligned.column("not_there").null_count == 30
