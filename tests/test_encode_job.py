@@ -678,3 +678,29 @@ def test_empty_projection_keeps_row_count(tmp_path):
                                                      _pa.int64())]))
     assert aligned.num_rows == 30
     assert aligned.column("not_there").null_count == 30
+
+
+def test_reencode_then_compact_torture(ray_session, tmp_path):
+    """Generations + compaction together: encode, re-encode with a
+    different partitioning, then compact — decode must stay exactly one
+    copy of the input, in order, through every step."""
+    from json_to_parquet_ray.pipelines.encode_job import compact_job
+
+    src = str(tmp_path / "t.parquet")
+    write_cc_parquet(src, 600, seed=7, row_group_size=150)  # 4 row groups
+    out = str(tmp_path / "t_out")
+    exp = pq.read_table(src, columns=["url"]).column("url").to_pylist()
+
+    encode_job(src, out)
+    encode_job(src, out, max_rows_per_partition=75)
+    got = decode_dataset(out, columns=["url"]).take_all()
+    assert [r["url"] for r in got] == exp
+    compact_job(out, min_rows=600)
+    got = decode_dataset(out, columns=["url"]).take_all()
+    assert [r["url"] for r in got] == exp
+    assert verify_job(out)["failed"] == []
+    # zone-filtered read still exact after all of it
+    rows = decode_dataset(out, zone_filter={"warc_ts": ("2000-01-01",
+                                                        "2100-01-01")}
+                          ).take_all()
+    assert len(rows) == 600
