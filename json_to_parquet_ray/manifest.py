@@ -187,10 +187,13 @@ def effective_records(out_dir: str) -> list[PartitionRecord]:
                                           r.sort_key))
         else:
             # on a sort_key tie (whole row group vs its first slice),
-            # larger coverage wins so exactly one generation decodes
+            # larger coverage wins so exactly one generation decodes; a
+            # legacy record without num_rows claims its whole row group
+            # (same default as intervals() above)
             pass_recs.sort(key=lambda r: (
                 r.sort_key,
-                -sum(int(f["num_rows"]) for f in r.source_fragments)))
+                -sum(int(f.get("num_rows", 1 << 62))
+                     for f in r.source_fragments)))
         for rec in pass_recs:
             iv = intervals(rec)
             if conflicts(iv):

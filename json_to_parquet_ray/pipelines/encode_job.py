@@ -436,13 +436,15 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     # caller's projection omits them — read them too, filter, THEN project
     # (skipping the filter for unprojected columns returned whole chunks)
     read_cols = columns
+    filter_only_cols: list[str] = []
     if columns is not None and zone_filter:
-        read_cols = list(columns) + [c for c in zone_filter
-                                     if c not in columns]
+        filter_only_cols = [c for c in zone_filter if c not in columns]
+        if filter_only_cols:
+            read_cols = list(columns) + filter_only_cols
     # tolerate absent columns only where absence is legitimate: filter
     # columns an old chunk may lack, or read-time schema evolution — a
     # plain typo'd projection should still fail loudly
-    missing_ok = (read_cols is not columns) or (schema is not None)
+    missing_ok = bool(filter_only_cols) or (schema is not None)
 
     def decode_item(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -451,11 +453,29 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         for path in batch.column("path").to_pylist():
             t = read_chunk_file(path, columns=read_cols,
                                 missing_ok=missing_ok)
+            # missing_ok covers filter-only columns an old chunk may
+            # legitimately lack; without read-time schema evolution the
+            # CALLER's projection must still resolve — fail loudly on a
+            # typo'd column instead of silently dropping it
+            if missing_ok and schema is None and columns is not None:
+                absent = [c for c in columns if c not in t.column_names]
+                if absent:
+                    raise KeyError(
+                        f"projected column(s) {absent} absent from chunk "
+                        f"{os.path.basename(path)}; pass schema= for "
+                        f"read-time schema evolution")
             if zone_filter:
                 mask = None
                 for col, (lo, hi) in zone_filter.items():
                     if col not in t.column_names:
-                        continue
+                        # schema evolution: a chunk written before this
+                        # column existed has it all-null for every row,
+                        # and a null never satisfies a range predicate
+                        # (fill_null(mask, False) below) — exclude the
+                        # chunk's rows, matching the explicit-null case
+                        t = t.slice(0, 0)
+                        mask = None
+                        break
                     c = t.column(col)
 
                     def _bound(v):

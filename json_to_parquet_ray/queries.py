@@ -60,9 +60,19 @@ def _tmp_dir(tag: str, sf_dir: str) -> str:
     base = os.path.join(tempfile.gettempdir(), f"jtpr_{tag}_{h}")
     for old in glob.glob(base + "_p*"):
         try:
+            # only sweep stale dirs whose OWNING PROCESS is dead — a
+            # harness running >2h must not have its live store deleted
+            # by a concurrently started process (dir mtime does not
+            # refresh on reads, so age alone is not liveness)
+            pid = int(old.rsplit("_p", 1)[1])
             if _time.time() - os.path.getmtime(old) > 7200:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    shutil.rmtree(old, ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive under another uid — leave it
+        except (OSError, ValueError):
             pass
     return f"{base}_p{os.getpid()}"
 
@@ -306,10 +316,22 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 def _first_queries(sf_dir: str, nq: int = 3) -> np.ndarray:
+    """The ``nq`` lowest-vec_id vectors, WITHOUT a full-table driver read:
+    a ``vec_id < bound`` predicate is pushed down to parquet row-group
+    statistics, so only the row groups that can contain the answer are
+    read (constant I/O at any table size); the bound widens geometrically
+    in the degenerate case of sparse low ids."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    total = pq.ParquetFile(path).metadata.num_rows
+    bound = max(nq, 8)
+    while True:
+        t = pq.read_table(path, columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", bound)])
+        if t.num_rows >= min(nq, total) or t.num_rows >= total:
+            break
+        bound *= 16
     df = t.to_pandas().sort_values("vec_id").head(nq)
     return np.asarray(df["embedding"].tolist(), np.float64)
 

@@ -236,11 +236,19 @@ def _cap_sample(vals: list) -> list:
     return out
 
 
-_GATE_CTR = {"n": 0}  # per-worker-process batch counter for sample_gate
+# per-worker-process batch counter for sample_gate, keyed by job epoch so
+# a reused Ray worker process never carries a counter from a PREVIOUS
+# stats job into this one (which would change which batches sample).
+# Within one job, batch→worker assignment still varies run to run, so the
+# raw-value sample is deterministic only in AGGREGATE GUARANTEES (every
+# gate-th batch per worker, first kept) — exact stats (cardinality,
+# min/max, runs) are unaffected; only the advisory sample varies.
+_GATE_CTR: dict = {"epoch": None, "n": 0}
 
 
 def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None,
-                        sample_gate: int = 1) -> pa.Table:
+                        sample_gate: int = 1,
+                        gate_epoch: str | None = None) -> pa.Table:
     """map_batches fn: emit one pickled partial per column (tiny output).
 
     ``sample_gate`` > 1 keeps the raw-value sample on exactly every
@@ -252,6 +260,8 @@ def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None,
     cols = columns or batch.column_names
     keep_sample = True
     if sample_gate > 1 and batch.num_rows:
+        if _GATE_CTR["epoch"] != gate_epoch:
+            _GATE_CTR["epoch"], _GATE_CTR["n"] = gate_epoch, 0
         k = _GATE_CTR["n"]
         _GATE_CTR["n"] = k + 1
         keep_sample = (k % sample_gate) == 0
@@ -283,8 +293,11 @@ def compute_stats(ds, columns: list[str] | None = None,
     stage so the driver only ever sees one merged partial per column —
     the shape required at 10^12-document scale (pair with sample_gate).
     """
+    import uuid
+
+    epoch = uuid.uuid4().hex  # fresh per job: reused workers reset counters
     parts = ds.map_batches(
-        lambda b: stats_partial_batch(b, columns, sample_gate),
+        lambda b: stats_partial_batch(b, columns, sample_gate, epoch),
         batch_format="pyarrow", batch_size=16384,
     )
     if distributed_merge:

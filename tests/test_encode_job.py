@@ -704,3 +704,59 @@ def test_reencode_then_compact_torture(ray_session, tmp_path):
                                                         "2100-01-01")}
                           ).take_all()
     assert len(rows) == 600
+
+
+def test_effective_records_legacy_record_without_num_rows(tmp_path):
+    """A legacy manifest record whose fragments lack ``num_rows`` must not
+    crash effective_records (the tie-break sort used f["num_rows"]
+    directly while intervals() tolerated the absence via .get): it claims
+    its whole row group, and coexists with modern records."""
+    from json_to_parquet_ray.manifest import (
+        PartitionRecord, effective_records, write_record,
+    )
+
+    out = str(tmp_path / "legacy")
+    os.makedirs(out, exist_ok=True)
+
+    def mk(pid, frag):
+        chunk = f"chunk-{pid}.rde"
+        with open(os.path.join(out, chunk), "wb") as f:
+            f.write(b"x" * 10)
+        return PartitionRecord(partition_id=pid, fragment=frag,
+                               num_rows=1, chunk_file=chunk, chunk_size=10)
+
+    # legacy: no num_rows / row_start in the fragment dict
+    write_record(out, mk("aa1", {"path": "in.parquet", "row_group": 0}))
+    # modern record on another row group
+    write_record(out, mk("bb2", {"path": "in.parquet", "row_group": 1,
+                                 "num_rows": 100, "row_start": 0}))
+    # a slice of row group 0 — must LOSE to the legacy whole-group claim
+    write_record(out, mk("cc3", {"path": "in.parquet", "row_group": 0,
+                                 "num_rows": 50, "row_start": 0}))
+    eff = effective_records(out)
+    assert [r.partition_id for r in eff] == ["aa1", "bb2"]
+
+
+def test_typod_projection_fails_loudly_with_zone_filter(
+        ray_session, tmp_path):
+    """With both columns= and zone_filter= given, a typo'd projected
+    column must still raise (missing_ok covers only the filter-added
+    columns), and a filter column missing from a chunk excludes that
+    chunk's rows (missing == all-null under schema evolution)."""
+    import ray
+
+    src = str(tmp_path / "tp.parquet")
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "url": pa.array([f"u{i}" for i in range(200)])})
+    pq.write_table(t, src, row_group_size=100)
+    out = str(tmp_path / "tp_out")
+    encode_job(src, out, shared_dict_columns=None)
+
+    with pytest.raises((KeyError, ray.exceptions.RayTaskError)):
+        decode_dataset(out, columns=["urll"],
+                       zone_filter={"doc_id": (0, 10)}).take_all()
+
+    # filter column absent from every chunk → zero rows, not whole chunks
+    rows = decode_dataset(out, columns=["url"],
+                          zone_filter={"new_col": (0, 10)}).take_all()
+    assert rows == []

@@ -53,6 +53,15 @@ def compatible(a, b) -> bool:
     child schemas."""
     if a is None or b is None:
         return a is None and b is None
+    if isinstance(b, str) and not isinstance(a, str):
+        # cross-doc scalar-type conflicts widen the field to string (the
+        # documented engine resolution, schema_infer._unify_types): the
+        # value becomes its JSON lexical form. Accept iff that string
+        # parses back to the original value — fidelity is preserved.
+        try:
+            return compatible(a, json.loads(b))
+        except ValueError:
+            return False
     if isinstance(a, bool) or isinstance(b, bool):
         return a == b
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
