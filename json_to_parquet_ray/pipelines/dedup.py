@@ -231,6 +231,31 @@ class _ShardedVectors:
             self.refs.append(ray.put((sid[order], mat[m][order])))
         self._cache: dict = {}
 
+    @classmethod
+    def from_refs(cls, n: int, refs_by_shard: dict) -> "_ShardedVectors":
+        """Assemble from shards ALREADY ``ray.put`` inside tasks (the
+        distributed build path: groupby shard → one put per shard) — the
+        driver only ever holds object refs, never the vectors. A residue
+        class with no candidates gets an empty placeholder; touching it
+        still fails loudly in get_many."""
+        import ray
+
+        self = cls.__new__(cls)
+        self.n = n
+        empty_ref = None
+        refs = []
+        for i in range(n):
+            r = refs_by_shard.get(i)
+            if r is None:
+                if empty_ref is None:
+                    empty_ref = ray.put((np.empty(0, np.int64),
+                                         np.empty((0, 1), np.float64)))
+                r = empty_ref
+            refs.append(r)
+        self.refs = refs
+        self._cache = {}
+        return self
+
     def _shard(self, i: int):
         import ray
 
@@ -910,12 +935,39 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
              pa.py_buffer(np.ascontiguousarray(emb, np.float64).tobytes())])
         return pa.table({key: sel.column(key).cast(pa.int64()), "vec": vec})
 
-    vrows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
-    if not vrows:
+    # build the sharded vector store DISTRIBUTED: candidate (id, vec)
+    # rows shuffle by residue shard, each shard task sorts its slice and
+    # ray.puts it — the driver receives one ObjectRef per shard, never a
+    # vector (under pathological duplication the old take_all() pulled
+    # the whole corpus onto the driver)
+    n_shards = max(1, -(-len(cand_ids) // 100_000))
+
+    def tag_shard(b: pa.Table) -> pa.Table:
+        ids = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("shard", pa.array(ids % n_shards, pa.int64()))
+
+    def build_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sid = g[key].to_numpy().astype(np.int64)
+        # equal-width binary payloads: one C-speed join + reshape
+        mat = np.frombuffer(b"".join(g["vec"].tolist()),
+                            np.float64).reshape(len(sid), -1)
+        order = np.argsort(sid, kind="mergesort")
+        ref = ray.put((sid[order], np.ascontiguousarray(mat[order])))
+        return pd.DataFrame({
+            "shard": [int(g["shard"].iloc[0])],
+            "ref": [ray.cloudpickle.dumps(ref)],
+        })
+
+    shard_rows = (ds.map_batches(fetch, batch_format="pyarrow")
+                    .map_batches(tag_shard, batch_format="pyarrow")
+                    .groupby("shard")
+                    .map_groups(build_shard, batch_format="pandas")
+                    .take_all())
+    if not shard_rows:
         return empty
-    vids = np.array([r[key] for r in vrows], np.int64)
-    vmat = np.vstack([np.frombuffer(r["vec"], np.float64) for r in vrows])
-    vecs = _ShardedVectors(vids, vmat)
+    vecs = _ShardedVectors.from_refs(
+        n_shards, {int(r["shard"]): ray.cloudpickle.loads(r["ref"])
+                   for r in shard_rows})
 
     def _exact_block(ids: np.ndarray, V: np.ndarray) -> pd.DataFrame:
         S = V @ V.T

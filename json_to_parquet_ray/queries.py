@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 from .encode import decode_table, encode_table
 from .pipelines import ann, dedup, multimodal, text
 from .schema_infer import infer_json_schema
+from . import shuffle
 from .shuffle import heavy_hitters, salted_group_count
 from .stats import compute_stats
 
@@ -511,18 +512,22 @@ def q_asof_latest_order(sf_dir: str):
 
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user (streaming-shaped, SURVEY §2.2):
-    events are hash-partitioned by user_id; each group is sorted by ts and
-    split at >30-minute gaps. The partitioning assumption (all events of a
-    user fit one group) is the standard sessionization contract."""
+    events hash-partition into key BUCKETS (shuffle.keyed_window — one
+    Python callback per bucket, not per user, so 10^8 users stay cheap);
+    inside a bucket a vectorized pandas sort + shifted-gap mask counts
+    >30-minute session splits per user. Partitioning contract: all events
+    of a user land in one bucket."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds() > 1800
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "session_count": [int(1 + gaps.sum())]})
+        g = g.sort_values(["user_id", "ts"])
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        gap = (g["ts"].diff().dt.total_seconds() > 1800) & same_user
+        cnt = gap.groupby(g["user_id"], sort=False).sum() + 1
+        return pd.DataFrame({"user_id": cnt.index.to_numpy(),
+                             "session_count": cnt.to_numpy().astype("int64")})
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = shuffle.keyed_window(ds, "user_id", sessions, num_buckets=32)
     df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
     df["session_count"] = df["session_count"].astype("int64")
     return df
@@ -548,11 +553,12 @@ def q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # pure-Arrow combiner: no pandas round-trip in the hot path
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        t = pa.table({"hour": hour, "value": batch.column("value")})
-        df = t.to_pandas()
-        g = df.groupby("hour", as_index=False).agg(n=("value", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        g = pa.table({"hour": hour}).group_by("hour").aggregate(
+            [([], "count_all")])
+        return pa.table({"hour": g.column("hour"),
+                         "n": g.column("count_all").cast(pa.int64())})
 
     from ray.data.aggregate import Sum
 
@@ -754,12 +760,17 @@ def q_events_type_stats(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["sq"] = df["value"] * df["value"]
-        g = df.groupby("event_type", as_index=False).agg(
-            s=("value", "sum"), sq=("sq", "sum"), n=("value", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False) \
-            .replace_schema_metadata(None)
+        # pure-Arrow moments combiner (sum, sum-of-squares, count)
+        v = b.column("value")
+        g = pa.table({
+            "event_type": b.column("event_type"),
+            "v": v, "sq": pc.multiply(v, v),
+        }).group_by("event_type").aggregate(
+            [("v", "sum"), ("sq", "sum"), ([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "s": g.column("v_sum"),
+                         "sq": g.column("sq_sum"),
+                         "n": g.column("count_all").cast(pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     out = parts.groupby("event_type").aggregate(
@@ -916,17 +927,23 @@ def q_lang_source_pivot(sf_dir: str):
     ds = _read(sf_dir, "documents", ["source", "lang"])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        g = df.groupby("source")
-        out = {"source": []}
+        # Arrow (source, lang) count over the full batch; the pivot to
+        # wide columns runs on the TINY grouped result (|sources|x|langs|
+        # rows), not per input row — no per-group Python loop
+        g = pa.table({"source": b.column("source"),
+                      "lang": b.column("lang")}) \
+            .group_by(["source", "lang"]).aggregate([([], "count_all")])
+        wide = (g.to_pandas()
+                 .pivot_table(index="source", columns="lang",
+                              values="count_all", aggfunc="sum",
+                              fill_value=0))
+        out = {"source": pa.array(wide.index.to_numpy())}
         for l in langs:
-            out[f"n_{l}"] = []
-        for src, grp in g:
-            out["source"].append(src)
-            vc = grp["lang"].value_counts()
-            for l in langs:
-                out[f"n_{l}"].append(int(vc.get(l, 0)))
-        return pa.table({k: pa.array(v) for k, v in out.items()})
+            col = (wide[l] if l in wide.columns
+                   else pd.Series(0, index=wide.index))
+            out[f"n_{l}"] = pa.array(col.to_numpy().astype("int64"),
+                                     pa.int64())
+        return pa.table(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     out = parts.groupby("source").aggregate(
@@ -939,18 +956,21 @@ def q_lang_source_pivot(sf_dir: str):
 
 def q_user_running_value(sf_dir: str):
     """Per-user running total of event values ordered by time (window
-    cumulative sum): hash-partition by user, sort + cumsum inside each
-    group — the standard keyed-window contract."""
+    cumulative sum): hash-partition into key buckets
+    (shuffle.keyed_window), then ONE vectorized pandas
+    ``groupby(user).cumsum()`` per bucket — per-bucket, not per-key,
+    Python granularity. Contract: all events of a user in one bucket."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        rv = g.groupby("user_id", sort=False)["value"].cumsum().round(2)
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
-            "running_value": g["value"].cumsum().round(2).astype("float64"),
+            "running_value": rv.astype("float64"),
         })
 
-    out = ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    out = shuffle.keyed_window(ds, "user_id", running, num_buckets=32)
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 

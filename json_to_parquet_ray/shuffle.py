@@ -110,6 +110,31 @@ def key_buckets(col: pa.ChunkedArray | pa.Array,
     return ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int64)
 
 
+def keyed_window(ds, key: str, bucket_fn, num_buckets: int = 64,
+                 batch_format: str = "pandas"):
+    """Keyed-window execution at BUCKET granularity: rows hash-partition
+    into ``num_buckets`` key groups (via ``key_buckets`` — every row of a
+    key lands in exactly one bucket) and ``bucket_fn`` runs ONCE per
+    bucket over all keys in it. The callback must itself be
+    keyed-vectorized (e.g. pandas ``sort_values([key, ts])`` then
+    ``groupby(key)...cumsum()/diff()``) — so 10^8 distinct keys cost
+    ``num_buckets`` Python callbacks, not 10^8 (one ``map_groups`` call
+    per key is THE keyed-window scale anti-pattern this exists to avoid).
+    Partitioning contract: all rows of a key fit in one bucket's memory;
+    size num_buckets so corpus/num_buckets fits a worker heap."""
+    def tag(b: pa.Table) -> pa.Table:
+        bk = key_buckets(b.column(key), num_buckets)
+        return b.append_column("__bucket", pa.array(bk, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns="__bucket"))
+
+    return tagged.groupby("__bucket").map_groups(run,
+                                                 batch_format=batch_format)
+
+
 def asof_join(left, right, by: str, on: str, right_by: str | None = None,
               right_on: str | None = None, direction: str = "backward",
               num_partitions: int | None = None):
