@@ -79,10 +79,36 @@ def list_fragments(paths: list[str] | str,
     return frags
 
 
+_ZONE_STR_TRUNC = 64  # keep manifest records small on long url/text columns
+
+
+def _string_upper_bound(s: str, n: int = _ZONE_STR_TRUNC) -> str | None:
+    """A ≤ n+1-char string guaranteed >= every string with prefix s[:n]:
+    truncating a MAX directly would understate it (s[:n] < s), so the
+    last incrementable code point of the kept prefix is bumped (skipping
+    the surrogate range). None = cannot bound (prefix all at U+10FFFF) —
+    the caller then stores no max and the chunk conservatively survives
+    upper-bound checks."""
+    if len(s) <= n:
+        return s
+    p = s[:n]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return p[:i] + chr(nxt)
+    return None
+
+
 def _zone_maps(table: pa.Table) -> dict[str, dict]:
-    """Per-column min/max zone maps for the manifest (numeric + temporal
-    columns only; JSON-serializable). At read time, a chunk whose zone is
-    disjoint from the query range is skipped WITHOUT being opened."""
+    """Per-column min/max zone maps for the manifest (numeric, temporal
+    and string columns; JSON-serializable). At read time, a chunk whose
+    zone is disjoint from the query range is skipped WITHOUT being
+    opened. String zones truncate to _ZONE_STR_TRUNC chars: a truncated
+    MIN is already a valid lower bound; a truncated MAX is rounded UP
+    via _string_upper_bound so pruning stays conservative."""
     import pyarrow.compute as pc
 
     out: dict[str, dict] = {}
@@ -98,6 +124,14 @@ def _zone_maps(table: pa.Table) -> dict[str, dict]:
             mm = pc.min_max(col)
             out[name] = {"min": str(mm["min"].as_py()),
                          "max": str(mm["max"].as_py()), "ts": True}
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            mm = pc.min_max(col)
+            zmin = mm["min"].as_py()[:_ZONE_STR_TRUNC]
+            zmax = _string_upper_bound(mm["max"].as_py())
+            z: dict = {"min": zmin, "str": True}
+            if zmax is not None:
+                z["max"] = zmax
+            out[name] = z
     return out
 
 
@@ -117,15 +151,17 @@ def zone_prune(out_dir: str, zone_filter: dict,
             z = zones.get(col)
             if z is None or "min" not in z:
                 continue
-            zmin, zmax = z["min"], z["max"]
+            # a string zone may lack "max" (upper bound not representable
+            # after truncation) — that side then conservatively survives
+            zmin, zmax = z.get("min"), z.get("max")
             if z.get("ts"):
                 # zones store str(datetime) ('YYYY-MM-DD HH:MM:SS');
                 # normalize ISO 'T' separators so lexical order holds
                 lo = None if lo is None else str(lo).replace("T", " ")
                 hi = None if hi is None else str(hi).replace("T", " ")
             try:
-                if (hi is not None and zmin > hi) or (
-                        lo is not None and zmax < lo):
+                if (hi is not None and zmin is not None and zmin > hi) or (
+                        lo is not None and zmax is not None and zmax < lo):
                     alive = False
                     break
             except TypeError:

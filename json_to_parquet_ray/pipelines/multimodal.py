@@ -1,10 +1,12 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The container has no image/audio libraries, so the actual media decode is
-STUBBED (clearly marked) behind a deterministic fake — but all Ray-side
-plumbing is real and tested: schemas, actor-pool signatures, batch
-sizing for large binary payloads, and the output layout a downstream
-training pipeline would consume.
+This container has no image/audio libraries, so by default the media
+decode falls back to a STUBBED (clearly marked) deterministic fake — but
+all Ray-side plumbing is real and tested: schemas, actor-pool
+signatures, batch sizing for large binary payloads, and the output
+layout a downstream training pipeline would consume. When Pillow IS
+installed, ``DecodeMedia`` automatically uses it (``_decode_real``);
+``force_stub=True`` pins the fake for environment-independent oracles.
 
 Pattern: an actor-pool ``map_batches`` stage with small ``batch_size``
 (large payloads → a batch x concurrency must fit the worker heap) whose
@@ -44,9 +46,14 @@ class DecodeMedia:
     pipeline shape, schema and tests are real.
     """
 
-    def __init__(self, payload_col: str = "payload", strict: bool = False):
+    def __init__(self, payload_col: str = "payload", strict: bool = False,
+                 force_stub: bool = False):
+        # force_stub pins the deterministic fake even when Pillow exists —
+        # the oracled query uses it so its golden SQL is environment-
+        # independent; real pipelines leave it False and get the real
+        # decoder automatically when the library is installed
         self.payload_col = payload_col
-        self.has_decoder = try_import_pillow()
+        self.has_decoder = try_import_pillow() and not force_stub
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -56,6 +63,8 @@ class DecodeMedia:
             raise NotImplementedError(
                 "media decode requires an image library not present in this "
                 "container; run with strict=False for the deterministic stub")
+        if self.has_decoder:
+            return self._decode_real(batch)
         col = batch.column(self.payload_col).combine_chunks()
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
         lens = pc.binary_length(col).fill_null(0) \
@@ -82,6 +91,36 @@ class DecodeMedia:
                 .append_column("height", pa.array(h, pa.int32(), mask=mask))
                 .append_column("n_bytes", pa.array(lens, pa.int64()))
                 .append_column("decode_ok", pa.array(valid)))
+
+    def _decode_real(self, batch: pa.Table) -> pa.Table:
+        """REAL decode path, used automatically when Pillow is installed:
+        per-item PIL header decode (inherently per-payload — image headers
+        are not batch-decodable) inside the actor, same output schema as
+        the stub. A payload that fails to parse gets decode_ok=False and
+        null dimensions instead of poisoning the batch."""
+        import io
+
+        import PIL.Image
+
+        col = batch.column(self.payload_col)
+        ws, hs, lens, oks = [], [], [], []
+        for v in col.to_pylist():
+            if v is None:
+                ws.append(None), hs.append(None)
+                lens.append(0), oks.append(False)
+                continue
+            lens.append(len(v))
+            try:
+                with PIL.Image.open(io.BytesIO(v)) as im:
+                    ws.append(int(im.width)), hs.append(int(im.height))
+                    oks.append(True)
+            except Exception:
+                ws.append(None), hs.append(None), oks.append(False)
+        return (batch.drop_columns([self.payload_col])
+                .append_column("width", pa.array(ws, pa.int32()))
+                .append_column("height", pa.array(hs, pa.int32()))
+                .append_column("n_bytes", pa.array(lens, pa.int64()))
+                .append_column("decode_ok", pa.array(oks, pa.bool_())))
 
 
 class ExtractFeatures:

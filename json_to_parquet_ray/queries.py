@@ -975,12 +975,14 @@ def q_user_running_value(sf_dir: str):
 
 
 def q_zonemap_pruned_scan(sf_dir: str):
-    """Predicate-pruned decode: documents are encoded into 8 row-sliced
-    partitions; a doc_id range scan consults the manifest zone maps and
-    OPENS only overlapping chunks (asserted at runtime), then applies the
-    exact row filter. Oracle: plain SQL BETWEEN."""
+    """Predicate-pruned decode, numeric AND string zones: documents are
+    encoded into row-sliced partitions; (1) a doc_id range scan consults
+    the manifest zone maps and OPENS only overlapping chunks (asserted at
+    runtime); (2) a second store, lang-clustered via a distributed sort,
+    is scanned with a STRING equality predicate — the truncated-min/max
+    string zones must also skip chunks (asserted). Oracle: UNION ALL of
+    the two SQL filters in (segment, doc_id) order."""
     import shutil
-    import tempfile
 
     from .pipelines.encode_job import decode_dataset, encode_job, zone_prune
 
@@ -991,7 +993,25 @@ def q_zonemap_pruned_scan(sf_dir: str):
     zf = {"doc_id": (100, 163)}
     kept, skipped = zone_prune(out, zf)
     assert skipped > 0 and len(kept) > 0, (len(kept), skipped)
-    return decode_dataset(out, zone_filter=zf)
+    seg0 = (decode_dataset(out, zone_filter=zf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    # string-zone path: cluster by lang (distributed sort), re-encode,
+    # then an equality predicate must prune non-'en' chunks by zone alone
+    sorted_dir = _tmp_dir("zms", sf_dir)
+    out_s = _tmp_dir("zmso", sf_dir)
+    shutil.rmtree(sorted_dir, ignore_errors=True)
+    shutil.rmtree(out_s, ignore_errors=True)
+    _read(sf_dir, "documents").sort(["lang", "doc_id"]).write_parquet(sorted_dir)
+    encode_job(sorted_dir, out_s, shared_dict_columns=None,
+               max_rows_per_partition=64)
+    zfs = {"lang": ("en", "en")}
+    kept_s, skipped_s = zone_prune(out_s, zfs)
+    assert skipped_s > 0 and len(kept_s) > 0, (len(kept_s), skipped_s)
+    seg1 = (decode_dataset(out_s, zone_filter=zfs).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert (seg1["lang"] == "en").all()
+    return pd.concat([seg0, seg1], ignore_index=True)
 
 
 # ---------------------------------------------------------------- multimodal
@@ -1007,8 +1027,11 @@ def q_multimodal_decode(sf_dir: str):
                          "payload": payload})
 
     media = ds.map_batches(to_media, batch_format="pyarrow")
+    # force_stub: the golden SQL below asserts the deterministic fake, so
+    # the query must not flip behavior if an image library appears
     out = media.map_batches(multimodal.DecodeMedia, batch_size=64,
-                            batch_format="pyarrow", concurrency=(1, 4))
+                            batch_format="pyarrow", concurrency=(1, 4),
+                            fn_constructor_kwargs={"force_stub": True})
     return out.select_columns(["media_id", "n_bytes", "decode_ok"])
 
 
@@ -1446,7 +1469,11 @@ ORACLE_SQL = {
         "GROUP BY 1 ORDER BY 1"
     ),
     "zonemap_pruned_scan": (
-        "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 163"
+        "SELECT doc_id, text, lang, source, n_chars FROM ("
+        " SELECT 0 AS seg, * FROM documents WHERE doc_id BETWEEN 100 AND 163"
+        " UNION ALL"
+        " SELECT 1 AS seg, * FROM documents WHERE lang = 'en'"
+        ") ORDER BY seg, doc_id"
     ),
     "multimodal_decode": (
         "SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)"

@@ -760,3 +760,43 @@ def test_typod_projection_fails_loudly_with_zone_filter(
     rows = decode_dataset(out, columns=["url"],
                           zone_filter={"new_col": (0, 10)}).take_all()
     assert rows == []
+
+
+def test_string_zone_maps_prune_and_bounds(ray_session, tmp_path):
+    """String zone maps: truncated min stays a lower bound, truncated max
+    rounds UP (never understates), disjoint string ranges prune chunks,
+    and overlapping ones never lose rows."""
+    from json_to_parquet_ray.pipelines.encode_job import (
+        _string_upper_bound, _zone_maps, zone_prune,
+    )
+
+    # upper-bound property on tricky strings
+    for s in ["a" * 100, "z" * 100, "\U0010FFFF" * 65, "abc",
+              "prefix" + "퟿" + "x" * 100, "\U0010FFFF" * 64 + "a"]:
+        ub = _string_upper_bound(s)
+        if ub is not None:
+            assert ub >= s, (s[:10], ub[:10])
+            assert len(ub) <= 65
+    assert _string_upper_bound("\U0010FFFF" * 70) is None
+
+    # zone maps carry truncated string zones
+    t = pa.table({"u": pa.array(["https://" + "a" * 100,
+                                 "https://" + "z" * 100])})
+    z = _zone_maps(t)["u"]
+    assert z["str"] and len(z["min"]) <= 64 and z["max"] >= "https://" + "z" * 100
+
+    # end-to-end: lang-clustered store, equality predicate prunes chunks
+    langs = ["de"] * 100 + ["en"] * 100 + ["fr"] * 100
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "lang": pa.array(langs),
+    }), src, row_group_size=100)
+    out = str(tmp_path / "s_out")
+    encode_job(src, out, shared_dict_columns=None)
+    kept, skipped = zone_prune(out, {"lang": ("en", "en")})
+    assert skipped == 2 and len(kept) == 1
+    from json_to_parquet_ray.pipelines.encode_job import decode_dataset
+
+    rows = decode_dataset(out, zone_filter={"lang": ("en", "en")}).take_all()
+    assert len(rows) == 100 and all(r["lang"] == "en" for r in rows)

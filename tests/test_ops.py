@@ -519,3 +519,43 @@ def test_keyed_store_pkey_injective_fuzz(ray_session, tmp_path):
         assert len(got) == len(want), k
         if len(got):
             assert set(got["k"]) == {k}
+
+
+def test_multimodal_force_stub_is_stub_even_with_decoder():
+    """force_stub pins the deterministic fake regardless of installed
+    libraries — the oracled query's golden SQL depends on it."""
+    payloads = [b"\x89PNG fake bytes" * 100, None]
+    t = pa.table({"media_id": pa.array(range(2), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    out = multimodal.DecodeMedia(force_stub=True)(t)
+    assert out.column("decode_ok").to_pylist() == [True, False]
+    assert out.column("n_bytes").to_pylist() == [1500, 0]
+    # stub dims are the deterministic fake, not a real decode
+    assert out.column("width").to_pylist()[0] >= 16
+
+
+@pytest.mark.skipif(not multimodal.try_import_pillow(),
+                    reason="Pillow not installed in this container")
+def test_multimodal_real_decode_with_pillow():
+    """When Pillow exists, DecodeMedia decodes real image headers: a
+    valid PNG yields its true dimensions, garbage yields decode_ok=False
+    with null dims, and the schema matches the stub path exactly."""
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    t = pa.table({"media_id": pa.array(range(3), pa.int64()),
+                  "payload": pa.array([png, b"not an image", None],
+                                      pa.binary())})
+    stage = multimodal.DecodeMedia()
+    assert stage.has_decoder
+    out = stage(t)
+    assert out.column("width").to_pylist() == [20, None, None]
+    assert out.column("height").to_pylist() == [10, None, None]
+    assert out.column("decode_ok").to_pylist() == [True, False, False]
+    assert out.column("n_bytes").to_pylist() == [len(png), 12, 0]
+    stub = multimodal.DecodeMedia(force_stub=True)(t)
+    assert stub.schema.equals(out.schema)
