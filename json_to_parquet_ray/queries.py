@@ -844,6 +844,23 @@ def q_top_bigrams(sf_dir: str):
     return df.reset_index(drop=True)[["bigram", "count"]]
 
 
+def q_bpe_tokenize(sf_dir: str):
+    """From-scratch distributed BPE (SURVEY §2.2 tokenizer family):
+    distributed word census (bounded at top-50k types) → merge-pair
+    training → actor-pool encode with per-actor merge ranks and word
+    memoization. Iterative merge rules are not SQL-expressible, so the
+    driver records the rows-only check; exact parity with a naive
+    single-process trainer is pytest-verified
+    (test_ops::test_bpe_tokenize_distributed)."""
+    from .pipelines.bpe import bpe_tokenize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out, _merges = bpe_tokenize(ds, vocab_size=512, concurrency=4)
+    df = out.select_columns(["doc_id", "bpe_token_count"]).to_pandas()
+    df["bpe_token_count"] = df["bpe_token_count"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_order_lineitem_join(sf_dir: str):
     """Distributed partitioned hash join (both sides 'large' — neither is
     broadcast): orders ⋈ lineitem on orderkey, then quantity totals per
@@ -1056,8 +1073,8 @@ def q_multimodal_features(sf_dir: str):
 QUERIES = {
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_embeddings": q_roundtrip_embeddings,
-    "roundtrip_orders": q_roundtrip_orders,
-    "roundtrip_documents_pruned": q_roundtrip_documents_pruned,
+    "top_bigrams": q_top_bigrams,
+    "bpe_tokenize": q_bpe_tokenize,
     "stats_documents": q_stats_documents,
     "codec_plan_documents": q_codec_plan_documents,
     "source_counts": q_source_counts,
@@ -1107,26 +1124,38 @@ QUERIES = {
 }
 
 # The driver's correctness harness records at most 50 queries per round;
-# round 2 registered 54 and the last four registered operators
-# (sliding window, zone maps, multimodal) fell off the report despite
-# passing locally. These four are REDUNDANT family members — their
-# operator family (encode/decode roundtrip; tokenize→count→top-k) stays
-# inside the cap via roundtrip_documents/orders/embeddings/_pruned and
-# top_words — so they live here: still runnable, still oracled by
-# tools/check_oracles.py and bench.py, just not registered with the
-# driver.
+# round 2 registered 54 and the newest operators fell off the report
+# despite passing locally. The entries here are REDUNDANT family members
+# — encode/decode roundtrip coverage stays inside the cap via
+# roundtrip_documents/embeddings/_pruned — so they live here: still
+# runnable, still oracled by tools/check_oracles.py, just not registered
+# with the driver. Round 4 swapped roundtrip_orders and
+# roundtrip_documents_pruned out (pruning coverage remains in the
+# registered zonemap_pruned_scan + keyed_store_en) to make room for
+# top_bigrams (hard oracle) and bpe_tokenize (rows-only), the one
+# operator family that previously had no CORRECTNESS row.
 RETIRED_QUERIES = {
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_part": q_roundtrip_part,
-    "top_bigrams": q_top_bigrams,
+    "roundtrip_orders": q_roundtrip_orders,
+    "roundtrip_documents_pruned": q_roundtrip_documents_pruned,
 }
 
 ORACLE_SQL = {
     "roundtrip_documents": "SELECT * FROM documents",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
-    "roundtrip_orders": "SELECT * FROM orders",
-    "roundtrip_documents_pruned": "SELECT doc_id, lang FROM documents",
+    "top_bigrams": (
+        "SELECT bg AS bigram, COUNT(*) AS count FROM ("
+        "  SELECT unnest(list_transform(range(1, len(t)),"
+        "    i -> t[i] || ' ' || t[i+1])) AS bg FROM ("
+        "    SELECT list_filter(regexp_split_to_array(lower(text),"
+        "      '[^a-z0-9_]+'), x -> x <> '') AS t FROM documents)"
+        ") GROUP BY bg ORDER BY count DESC, bigram ASC LIMIT 20"
+    ),
+    # bpe_tokenize is registered with NO oracle entry on purpose:
+    # iterative BPE merges are not SQL-expressible (driver records the
+    # rows-only check; trainer parity is pytest-verified)
     "stats_documents": (
         "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT lang) AS lang_card, "
         "COUNT(DISTINCT source) AS source_card, MIN(n_chars) AS min_n_chars, "
@@ -1488,12 +1517,6 @@ RETIRED_ORACLE_SQL = {
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     "roundtrip_part": "SELECT * FROM part",
-    "top_bigrams": (
-        "SELECT bg AS bigram, COUNT(*) AS count FROM ("
-        "  SELECT unnest(list_transform(range(1, len(t)),"
-        "    i -> t[i] || ' ' || t[i+1])) AS bg FROM ("
-        "    SELECT list_filter(regexp_split_to_array(lower(text),"
-        "      '[^a-z0-9_]+'), x -> x <> '') AS t FROM documents)"
-        ") GROUP BY bg ORDER BY count DESC, bigram ASC LIMIT 20"
-    ),
+    "roundtrip_orders": "SELECT * FROM orders",
+    "roundtrip_documents_pruned": "SELECT doc_id, lang FROM documents",
 }
