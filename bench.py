@@ -310,9 +310,12 @@ def stage_stats() -> None:
     out_dir = os.path.join(CC_BASE, "stats_probe")
     shutil.rmtree(out_dir, ignore_errors=True)
     frags = list_fragments(cc_dir)
-    work = [{"partition_id": i, "path": f.path, "row_group": f.row_group,
-             "num_rows": f.num_rows, "row_start": f.row_start}
-            for i, f in enumerate(frags)]
+    # mirror encode_job's work items: partition ids are content-addressed
+    # strings (FragmentRef.frag_hash), not list indices
+    work = [{"partition_id": f.frag_hash, "path": f.path,
+             "row_group": f.row_group, "num_rows": f.num_rows,
+             "row_start": f.row_start}
+            for f in frags]
     items = ray.data.from_items(work, override_num_blocks=len(work))
     res = items.map_batches(lambda b: EncodePartition(out_dir)(b),
                             batch_size=1, batch_format="pyarrow").materialize()
