@@ -1,0 +1,103 @@
+"""Property-based fuzz of the WHOLE encode job (not just the chunk
+codec layer, which tests/test_chunk_fuzz.py covers): arbitrary small
+tables go parquet → ``encode_job`` (fragment slicing, per-chunk codec
+auto-selection, manifest, zone maps) → ``decode_dataset`` and must come
+back value-identical; string/int zone filters must equal a post-filter
+of the source (pruning changes I/O, never answers)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from json_to_parquet_ray.pipelines.encode_job import decode_dataset, encode_job
+
+# no surrogates (not valid UTF-8); lengths past the 64-char zone-map
+# truncation to exercise _string_upper_bound rounding
+_text = st.text(max_size=120)
+_n = st.integers(min_value=0, max_value=120)
+
+
+@st.composite
+def job_tables(draw):
+    n = draw(_n)
+    cols = {"rid": pa.array(range(n), pa.int64())}
+    cols["i"] = pa.array(
+        draw(st.lists(st.one_of(st.none(), st.integers(-(2**60), 2**60)),
+                      min_size=n, max_size=n)), pa.int64())
+    cols["s"] = pa.array(
+        draw(st.lists(st.one_of(st.none(), _text), min_size=n, max_size=n)),
+        pa.string())
+    # near-constant column to push the planner at dict/rle/constant
+    cols["k"] = pa.array(
+        draw(st.lists(st.sampled_from(["en", "en", "en", "de", None]),
+                      min_size=n, max_size=n)), pa.string())
+    if draw(st.booleans()):
+        cols["f"] = pa.array(
+            draw(st.lists(st.one_of(st.none(),
+                                    st.floats(allow_nan=False, width=64)),
+                          min_size=n, max_size=n)), pa.float64())
+    if draw(st.booleans()):
+        cols["t"] = pa.array(
+            draw(st.lists(st.one_of(st.none(), st.integers(0, 2**48)),
+                          min_size=n, max_size=n)), pa.timestamp("us"))
+    return pa.table(cols)
+
+
+def _roundtrip(tmp_base, tag, t, row_group_size, max_rows_per_partition):
+    src = os.path.join(tmp_base, f"{tag}.parquet")
+    out = os.path.join(tmp_base, f"{tag}_enc")
+    pq.write_table(t, src, row_group_size=row_group_size)
+    encode_job(src, out, shared_dict_columns=None,
+               max_rows_per_partition=max_rows_per_partition)
+    got = pa.Table.from_pylist(
+        sorted(decode_dataset(out).take_all(), key=lambda r: r["rid"]),
+        schema=t.schema) if t.num_rows else decode_dataset(out)
+    return src, out, got
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(t=job_tables(), rgs=st.sampled_from([7, 50, 128]),
+       mrpp=st.sampled_from([None, 13, 64]))
+def test_encode_job_roundtrip_fuzz(ray_session, tmp_path_factory, t, rgs, mrpp):
+    base = str(tmp_path_factory.mktemp("jobfuzz"))
+    if t.num_rows == 0:
+        # empty input: nothing to encode, decode of an empty store is empty
+        src = os.path.join(base, "e.parquet")
+        out = os.path.join(base, "e_enc")
+        pq.write_table(t, src, row_group_size=rgs)
+        encode_job(src, out, shared_dict_columns=None,
+                   max_rows_per_partition=mrpp)
+        assert decode_dataset(out).count() == 0
+        return
+    _, _, got = _roundtrip(base, "t", t, rgs, mrpp)
+    assert got.equals(t)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(t=job_tables(), data=st.data())
+def test_zone_filter_fuzz_matches_post_filter(ray_session, tmp_path_factory,
+                                              t, data):
+    if t.num_rows == 0:
+        return
+    base = str(tmp_path_factory.mktemp("zonefuzz"))
+    _, out, _ = _roundtrip(base, "z", t, 16, None)
+    col = data.draw(st.sampled_from(["i", "s", "k"]))
+    vals = [v for v in t.column(col).to_pylist() if v is not None]
+    pool = st.sampled_from(sorted(set(vals))) if vals else st.nothing()
+    lo = data.draw(st.one_of(st.none(), pool)) if vals else None
+    hi = data.draw(st.one_of(st.none(), pool)) if vals else None
+    if lo is None and hi is None:
+        return
+    rows = decode_dataset(out, zone_filter={col: (lo, hi)}).take_all()
+    got = sorted(r["rid"] for r in rows)
+    want = sorted(
+        rid for rid, v in zip(t.column("rid").to_pylist(),
+                              t.column(col).to_pylist())
+        if v is not None
+        and (lo is None or v >= lo) and (hi is None or v <= hi))
+    assert got == want, (col, lo, hi)
