@@ -17,6 +17,8 @@ from json_to_parquet_ray.pipelines.encode_job import decode_dataset, encode_job
 # no surrogates (not valid UTF-8); lengths past the 64-char zone-map
 # truncation to exercise _string_upper_bound rounding
 _text = st.text(max_size=120)
+# deeper runs: FUZZ_EXAMPLES=75 python -m pytest tests/test_job_fuzz.py
+_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "8"))
 _n = st.integers(min_value=0, max_value=120)
 
 
@@ -58,7 +60,7 @@ def _roundtrip(tmp_base, tag, t, row_group_size, max_rows_per_partition):
     return src, out, got
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(t=job_tables(), rgs=st.sampled_from([7, 50, 128]),
        mrpp=st.sampled_from([None, 13, 64]))
@@ -77,7 +79,7 @@ def test_encode_job_roundtrip_fuzz(ray_session, tmp_path_factory, t, rgs, mrpp):
     assert got.equals(t)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(t=job_tables(), data=st.data())
 def test_zone_filter_fuzz_matches_post_filter(ray_session, tmp_path_factory,

@@ -307,3 +307,45 @@ def test_hash_join_null_cobucketed_with_big_keys(ray_session):
                     num_partitions=1, salt_threshold=None).to_pandas()
     assert len(out) == 1
     assert int(out.iloc[0]["k"]) == k2 and out.iloc[0]["a"] == 2
+
+
+def test_keyed_window_bucket_granularity_and_equivalence(ray_session):
+    """keyed_window: (a) result equals a driver-side pandas groupby
+    cumsum regardless of num_buckets; (b) ALL rows of a key reach ONE
+    callback invocation (the partitioning contract); (c) null keys
+    co-locate instead of crashing."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.shuffle import keyed_window
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "user": rng.integers(0, 197, n).astype("float64"),
+        "ts": rng.permutation(n).astype("int64"),
+        "v": rng.integers(-50, 50, n).astype("int64"),
+    })
+    df.loc[df.index % 97 == 0, "user"] = None  # null keys
+    want = df.sort_values(["ts"]).copy()
+    want["run"] = want.groupby("user", dropna=False)["v"].cumsum()
+    want = want.sort_values(["ts"]).reset_index(drop=True)
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user", "ts"])
+        g["run"] = g.groupby("user", dropna=False)["v"].cumsum()
+        # stamp the callback's identity: every row in this frame shares it
+        g["cb"] = int(g["ts"].min())
+        return g
+
+    for nb in (1, 5, 32):
+        out = keyed_window(ray.data.from_pandas(df), "user", running,
+                           num_buckets=nb).to_pandas()
+        got = out.sort_values(["ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["user", "ts", "v", "run"]],
+            want[["user", "ts", "v", "run"]], check_like=True)
+        # contract: a key's rows never split across two callbacks
+        split = got.groupby("user", dropna=False)["cb"].nunique()
+        assert (split == 1).all(), split[split > 1]
