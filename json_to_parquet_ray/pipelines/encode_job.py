@@ -41,7 +41,7 @@ from ..manifest import (
     write_record,
 )
 from ..plan import CodecPlan, plan_from_stats
-from ..shuffle import distinct_values
+from ..shuffle import distinct_values, distinct_values_multi
 from ..stats import compute_stats, compute_stats_table
 
 SHARED_DICT_MAX_CARD = 1024
@@ -328,10 +328,22 @@ def encode_job(
                 if st.type_str in ("string", "large_string")
                 and 1 < st.cardinality <= SHARED_DICT_MAX_CARD
             ]
+        # one pruned read pass builds EVERY string column's distinct set
+        # (per-column distinct_values would re-scan the input once per
+        # column — a full pass each at 100 TB); non-string dict columns
+        # (rare, manual callers) keep the per-column path
+        schema0 = pq.ParquetFile(frag_paths[0]).schema_arrow
+        str_cols = [c for c in shared_dict_columns
+                    if c in schema0.names
+                    and (pa.types.is_string(schema0.field(c).type)
+                         or pa.types.is_large_string(schema0.field(c).type))]
+        if str_cols:
+            ds_all = ray.data.read_parquet(frag_paths, columns=str_cols)
+            shared.update(distinct_values_multi(ds_all, str_cols))
         for coln in shared_dict_columns:
-            # prune at the read: the distinct build only needs ITS column
-            ds_col = ray.data.read_parquet(frag_paths,
-                                           columns=[coln])
+            if coln in shared:
+                continue
+            ds_col = ray.data.read_parquet(frag_paths, columns=[coln])
             shared[coln] = distinct_values(ds_col, coln)
         if shared:
             shared_ref = ray.put(shared)

@@ -423,3 +423,49 @@ def distinct_values(ds, col: str, salt_buckets: int = 8,
     vals = deduped.to_pandas()["value"].dropna().unique()
     arr = pa.array(sorted(vals))
     return arr
+
+
+def distinct_values_multi(ds, cols: list[str], salt_buckets: int = 8,
+                          driver_merge_cap: int = 100_000
+                          ) -> dict[str, pa.Array]:
+    """Global distinct sets for SEVERAL string columns in ONE pass over
+    the dataset (``distinct_values`` per column would re-read the input
+    once per column — at 100 TB each extra pass is a full scan).
+
+    Per-batch uniques of every column go out long-form as
+    ``(col, value, salt)``; the driver merge / salted-groupby dedup then
+    mirrors ``distinct_values`` exactly, per column, so results are
+    identical (sorted, null-free). String/large-string columns only —
+    the shared-dictionary case; callers route other types through
+    ``distinct_values``."""
+    if not cols:
+        return {}
+
+    def batch_unique(b: pa.Table) -> pa.Table:
+        names: list[pa.Array] = []
+        values: list[pa.Array] = []
+        for c in cols:
+            u = pc.unique(b.column(c).combine_chunks()).cast(pa.string())
+            values.append(u)
+            names.append(pa.array([c] * len(u), pa.string()))
+        value = pa.concat_arrays(values)
+        salts = pd.util.hash_array(
+            np.asarray(value.to_pandas(), dtype=object), categorize=False
+        ) % salt_buckets
+        return pa.table({"col": pa.concat_arrays(names), "value": value,
+                         "salt": pa.array(salts.astype(np.int64))})
+
+    partials = ds.map_batches(batch_unique, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_merge_cap:
+        df = partials.to_pandas()
+    else:
+        def group_dedup(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(subset=["col", "value"])[["col", "value"]]
+
+        df = (partials.groupby("salt")
+              .map_groups(group_dedup, batch_format="pandas").to_pandas())
+    out: dict[str, pa.Array] = {}
+    for c in cols:
+        vals = df.loc[df["col"] == c, "value"].dropna().unique()
+        out[c] = pa.array(sorted(vals), pa.string())
+    return out

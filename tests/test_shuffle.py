@@ -349,3 +349,30 @@ def test_keyed_window_bucket_granularity_and_equivalence(ray_session):
         # contract: a key's rows never split across two callbacks
         split = got.groupby("user", dropna=False)["cb"].nunique()
         assert (split == 1).all(), split[split > 1]
+
+
+def test_distinct_values_multi_matches_per_column(ray_session):
+    """Fused one-pass multi-column distinct must equal per-column
+    distinct_values exactly (sorted, null-free), on both the driver-merge
+    path and the salted-groupby overflow path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from json_to_parquet_ray.shuffle import distinct_values, distinct_values_multi
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "a": pa.array([f"v{int(i)}" for i in rng.integers(0, 40, 3000)]),
+        "b": pa.array([None if i % 17 == 0 else f"u{int(i)}"
+                       for i in rng.integers(0, 9, 3000)]),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    fused = distinct_values_multi(ds, ["a", "b"])
+    for c in ("a", "b"):
+        solo = distinct_values(ray.data.from_arrow(t.select([c])), c)
+        assert fused[c].equals(solo), c
+    # overflow path: cap below the partial count forces the salted dedup
+    fused2 = distinct_values_multi(ds, ["a", "b"], driver_merge_cap=3)
+    for c in ("a", "b"):
+        assert fused2[c].equals(fused[c]), c
