@@ -320,23 +320,33 @@ def encode_job(
     # multi-fragment files)
     frag_paths = sorted({f.path for f in frags})
     if work and shared_dict_columns:
+        # union of file schemas (footers only — no data read): schema
+        # evolution may add a string column in later files
+        str_typed: set[str] = set()
+        for p in frag_paths:
+            for fld in pq.ParquetFile(p).schema_arrow:
+                if (pa.types.is_string(fld.type)
+                        or pa.types.is_large_string(fld.type)):
+                    str_typed.add(fld.name)
         if shared_dict_columns == "auto":
-            stats = compute_stats(
-                ray.data.read_parquet(frag_paths))
-            shared_dict_columns = [
-                n for n, st in stats.items()
-                if st.type_str in ("string", "large_string")
-                and 1 < st.cardinality <= SHARED_DICT_MAX_CARD
-            ]
+            # prune the candidate-selection stats pass to string columns
+            # only — reading html/text payload bytes to decide that a
+            # dictionary doesn't apply to them is a wasted full scan
+            if str_typed:
+                stats = compute_stats(ray.data.read_parquet(
+                    frag_paths, columns=sorted(str_typed)))
+                shared_dict_columns = [
+                    n for n, st in stats.items()
+                    if st.type_str in ("string", "large_string")
+                    and 1 < st.cardinality <= SHARED_DICT_MAX_CARD
+                ]
+            else:
+                shared_dict_columns = []
         # one pruned read pass builds EVERY string column's distinct set
         # (per-column distinct_values would re-scan the input once per
         # column — a full pass each at 100 TB); non-string dict columns
         # (rare, manual callers) keep the per-column path
-        schema0 = pq.ParquetFile(frag_paths[0]).schema_arrow
-        str_cols = [c for c in shared_dict_columns
-                    if c in schema0.names
-                    and (pa.types.is_string(schema0.field(c).type)
-                         or pa.types.is_large_string(schema0.field(c).type))]
+        str_cols = [c for c in shared_dict_columns if c in str_typed]
         if str_cols:
             ds_all = ray.data.read_parquet(frag_paths, columns=str_cols)
             shared.update(distinct_values_multi(ds_all, str_cols))
