@@ -22,7 +22,11 @@ def _ray_session():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
+        # no hardcoded address: ray.init() honors RAY_ADDRESS ("local" in
+        # the sandbox) and attaches to the running cluster when the CLI
+        # ships as a `ray job submit` driver — address="local" would
+        # silently start a fresh single-node instance on the head node
+        ray.init(include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
