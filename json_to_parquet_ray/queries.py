@@ -521,9 +521,14 @@ def q_sessionize(sf_dir: str):
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"])
-        same_user = g["user_id"].eq(g["user_id"].shift())
+        # null==null counts as the same user (keyed_window co-locates null
+        # keys; SQL GROUP BY keeps one NULL group) — plain .eq() is False
+        # for NaN vs NaN and default groupby(dropna=True) would drop them
+        prev = g["user_id"].shift()
+        same_user = g["user_id"].eq(prev) | (g["user_id"].isna()
+                                             & prev.isna())
         gap = (g["ts"].diff().dt.total_seconds() > 1800) & same_user
-        cnt = gap.groupby(g["user_id"], sort=False).sum() + 1
+        cnt = gap.groupby(g["user_id"], sort=False, dropna=False).sum() + 1
         return pd.DataFrame({"user_id": cnt.index.to_numpy(),
                              "session_count": cnt.to_numpy().astype("int64")})
 
@@ -981,7 +986,10 @@ def q_user_running_value(sf_dir: str):
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
-        rv = g.groupby("user_id", sort=False)["value"].cumsum().round(2)
+        # dropna=False: null-key rows still get a real running sum (the
+        # SQL window PARTITION BY keeps one NULL partition)
+        rv = (g.groupby("user_id", sort=False, dropna=False)["value"]
+              .cumsum().round(2))
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "running_value": rv.astype("float64"),

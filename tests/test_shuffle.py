@@ -376,3 +376,47 @@ def test_distinct_values_multi_matches_per_column(ray_session):
     fused2 = distinct_values_multi(ds, ["a", "b"], driver_merge_cap=3)
     for c in ("a", "b"):
         assert fused2[c].equals(fused[c]), c
+
+
+def test_window_queries_null_user_oracle_parity(ray_session, tmp_path):
+    """Regression (round-4 review F3): events with NULL user_id must get
+    real session counts / running sums — SQL window PARTITION BY and
+    GROUP BY keep one NULL group, so the pandas callbacks inside
+    q_sessionize / q_user_running_value must use dropna=False and
+    null-aware same-user masks, not silently drop or NaN those rows."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_to_parquet_ray.queries import ORACLE_SQL, QUERIES
+
+    rng = np.random.default_rng(13)
+    n = 800
+    ts0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": ts0 + pd.to_timedelta(
+            np.cumsum(rng.integers(1, 4000, n)), unit="s"),
+        "user_id": pd.array(
+            [None if i % 11 == 0 else int(rng.integers(0, 23))
+             for i in range(n)], dtype="Int64"),
+        "event_type": "click",
+        "value": np.round(rng.uniform(-5, 5, n), 2),
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.register("events", ev)
+    for qname in ("sessionize", "user_running_value"):
+        got = QUERIES[qname](str(tmp_path))
+        want = con.execute(ORACLE_SQL[qname]).df()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        for c in got.columns:
+            if got[c].dtype != want[c].dtype:
+                want[c] = want[c].astype(got[c].dtype)
+        pd.testing.assert_frame_equal(got, want, check_like=True), qname
