@@ -210,6 +210,37 @@ class _ShardedBroadcast:
         self._cache = {}
 
 
+def _shard_owner_actor():
+    """The registry actor for shards built INSIDE Ray Data tasks.
+
+    ``ray.put`` inside a ``map_groups`` task creates an object OWNED by
+    that short-lived worker; smuggling the ref out as cloudpickle bytes
+    hides it from Ray's distributed ref counting, so the object can be
+    GC'd (worker's last tracked ref drops at task return) or lost with
+    the worker. Fix: the task puts with ``_owner=<this actor>`` (object
+    survives the creating worker) and registers the ref here (actor-held
+    refs ARE tracked). The driver reads the refs back through a normal
+    ``ray.get`` — a tracked borrow — and keeps the actor handle alive for
+    the lifetime of the lookup structure."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _ShardOwner:
+        def __init__(self):
+            self._refs: dict = {}
+
+        def register(self, shard: int, ref_in_list: list) -> None:
+            # the ref arrives wrapped in a list so Ray passes the REF,
+            # not the dereferenced value
+            self._refs[int(shard)] = ref_in_list[0]
+
+        def refs(self) -> dict:
+            return dict(self._refs)
+
+    return _ShardOwner.options(
+        scheduling_strategy="SPREAD", max_concurrency=8).remote()
+
+
 class _ShardedVectors:
     """Sharded broadcast of an id → float-vector lookup with VECTORIZED
     bulk gets: each shard holds (sorted ids, row-aligned matrix), lookups
@@ -222,6 +253,7 @@ class _ShardedVectors:
         ids = np.asarray(ids, np.int64)
         n = max(1, -(-len(ids) // max_per_shard))
         self.n = n
+        self._owner = None  # driver-owned puts need no registry actor
         self.refs = []
         part = (ids % n) if n > 1 else np.zeros(len(ids), np.int64)
         for i in range(n):
@@ -232,16 +264,21 @@ class _ShardedVectors:
         self._cache: dict = {}
 
     @classmethod
-    def from_refs(cls, n: int, refs_by_shard: dict) -> "_ShardedVectors":
+    def from_refs(cls, n: int, refs_by_shard: dict,
+                  owner=None) -> "_ShardedVectors":
         """Assemble from shards ALREADY ``ray.put`` inside tasks (the
         distributed build path: groupby shard → one put per shard) — the
-        driver only ever holds object refs, never the vectors. A residue
-        class with no candidates gets an empty placeholder; touching it
-        still fails loudly in get_many."""
+        driver only ever holds object refs, never the vectors. ``owner``
+        is the ``_shard_owner_actor`` handle that owns those objects; it
+        is pinned here (and in every serialized copy) so the objects
+        outlive the workers that created them. A residue class with no
+        candidates gets an empty placeholder; touching it still fails
+        loudly in get_many."""
         import ray
 
         self = cls.__new__(cls)
         self.n = n
+        self._owner = owner
         empty_ref = None
         refs = []
         for i in range(n):
@@ -286,7 +323,11 @@ class _ShardedVectors:
         return out
 
     def __getstate__(self):
-        return {"n": self.n, "refs": self.refs}
+        # the owner handle travels with every copy: actor-handle refs keep
+        # the owner (and therefore the shard objects it owns) alive in
+        # downstream task closures
+        return {"n": self.n, "refs": self.refs,
+                "_owner": getattr(self, "_owner", None)}
 
     def __setstate__(self, state):
         self.__dict__.update(state)
@@ -946,17 +987,27 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
         ids = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
         return b.append_column("shard", pa.array(ids % n_shards, pa.int64()))
 
+    # objects put inside map_groups tasks must outlive their workers and
+    # stay visible to ref counting: put with _owner=<registry actor> and
+    # register the ref there (see _shard_owner_actor)
+    owner = _shard_owner_actor()
+    # ray.put(_owner=...) needs a LIVE owner; actor creation is lazy, so
+    # block on a no-op call before the build stage can race it
+    ray.get(owner.refs.remote())
+
     def build_shard(g: pd.DataFrame) -> pd.DataFrame:
         sid = g[key].to_numpy().astype(np.int64)
         # equal-width binary payloads: one C-speed join + reshape
         mat = np.frombuffer(b"".join(g["vec"].tolist()),
                             np.float64).reshape(len(sid), -1)
         order = np.argsort(sid, kind="mergesort")
-        ref = ray.put((sid[order], np.ascontiguousarray(mat[order])))
-        return pd.DataFrame({
-            "shard": [int(g["shard"].iloc[0])],
-            "ref": [ray.cloudpickle.dumps(ref)],
-        })
+        shard = int(g["shard"].iloc[0])
+        ref = ray.put((sid[order], np.ascontiguousarray(mat[order])),
+                      _owner=owner)
+        # block until registered: the driver reads the registry right
+        # after this stage drains
+        ray.get(owner.register.remote(shard, [ref]))
+        return pd.DataFrame({"shard": [shard], "rows": [len(sid)]})
 
     shard_rows = (ds.map_batches(fetch, batch_format="pyarrow")
                     .map_batches(tag_shard, batch_format="pyarrow")
@@ -966,8 +1017,7 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
     if not shard_rows:
         return empty
     vecs = _ShardedVectors.from_refs(
-        n_shards, {int(r["shard"]): ray.cloudpickle.loads(r["ref"])
-                   for r in shard_rows})
+        n_shards, ray.get(owner.refs.remote()), owner=owner)
 
     def _exact_block(ids: np.ndarray, V: np.ndarray) -> pd.DataFrame:
         S = V @ V.T
