@@ -48,12 +48,18 @@ SHARED_DICT_MAX_CARD = 1024
 
 
 def list_fragments(paths: list[str] | str,
-                   max_rows_per_partition: int | None = None) -> list[FragmentRef]:
+                   max_rows_per_partition: int | None = None,
+                   schemas_out: dict | None = None) -> list[FragmentRef]:
     """Deterministic fragment list: files sorted, row groups in order.
 
     A row group larger than ``max_rows_per_partition`` is split into row
     slices so CPU parallelism survives single-row-group inputs (the
-    slicing task re-reads its row group but encodes only its slice)."""
+    slicing task re-reads its row group but encodes only its slice).
+
+    ``schemas_out``, when given, is filled with {path: arrow schema} from
+    the SAME footer read — callers needing per-file schemas (shared-dict
+    column discovery under schema evolution) must not pay a second
+    sequential driver footer pass over 10^5 files."""
     if isinstance(paths, str):
         paths = [paths]
     files: list[str] = []
@@ -68,6 +74,8 @@ def list_fragments(paths: list[str] | str,
     frags: list[FragmentRef] = []
     for f in sorted(files):
         md = pq.read_metadata(f)
+        if schemas_out is not None:
+            schemas_out[f] = md.schema.to_arrow_schema()
         for rg in range(md.num_row_groups):
             n = md.row_group(rg).num_rows
             if max_rows_per_partition and n > max_rows_per_partition:
@@ -287,7 +295,9 @@ def encode_job(
     """
     import ray
 
-    frags = list_fragments(input_paths, max_rows_per_partition)
+    file_schemas: dict[str, pa.Schema] = {}
+    frags = list_fragments(input_paths, max_rows_per_partition,
+                           schemas_out=file_schemas)
     total = len(frags)
     done: set[str] = set()
     if resume:
@@ -320,40 +330,58 @@ def encode_job(
     # multi-fragment files)
     frag_paths = sorted({f.path for f in frags})
     if work and shared_dict_columns:
-        # union of file schemas (footers only — no data read): schema
+        # union of file schemas (already collected from the footers during
+        # list_fragments — no second driver metadata pass): schema
         # evolution may add a string column in later files
         str_typed: set[str] = set()
+        col_files: dict[str, list[str]] = {}
         for p in frag_paths:
-            for fld in pq.ParquetFile(p).schema_arrow:
+            for fld in file_schemas[p]:
+                col_files.setdefault(fld.name, []).append(p)
                 if (pa.types.is_string(fld.type)
                         or pa.types.is_large_string(fld.type)):
                     str_typed.add(fld.name)
+
+        # a column added by schema evolution exists only in SOME files;
+        # ray.data.read_parquet infers its schema from the first fragment
+        # and raises on a projected column the fragment lacks — so every
+        # read below is restricted to the files that HAVE the column
+        # (files without it contribute only nulls anyway). Columns sharing
+        # a file set share one read pass; the no-evolution common case
+        # stays a single full-input read.
+        def _by_fileset(cols: list[str]) -> dict[tuple, list[str]]:
+            groups: dict[tuple, list[str]] = {}
+            for c in cols:
+                groups.setdefault(tuple(col_files[c]), []).append(c)
+            return groups
+
         if shared_dict_columns == "auto":
             # prune the candidate-selection stats pass to string columns
             # only — reading html/text payload bytes to decide that a
             # dictionary doesn't apply to them is a wasted full scan
-            if str_typed:
+            shared_dict_columns = []
+            for paths_grp, cols in _by_fileset(sorted(str_typed)).items():
                 stats = compute_stats(ray.data.read_parquet(
-                    frag_paths, columns=sorted(str_typed)))
-                shared_dict_columns = [
+                    list(paths_grp), columns=cols))
+                shared_dict_columns.extend(
                     n for n, st in stats.items()
                     if st.type_str in ("string", "large_string")
                     and 1 < st.cardinality <= SHARED_DICT_MAX_CARD
-                ]
-            else:
-                shared_dict_columns = []
-        # one pruned read pass builds EVERY string column's distinct set
-        # (per-column distinct_values would re-scan the input once per
-        # column — a full pass each at 100 TB); non-string dict columns
-        # (rare, manual callers) keep the per-column path
+                )
+        # one pruned read pass per file-set group builds every string
+        # column's distinct set (per-column distinct_values would re-scan
+        # the input once per column — a full pass each at 100 TB);
+        # non-string dict columns (rare, manual callers) keep the
+        # per-column path
         str_cols = [c for c in shared_dict_columns if c in str_typed]
-        if str_cols:
-            ds_all = ray.data.read_parquet(frag_paths, columns=str_cols)
-            shared.update(distinct_values_multi(ds_all, str_cols))
+        for paths_grp, cols in _by_fileset(str_cols).items():
+            ds_grp = ray.data.read_parquet(list(paths_grp), columns=cols)
+            shared.update(distinct_values_multi(ds_grp, cols))
         for coln in shared_dict_columns:
             if coln in shared:
                 continue
-            ds_col = ray.data.read_parquet(frag_paths, columns=[coln])
+            ds_col = ray.data.read_parquet(col_files.get(coln, frag_paths),
+                                           columns=[coln])
             shared[coln] = distinct_values(ds_col, coln)
         if shared:
             shared_ref = ray.put(shared)

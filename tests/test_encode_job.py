@@ -800,3 +800,34 @@ def test_string_zone_maps_prune_and_bounds(ray_session, tmp_path):
 
     rows = decode_dataset(out, zone_filter={"lang": ("en", "en")}).take_all()
     assert len(rows) == 100 and all(r["lang"] == "en" for r in rows)
+
+
+def test_encode_job_shared_dict_schema_evolution(ray_session, tmp_path):
+    """Regression (round-4 review F2): shared_dict_columns='auto' over a
+    directory where a string column exists only in LATER files must build
+    that column's dictionary from the files that have it instead of
+    crashing — ray.data.read_parquet infers its schema from the first
+    fragment and raises on a projected column the fragment lacks."""
+    import numpy as np
+
+    src = tmp_path / "evolved"
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    langs = [f"l{int(i)}" for i in rng.integers(0, 8, 600)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(600), pa.int64())}),
+        str(src / "a_old.parquet"))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(600, 1200), pa.int64()),
+                  "lang": pa.array(langs)}),
+        str(src / "b_new.parquet"))
+
+    out = str(tmp_path / "enc_evo")
+    summary = encode_job(str(src), out, shared_dict_columns="auto")
+    assert "lang" in summary["shared_dict_columns"]
+    assert verify_job(out)["failed"] == []
+    # the new file's partitions dict-encode lang against the shared dict
+    recs = load_manifest(out).values()
+    lang_codecs = {c["codec"] for rec in recs for c in rec.columns
+                   if c["name"] == "lang"}
+    assert lang_codecs == {"dict"}
