@@ -236,14 +236,19 @@ def _cap_sample(vals: list) -> list:
     return out
 
 
-# per-worker-process batch counter for sample_gate, keyed by job epoch so
-# a reused Ray worker process never carries a counter from a PREVIOUS
-# stats job into this one (which would change which batches sample).
-# Within one job, batch→worker assignment still varies run to run, so the
-# raw-value sample is deterministic only in AGGREGATE GUARANTEES (every
-# gate-th batch per worker, first kept) — exact stats (cardinality,
-# min/max, runs) are unaffected; only the advisory sample varies.
-_GATE_CTR: dict = {"epoch": None, "n": 0}
+# per-worker-process batch counters for sample_gate, one per job epoch so
+# (a) a reused Ray worker process never carries a counter from a PREVIOUS
+# stats job into this one, and (b) TWO stats jobs interleaving batches on
+# the same worker each keep their own counter — a single shared slot would
+# reset on every epoch flip and disable gating for both. Bounded at
+# _GATE_MAX_EPOCHS (insertion-ordered eviction) so worker-lifetime growth
+# stays O(1). Within one job, batch→worker assignment still varies run to
+# run, so the raw-value sample is deterministic only in AGGREGATE
+# GUARANTEES (every gate-th batch per worker, first kept) — exact stats
+# (cardinality, min/max, runs) are unaffected; only the advisory sample
+# varies.
+_GATE_CTRS: dict = {}
+_GATE_MAX_EPOCHS = 64
 
 
 def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None,
@@ -260,10 +265,11 @@ def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None,
     cols = columns or batch.column_names
     keep_sample = True
     if sample_gate > 1 and batch.num_rows:
-        if _GATE_CTR["epoch"] != gate_epoch:
-            _GATE_CTR["epoch"], _GATE_CTR["n"] = gate_epoch, 0
-        k = _GATE_CTR["n"]
-        _GATE_CTR["n"] = k + 1
+        k = _GATE_CTRS.get(gate_epoch, 0)
+        _GATE_CTRS[gate_epoch] = k + 1
+        while len(_GATE_CTRS) > _GATE_MAX_EPOCHS:
+            stale = next(e for e in _GATE_CTRS if e != gate_epoch)
+            del _GATE_CTRS[stale]
         keep_sample = (k % sample_gate) == 0
     partials = []
     for c in cols:

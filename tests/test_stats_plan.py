@@ -105,3 +105,25 @@ def test_compute_stats_ray_and_distributed_merge(ray_session):
     assert st1["warc_ts"].min_val == st2["warc_ts"].min_val
     # distributed merge must still carry some sample for the planner
     assert st2["text"].sample or st2["lang"].sample
+
+
+def test_sample_gate_counters_isolated_per_epoch():
+    """Regression (round-4 review F4): two stats jobs interleaving batches
+    on one worker must each keep their own gate counter — a shared slot
+    reset on every epoch flip, disabling gating for both."""
+    import pickle
+
+    from json_to_parquet_ray import stats
+
+    b = pa.table({"x": pa.array([1, 2, 3])})
+    kept = {"A": 0, "B": 0}
+    for _ in range(40):
+        for ep in ("A", "B"):
+            t = stats.stats_partial_batch(b, sample_gate=10, gate_epoch=ep)
+            if pickle.loads(t.column("partial")[0].as_py()).sample:
+                kept[ep] += 1
+    assert kept == {"A": 4, "B": 4}, kept
+    # eviction keeps the table bounded without touching the live epoch
+    for i in range(200):
+        stats.stats_partial_batch(b, sample_gate=2, gate_epoch=f"e{i}")
+    assert len(stats._GATE_CTRS) <= stats._GATE_MAX_EPOCHS
