@@ -237,8 +237,10 @@ def _shard_owner_actor():
         def refs(self) -> dict:
             return dict(self._refs)
 
-    return _ShardOwner.options(
-        scheduling_strategy="SPREAD", max_concurrency=8).remote()
+    # default max_concurrency=1: registers are microsecond dict inserts,
+    # and single-threaded execution means refs()'s dict copy can never
+    # race a concurrent insert
+    return _ShardOwner.options(scheduling_strategy="SPREAD").remote()
 
 
 class _ShardedVectors:
