@@ -208,7 +208,8 @@ def main() -> None:
                  "source_counts", "sessionize", "grouped_topk",
                  "simhash_pairs", "jaccard_pairs", "embedding_near_dup",
                  "lang_id", "ann_ivf_recall", "order_lineitem_join",
-                 "keyed_store_en", "zonemap_pruned_scan"]:
+                 "keyed_store_en", "zonemap_pruned_scan",
+                 "bloom_pruned_lookup"]:
         fn = all_queries[name]
         sec, res = timed(lambda fn=fn: fn(SF_DIR))
         if hasattr(res, "count"):

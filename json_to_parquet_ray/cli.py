@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--no-resume", action="store_true")
     enc.add_argument("--shared-dicts", default=None,
                      help="comma-separated columns, or 'auto'")
+    enc.add_argument("--bloom-columns", default=None,
+                     help="comma-separated columns to write per-chunk "
+                          "Bloom filters for (point-lookup pruning), or "
+                          "'auto' = every string/integer column")
     enc.add_argument("--max-rows-per-partition", type=int, default=None)
 
     ver = sub.add_parser("verify", help="bit-identical decode verification")
@@ -96,9 +100,13 @@ def main(argv: list[str] | None = None) -> int:
             shared = args.shared_dicts
             if shared and shared != "auto":
                 shared = shared.split(",")
+            blooms = args.bloom_columns
+            if blooms and blooms != "auto":
+                blooms = blooms.split(",")
             summary = encode_job(args.inputs, args.out_dir,
                                  resume=not args.no_resume,
                                  shared_dict_columns=shared,
+                                 bloom_columns=blooms,
                                  max_rows_per_partition=args.max_rows_per_partition)
             print(json.dumps(summary))
         elif args.cmd == "verify":

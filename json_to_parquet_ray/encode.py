@@ -37,11 +37,20 @@ def schema_from_b64(s: str) -> pa.Schema:
     return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(s)))
 
 
-def encode_table(table: pa.Table, plan: CodecPlan | None = None) -> tuple[bytes, dict]:
+def encode_table(table: pa.Table, plan: CodecPlan | None = None,
+                 bloom_columns: list[str] | None = None) -> tuple[bytes, dict]:
     """Encode all columns of ``table`` → (chunk file bytes, header dict).
 
     When ``plan`` is None the per-chunk planner runs on this chunk's own
     statistics — per-column-chunk codec selection (BASELINE.json).
+
+    ``bloom_columns`` appends a split-block Bloom filter section per
+    listed column (codecs.bloom) after the payloads, recorded in the
+    header as ``bloom_offset``/``bloom_size``/``bloom_crc32``/
+    ``bloom_algo`` — point lookups then test a few KB per chunk instead
+    of decoding it. Ineligible columns (type, all-null, values too long)
+    silently get no filter; readers without bloom support ignore the
+    extra bytes.
     """
     if plan is None:
         stats = compute_stats_table(table)
@@ -74,6 +83,21 @@ def encode_table(table: pa.Table, plan: CodecPlan | None = None) -> tuple[bytes,
         })
         payloads.append(payload)
         offset += len(payload)
+    if bloom_columns:
+        from .codecs.bloom import BLOOM_ALGO, build_bloom
+
+        by_name = {c["name"]: c for c in columns}
+        for name in bloom_columns:
+            c = by_name.get(name)
+            if c is None:
+                continue
+            filt = build_bloom(table.column(name))
+            if filt is None:
+                continue
+            c.update(bloom_offset=offset, bloom_size=len(filt),
+                     bloom_crc32=zlib.crc32(filt), bloom_algo=BLOOM_ALGO)
+            payloads.append(filt)
+            offset += len(filt)
     header = {
         "schema": schema_to_b64(table.schema),
         "num_rows": table.num_rows,
@@ -92,16 +116,65 @@ def read_chunk_header(blob: bytes) -> tuple[dict, int]:
     return header, 12 + hlen
 
 
+def _bloom_rejects(f, header: dict, base: int, schema: pa.Schema,
+                   eq: dict) -> bool:
+    """True iff some equality value is DEFINITELY absent per the chunk's
+    Bloom filters (reads only the filter byte ranges). Filter bytes are
+    ALWAYS CRC-checked: a bit-flipped filter that wrongly answered
+    "absent" would silently drop real rows, so a corrupt filter instead
+    conservatively never prunes."""
+    from .codecs.bloom import BLOOM_ALGO, bloom_might_contain
+
+    by_name = {c["name"]: c for c in header["columns"]}
+    for col, v in eq.items():
+        c = by_name.get(col)
+        if (not c or "bloom_offset" not in c
+                or c.get("bloom_algo") != BLOOM_ALGO):
+            continue
+        f.seek(base + c["bloom_offset"])
+        filt = f.read(c["bloom_size"])
+        if zlib.crc32(filt) != c.get("bloom_crc32"):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "corrupt bloom filter for column %r — not pruning", col)
+            continue
+        if not bloom_might_contain(filt, v, schema.field(col).type):
+            return True
+    return False
+
+
+def chunk_bloom_rejects(path: str, eq: dict) -> bool:
+    """Standalone probe: does this chunk's Bloom section reject the
+    equality predicates? Reads header + filter bytes only (a few KB) —
+    the distributed observability hook for bloom-pruned scans."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != MAGIC:
+            raise ValueError("not an RDE1 chunk file")
+        hlen = int.from_bytes(head[4:12], "little")
+        header = json.loads(f.read(hlen))
+        return _bloom_rejects(f, header, 12 + hlen,
+                              schema_from_b64(header["schema"]), eq)
+
+
 def read_chunk_file(path: str, columns: list[str] | None = None,
                     verify_crc: bool = False,
-                    missing_ok: bool = False) -> pa.Table:
+                    missing_ok: bool = False,
+                    eq_prune: dict | None = None) -> pa.Table:
     """Decode a chunk file from disk; with ``columns`` given, only the
     header and the selected columns' byte ranges are read (seek-based) —
     column pruning at the I/O level, not just the decode level.
     ``missing_ok`` skips requested columns absent from the chunk (old
-    chunks under read-time schema evolution) instead of raising."""
+    chunks under read-time schema evolution) instead of raising.
+    ``eq_prune`` {col: value} consults the chunk's Bloom filters first:
+    when some value is definitely absent, the selected columns come back
+    as 0-row arrays WITHOUT reading or decoding any payload — the exact
+    result an equality row-filter would produce, at header+filter I/O
+    cost."""
     with open(path, "rb") as f:
-        if columns is None:
+        if columns is None and not eq_prune:
+            # full decode: one sequential read beats per-column seeks
             return decode_table(f.read(), verify_crc=verify_crc)
         head = f.read(12)
         if head[:4] != MAGIC:
@@ -110,20 +183,27 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
         header = json.loads(f.read(hlen))
         base = 12 + hlen
         schema = schema_from_b64(header["schema"])
+        rejected = bool(eq_prune) and _bloom_rejects(
+            f, header, base, schema, eq_prune)
         by_name = {c["name"]: c for c in header["columns"]}
+        want = (list(columns) if columns is not None
+                else [c["name"] for c in header["columns"]])
         arrays, fields = [], []
-        for name in columns:
+        for name in want:
             if missing_ok and name not in by_name:
                 continue
             col = by_name[name]
+            fields.append(schema.field(name))
+            if rejected:
+                arrays.append(pa.array([], schema.field(name).type))
+                continue
             f.seek(base + col["offset"])
             payload = f.read(col["size"])
             if verify_crc and zlib.crc32(payload) != col["crc32"]:
                 raise IOError(f"CRC mismatch for column {name}")
             arrays.append(decode_array(payload, col["meta"]))
-            fields.append(schema.field(name))
         if not arrays:
-            return _rows_only(header.get("num_rows", 0))
+            return _rows_only(0 if rejected else header.get("num_rows", 0))
         return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 

@@ -25,12 +25,13 @@ from __future__ import annotations
 import json
 import os
 import time
+import zlib
 from dataclasses import asdict
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..encode import decode_table, encode_table
+from ..encode import decode_table, encode_table, read_chunk_header
 from ..manifest import (
     FragmentRef,
     PartitionRecord,
@@ -196,12 +197,14 @@ class EncodePartition:
     broadcast refs make them shared cluster-wide.
     """
 
-    def __init__(self, out_dir: str, shared_dicts_ref=None, shared_fsst_ref=None):
+    def __init__(self, out_dir: str, shared_dicts_ref=None,
+                 shared_fsst_ref=None, bloom_columns=None):
         import ray
 
         from ..codecs.fsst import FsstEncoder
 
         self.out_dir = out_dir
+        self.bloom_columns = list(bloom_columns or [])
         self.shared_dicts: dict[str, pa.Array] = (
             ray.get(shared_dicts_ref) if shared_dicts_ref is not None else {}
         )
@@ -276,7 +279,12 @@ class EncodePartition:
                 cp = plan.columns[name]
                 cp.codec = "fsst"
                 cp.kwargs = {"encoder": encoder}
-        return encode_table(table, plan)
+        cols = ([c for c in self.bloom_columns if c in table.column_names]
+                if self.bloom_columns != ["auto"] else
+                [f.name for f in table.schema
+                 if pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+                 or pa.types.is_integer(f.type)])
+        return encode_table(table, plan, bloom_columns=cols)
 
 
 def encode_job(
@@ -286,10 +294,16 @@ def encode_job(
     resume: bool = True,
     shared_dict_columns: list[str] | str | None = None,
     shared_fsst_columns: list[str] | None = None,
+    bloom_columns: list[str] | str | None = None,
     concurrency: int | tuple | None = None,
     max_rows_per_partition: int | None = None,
 ) -> dict:
     """Run the full encode pipeline; returns a summary dict.
+
+    ``bloom_columns`` (list, or "auto" = every string/integer column)
+    writes per-chunk split-block Bloom filters so later equality scans
+    prune chunks whose zone maps cannot (unsorted high-cardinality
+    columns — url, external ids). See codecs.bloom.
 
     Ray must already be initialised by the caller (driver contract).
     """
@@ -416,8 +430,10 @@ def encode_job(
         items = ray.data.from_items(work, override_num_blocks=len(work))
         if shared_ref is None and fsst_ref is None:
             # stateless → plain tasks reuse the already-warm worker pool
+            _bc = ["auto"] if bloom_columns == "auto" else bloom_columns
+
             def encode_item(batch: pa.Table) -> pa.Table:
-                return EncodePartition(out_dir)(batch)
+                return EncodePartition(out_dir, bloom_columns=_bc)(batch)
 
             results = items.map_batches(encode_item, batch_size=1,
                                         batch_format="pyarrow")
@@ -431,7 +447,10 @@ def encode_job(
                 EncodePartition,
                 fn_constructor_kwargs={"out_dir": out_dir,
                                        "shared_dicts_ref": shared_ref,
-                                       "shared_fsst_ref": fsst_ref},
+                                       "shared_fsst_ref": fsst_ref,
+                                       "bloom_columns": (
+                                           ["auto"] if bloom_columns == "auto"
+                                           else bloom_columns)},
                 batch_size=1,
                 batch_format="pyarrow",
                 concurrency=conc,
@@ -459,6 +478,8 @@ def encode_job(
         "chunk_bytes": chunk_bytes,
         "ratio": round(chunk_bytes / input_bytes, 4) if input_bytes else None,
         "shared_dict_columns": sorted(shared),
+        "bloom_columns": ("auto" if bloom_columns == "auto"
+                          else sorted(bloom_columns or [])),
         "manifest_records": len(manifest),
     }
     write_atomic(
@@ -532,13 +553,21 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     # plain typo'd projection should still fail loudly
     missing_ok = bool(filter_only_cols) or (schema is not None)
 
+    # equality predicates (lo == hi) additionally consult the chunks'
+    # Bloom filters inside the read tasks: a definitely-absent value
+    # skips the chunk body at header+filter I/O cost (codecs.bloom) —
+    # the pruning zone maps can't do on unsorted high-cardinality columns
+    eq_prune = ({c: lo for c, (lo, hi) in zone_filter.items()
+                 if lo is not None and lo == hi}
+                if zone_filter else None) or None
+
     def decode_item(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         tables = []
         for path in batch.column("path").to_pylist():
             t = read_chunk_file(path, columns=read_cols,
-                                missing_ok=missing_ok)
+                                missing_ok=missing_ok, eq_prune=eq_prune)
             # missing_ok covers filter-only columns an old chunk may
             # legitimately lack; without read-time schema evolution the
             # CALLER's projection must still resolve — fail loudly on a
@@ -682,14 +711,22 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
             t0 = time.time()
             tables = []
             sources: list[dict] = []
+            bloom_cols: set[str] = set()
             for m in members:
                 with open(m["chunk"], "rb") as f:
-                    tables.append(decode_table(f.read(), verify_crc=True))
+                    blob_in = f.read()
+                tables.append(decode_table(blob_in, verify_crc=True))
+                # preserve the members' bloom configuration: a column
+                # bloomed in ANY member stays bloomed in the merged chunk
+                hdr, _ = read_chunk_header(blob_in)
+                bloom_cols.update(c["name"] for c in hdr["columns"]
+                                  if "bloom_offset" in c)
                 sources.extend(m["sources"])
             merged = pa.concat_tables(tables).combine_chunks()
             stats = compute_stats_table(merged)
             plan = plan_from_stats(stats, merged.schema)
-            blob, header = encode_table(merged, plan)
+            blob, header = encode_table(merged, plan,
+                                        bloom_columns=sorted(bloom_cols))
             # full paths: basename-only ids collide across same-named shards
             sid = ";".join(
                 f"{s['path']}#rg{s['row_group']}"
@@ -756,7 +793,20 @@ def verify_job(out_dir: str) -> dict:
             # job crash — report it in `failed` with the reason
             try:
                 with open(item["chunk"], "rb") as f:
-                    decoded = decode_table(f.read(), verify_crc=True)
+                    blob = f.read()
+                decoded = decode_table(blob, verify_crc=True)
+                # bloom sections get the same bit-rot check as payloads
+                # (a corrupt filter won't drop rows — _bloom_rejects
+                # refuses to prune on CRC mismatch — but verify should
+                # still surface it)
+                hdr, base = read_chunk_header(blob)
+                for c in hdr["columns"]:
+                    if "bloom_offset" in c:
+                        fb = blob[base + c["bloom_offset"]:
+                                  base + c["bloom_offset"] + c["bloom_size"]]
+                        if zlib.crc32(fb) != c["bloom_crc32"]:
+                            raise IOError(
+                                f"bloom CRC mismatch for column {c['name']}")
                 parts = []
                 for src in json.loads(item["sources"]):
                     t = pq.ParquetFile(src["path"]).read_row_group(

@@ -1039,6 +1039,78 @@ def q_zonemap_pruned_scan(sf_dir: str):
     return pd.concat([seg0, seg1], ignore_index=True)
 
 
+def q_bloom_pruned_lookup(sf_dir: str):
+    """Point lookup via per-chunk Bloom filters (codecs.bloom): documents
+    gain a synthetic high-cardinality ``url`` (source || '/doc-' || id —
+    unsorted, so every chunk's string ZONE spans the value space and
+    min/max pruning is useless), are encoded with ``bloom_columns`` and
+    looked up by equality. A distributed probe asserts at runtime that
+    Bloom sections reject chunks zone maps could not; the decode then
+    reads header+filter bytes for pruned chunks instead of their bodies.
+    Oracle: the same lookup, with the url derived in SQL."""
+    import shutil
+
+    import ray
+
+    from .encode import chunk_bloom_rejects
+    from .pipelines.encode_job import (
+        decode_dataset,
+        effective_records,
+        encode_job,
+        zone_prune,
+    )
+
+    def add_url(b: pa.Table) -> pa.Table:
+        # url = source || '/doc-' || doc_id (the last argument of
+        # binary_join_element_wise is the separator)
+        url = pc.binary_join_element_wise(
+            b.column("source").cast(pa.string()),
+            pc.cast(b.column("doc_id"), pa.string()), "/doc-")
+        return b.append_column("url", url)
+
+    src_dir = _tmp_dir("blsrc", sf_dir)
+    out = _tmp_dir("blenc", sf_dir)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    (_read(sf_dir, "documents", ["doc_id", "source", "lang"])
+     .map_batches(add_url, batch_format="pyarrow").write_parquet(src_dir))
+    encode_job(src_dir, out, bloom_columns=["url"],
+               max_rows_per_partition=64)
+
+    # the target url (doc_id 7), fetched with a pushed-down row filter —
+    # never a full-table driver read
+    import pyarrow.parquet as pq
+
+    t7 = pq.ParquetDataset(
+        src_dir, filters=[("doc_id", "=", 7)]).read(columns=["url"])
+    target = t7.column("url")[0].as_py()
+
+    # runtime contract: zones alone prune nothing (unsorted urls), blooms
+    # prune almost everything; the probe reads header+filter bytes only
+    # and runs DISTRIBUTED (one task per item batch)
+    recs = effective_records(out)
+    _, zone_skipped = zone_prune(out, {"url": (target, target)}, recs=recs)
+    items = [{"path": os.path.join(out, r.chunk_file)} for r in recs]
+
+    def probe(b: pa.Table) -> pa.Table:
+        n = sum(chunk_bloom_rejects(p, {"url": target})
+                for p in b.column("path").to_pylist())
+        return pa.table({"rejected": pa.array([n], pa.int64())})
+
+    bloom_skipped = sum(
+        r["rejected"] for r in ray.data.from_items(items)
+        .map_batches(probe, batch_format="pyarrow").take_all())
+    assert bloom_skipped > max(1, zone_skipped), (
+        f"bloom pruning ineffective: {bloom_skipped} rejected "
+        f"(zones: {zone_skipped}) of {len(recs)} chunks")
+
+    df = (decode_dataset(out, columns=["doc_id", "url", "lang"],
+                         zone_filter={"url": (target, target)})
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -1087,7 +1159,7 @@ QUERIES = {
     "codec_plan_documents": q_codec_plan_documents,
     "source_counts": q_source_counts,
     "heavy_sources": q_heavy_sources,
-    "distinct_lang": q_distinct_lang,
+    "bloom_pruned_lookup": q_bloom_pruned_lookup,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1143,6 +1215,9 @@ QUERIES = {
 # top_bigrams (hard oracle) and bpe_tokenize (rows-only), the one
 # operator family that previously had no CORRECTNESS row.
 RETIRED_QUERIES = {
+    # distinct_lang retired round 4 for bloom_pruned_lookup: distinct-set
+    # coverage remains via union_distinct_nations (same operator family)
+    "distinct_lang": q_distinct_lang,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_part": q_roundtrip_part,
@@ -1176,7 +1251,14 @@ ORACLE_SQL = {
         "SELECT source, COUNT(*) AS count FROM documents GROUP BY source "
         "ORDER BY count DESC, source ASC LIMIT 5"
     ),
-    "distinct_lang": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "bloom_pruned_lookup": (
+        "SELECT doc_id, source || '/doc-' || CAST(doc_id AS VARCHAR) AS url,"
+        " lang FROM documents"
+        " WHERE source || '/doc-' || CAST(doc_id AS VARCHAR) ="
+        "   (SELECT source || '/doc-' || CAST(doc_id AS VARCHAR)"
+        "    FROM documents WHERE doc_id = 7)"
+        " ORDER BY doc_id"
+    ),
     "token_counts": (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)"
         " AS ws_tokens FROM documents"
@@ -1522,6 +1604,7 @@ ORACLE_SQL = {
 # tests, not registered with the driver (50-row report cap; see
 # RETIRED_QUERIES).
 RETIRED_ORACLE_SQL = {
+    "distinct_lang": "SELECT DISTINCT lang FROM documents ORDER BY lang",
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     "roundtrip_part": "SELECT * FROM part",
