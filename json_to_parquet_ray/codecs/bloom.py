@@ -107,7 +107,14 @@ def hash64_column(arr: pa.Array | pa.ChunkedArray) -> np.ndarray | None:
                      else pa.uint64())
         np_v = v.to_numpy(zero_copy_only=False)
         return _splitmix64(np.nan_to_num(np_v).astype(np.uint64))
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+    if pa.types.is_timestamp(t):
+        # reinterpret at the column's NATIVE unit (lossless for ns) —
+        # build and query both pass through the column type first, so
+        # the unit is consistent on both sides
+        v = arr.cast(pa.int64())
+        return _splitmix64(
+            np.nan_to_num(v.to_numpy(zero_copy_only=False)).astype(np.uint64))
+    if pa.types.is_date(t):
         v = arr.cast(pa.timestamp("us")).cast(pa.int64())
         return _splitmix64(
             np.nan_to_num(v.to_numpy(zero_copy_only=False)).astype(np.uint64))
@@ -139,8 +146,14 @@ def build_bloom(arr: pa.Array | pa.ChunkedArray,
         ml = pc.max(pc.binary_length(arr)).as_py()
         if ml is not None and ml > MAX_VALUE_BYTES:
             return None
-    distinct = pc.unique(arr.drop_null())
-    h = hash64_column(distinct)
+    try:
+        distinct = pc.unique(arr.drop_null())
+        h = hash64_column(distinct)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        # an unhashable representation is just another form of
+        # ineligibility — the contract is "no filter", never a crashed
+        # encode job
+        return None
     if h is None:
         return None
     nblocks = max(1, -(-len(distinct) * bits_per_value // 256))
@@ -163,9 +176,16 @@ def bloom_might_contain(filt: bytes, value, typ: pa.DataType) -> bool:
     A null query value never matches (SQL equality semantics)."""
     if value is None:
         return False
+    if isinstance(value, pa.Scalar):
+        value = value.as_py()
     try:
-        arr = pa.array([value]).cast(typ) if not isinstance(value, pa.Scalar) \
-            else pa.array([value.as_py()]).cast(typ)
+        try:
+            # target-typed construction first: inference-then-cast can
+            # silently truncate (a ns-precision Timestamp infers as us)
+            arr = pa.array([value], type=typ)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError, TypeError):
+            arr = pa.array([value]).cast(typ)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError,
             TypeError, ValueError, OverflowError):
         # a value the column type can't represent cannot be present

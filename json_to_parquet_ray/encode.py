@@ -144,17 +144,25 @@ def _bloom_rejects(f, header: dict, base: int, schema: pa.Schema,
     return False
 
 
+def _read_header(f) -> tuple[dict, int]:
+    """Parse MAGIC + header length + header JSON from an open file
+    positioned at 0; returns (header, payload base offset). The single
+    shared implementation for every file-based reader — a format change
+    happens here once."""
+    head = f.read(12)
+    if head[:4] != MAGIC:
+        raise ValueError("not an RDE1 chunk file")
+    hlen = int.from_bytes(head[4:12], "little")
+    return json.loads(f.read(hlen)), 12 + hlen
+
+
 def chunk_bloom_rejects(path: str, eq: dict) -> bool:
     """Standalone probe: does this chunk's Bloom section reject the
     equality predicates? Reads header + filter bytes only (a few KB) —
     the distributed observability hook for bloom-pruned scans."""
     with open(path, "rb") as f:
-        head = f.read(12)
-        if head[:4] != MAGIC:
-            raise ValueError("not an RDE1 chunk file")
-        hlen = int.from_bytes(head[4:12], "little")
-        header = json.loads(f.read(hlen))
-        return _bloom_rejects(f, header, 12 + hlen,
+        header, base = _read_header(f)
+        return _bloom_rejects(f, header, base,
                               schema_from_b64(header["schema"]), eq)
 
 
@@ -176,15 +184,15 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
         if columns is None and not eq_prune:
             # full decode: one sequential read beats per-column seeks
             return decode_table(f.read(), verify_crc=verify_crc)
-        head = f.read(12)
-        if head[:4] != MAGIC:
-            raise ValueError("not an RDE1 chunk file")
-        hlen = int.from_bytes(head[4:12], "little")
-        header = json.loads(f.read(hlen))
-        base = 12 + hlen
+        header, base = _read_header(f)
         schema = schema_from_b64(header["schema"])
         rejected = bool(eq_prune) and _bloom_rejects(
             f, header, base, schema, eq_prune)
+        if columns is None and not rejected:
+            # surviving full-projection decode: fall back to the single
+            # sequential read (the header parse is reused via the blob)
+            f.seek(0)
+            return decode_table(f.read(), verify_crc=verify_crc)
         by_name = {c["name"]: c for c in header["columns"]}
         want = (list(columns) if columns is not None
                 else [c["name"] for c in header["columns"]])
@@ -216,9 +224,13 @@ def _rows_only(n: int) -> pa.Table:
 
 
 def decode_table(blob: bytes, columns: list[str] | None = None,
-                 verify_crc: bool = False) -> pa.Table:
-    """Decode a chunk file back to an Arrow table (optionally a column subset)."""
-    header, base = read_chunk_header(blob)
+                 verify_crc: bool = False,
+                 header_base: tuple | None = None) -> pa.Table:
+    """Decode a chunk file back to an Arrow table (optionally a column
+    subset). ``header_base`` lets a caller that already ran
+    read_chunk_header pass (header, base) instead of re-parsing."""
+    header, base = (header_base if header_base is not None
+                    else read_chunk_header(blob))
     schema = schema_from_b64(header["schema"])
     # columns=[] is an explicit empty projection (0 columns), NOT "all" —
     # a falsy check would silently decode the full chunk

@@ -426,12 +426,13 @@ def encode_job(
         fsst_ref = ray.put(tables)
 
     summary_rows = []
+    # EncodePartition takes the sentinel as a list; normalize ONCE here
+    # so the stateless and actor branches can't drift
+    _bc = ["auto"] if bloom_columns == "auto" else bloom_columns
     if work:
         items = ray.data.from_items(work, override_num_blocks=len(work))
         if shared_ref is None and fsst_ref is None:
             # stateless → plain tasks reuse the already-warm worker pool
-            _bc = ["auto"] if bloom_columns == "auto" else bloom_columns
-
             def encode_item(batch: pa.Table) -> pa.Table:
                 return EncodePartition(out_dir, bloom_columns=_bc)(batch)
 
@@ -448,9 +449,7 @@ def encode_job(
                 fn_constructor_kwargs={"out_dir": out_dir,
                                        "shared_dicts_ref": shared_ref,
                                        "shared_fsst_ref": fsst_ref,
-                                       "bloom_columns": (
-                                           ["auto"] if bloom_columns == "auto"
-                                           else bloom_columns)},
+                                       "bloom_columns": _bc},
                 batch_size=1,
                 batch_format="pyarrow",
                 concurrency=conc,
@@ -715,11 +714,12 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
             for m in members:
                 with open(m["chunk"], "rb") as f:
                     blob_in = f.read()
-                tables.append(decode_table(blob_in, verify_crc=True))
+                hdr_base = read_chunk_header(blob_in)  # parsed ONCE
+                tables.append(decode_table(blob_in, verify_crc=True,
+                                           header_base=hdr_base))
                 # preserve the members' bloom configuration: a column
                 # bloomed in ANY member stays bloomed in the merged chunk
-                hdr, _ = read_chunk_header(blob_in)
-                bloom_cols.update(c["name"] for c in hdr["columns"]
+                bloom_cols.update(c["name"] for c in hdr_base[0]["columns"]
                                   if "bloom_offset" in c)
                 sources.extend(m["sources"])
             merged = pa.concat_tables(tables).combine_chunks()

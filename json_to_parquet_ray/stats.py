@@ -265,7 +265,11 @@ def stats_partial_batch(batch: pa.Table, columns: list[str] | None = None,
     cols = columns or batch.column_names
     keep_sample = True
     if sample_gate > 1 and batch.num_rows:
-        k = _GATE_CTRS.get(gate_epoch, 0)
+        k = _GATE_CTRS.pop(gate_epoch, 0)
+        # delete+reinsert keeps dict insertion order = LRU order, so
+        # eviction removes the LEAST-RECENTLY-TOUCHED epoch — a long job
+        # still streaming batches is never evicted by newer jobs unless
+        # >64 epochs are all more recent than its last batch
         _GATE_CTRS[gate_epoch] = k + 1
         while len(_GATE_CTRS) > _GATE_MAX_EPOCHS:
             stale = next(e for e in _GATE_CTRS if e != gate_epoch)

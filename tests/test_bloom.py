@@ -184,3 +184,33 @@ def test_compact_preserves_blooms(bloom_store):
     df = decode_dataset(out, columns=["url"],
                         zone_filter={"url": (target, target)}).to_pandas()
     assert df["url"].tolist() == [target]
+
+
+def test_bloom_timestamp_ns_does_not_crash():
+    """Regression: timestamp[ns] values that aren't whole microseconds
+    must build a working filter (native-unit hashing), never raise the
+    lossy-cast ArrowInvalid that would kill an encode job."""
+    tv = pa.array(np.array([1_700_000_000_123_456_789, 42],
+                           dtype="datetime64[ns]"))
+    f = build_bloom(tv)
+    assert f is not None
+    for v in tv:
+        assert bloom_might_contain(f, v.as_py(), tv.type)
+    assert not bloom_might_contain(
+        f, np.datetime64(987_654_321, "ns").item(), tv.type)
+
+
+def test_bloom_eq_prune_keeps_sequential_fast_path(bloom_store):
+    """A surviving full-projection decode under eq_prune must return the
+    full chunk (sequential-read fallback), and a rejected one 0 rows."""
+    from json_to_parquet_ray.pipelines.encode_job import effective_records
+
+    src, out = bloom_store
+    rec = effective_records(out)[0]
+    path = os.path.join(out, rec.chunk_file)
+    t_full = read_chunk_file(path)
+    present = t_full.column("url")[0].as_py()
+    t = read_chunk_file(path, eq_prune={"url": present})
+    assert t.equals(t_full)
+    t0 = read_chunk_file(path, eq_prune={"url": "https://no.such/url"})
+    assert t0.num_rows == 0 and t0.column_names == t_full.column_names
