@@ -52,7 +52,11 @@ def _roundtrip(tmp_base, tag, t, row_group_size, max_rows_per_partition):
     src = os.path.join(tmp_base, f"{tag}.parquet")
     out = os.path.join(tmp_base, f"{tag}_enc")
     pq.write_table(t, src, row_group_size=row_group_size)
-    encode_job(src, out, shared_dict_columns=None,
+    # bloom_columns="auto": every fuzz case also exercises filter build
+    # over arbitrary unicode/ints/nulls, decode-compat with filter
+    # sections present, and (in the zone/eq fuzz) bloom pruning —
+    # pruning must change I/O only, never answers
+    encode_job(src, out, shared_dict_columns=None, bloom_columns="auto",
                max_rows_per_partition=max_rows_per_partition)
     got = pa.Table.from_pylist(
         sorted(decode_dataset(out).take_all(), key=lambda r: r["rid"]),
@@ -103,3 +107,29 @@ def test_zone_filter_fuzz_matches_post_filter(ray_session, tmp_path_factory,
         if v is not None
         and (lo is None or v >= lo) and (hi is None or v <= hi))
     assert got == want, (col, lo, hi)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(t=job_tables(), data=st.data())
+def test_bloom_eq_lookup_fuzz_matches_post_filter(ray_session,
+                                                  tmp_path_factory, t, data):
+    """Equality decode (the bloom-consulting path) over arbitrary fuzz
+    values — present ones (chunk survives or FPs through, rows exact)
+    and absent ones (usually every chunk bloom-rejects, zero rows). The
+    invariant: identical answers to a driver-side post-filter."""
+    if t.num_rows == 0:
+        return
+    base = str(tmp_path_factory.mktemp("bloomfuzz"))
+    _, out, _ = _roundtrip(base, "b", t, 16, None)
+    col = data.draw(st.sampled_from(["i", "s", "k"]))
+    vals = [v for v in t.column(col).to_pylist() if v is not None]
+    absent = (st.integers(-(2**60), 2**60) if col == "i" else _text)
+    v = data.draw(st.one_of(st.sampled_from(sorted(set(vals))), absent)
+                  if vals else absent)
+    rows = decode_dataset(out, zone_filter={col: (v, v)}).take_all()
+    got = sorted(r["rid"] for r in rows)
+    want = sorted(rid for rid, x in zip(t.column("rid").to_pylist(),
+                                        t.column(col).to_pylist())
+                  if x == v)
+    assert got == want, (col, v)
