@@ -65,7 +65,9 @@ def main(argv: list[str] | None = None) -> int:
                      help="COLUMN=LO,HI inclusive range (empty side = "
                           "open; values may be ints, floats, or timestamp "
                           "strings); chunks whose zone maps miss the range "
-                          "are never opened")
+                          "are never opened. An equality (LO == HI) also "
+                          "consults per-chunk Bloom filters when the store "
+                          "was encoded with --bloom-columns")
 
     cmp = sub.add_parser("compact", help="merge small chunks (manifest rewrite)")
     cmp.add_argument("out_dir")
