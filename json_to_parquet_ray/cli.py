@@ -69,6 +69,18 @@ def main(argv: list[str] | None = None) -> int:
                           "consults per-chunk Bloom filters when the store "
                           "was encoded with --bloom-columns")
 
+    clu = sub.add_parser(
+        "cluster", help="distributed sort-cluster then encode (disjoint "
+                        "zone maps on the cluster columns)")
+    clu.add_argument("inputs", nargs="+")
+    clu.add_argument("out_dir")
+    clu.add_argument("--by", required=True,
+                     help="comma-separated sort columns (add a tiebreaker "
+                          "key for deterministic re-runs)")
+    clu.add_argument("--bloom-columns", default=None,
+                     help="as for encode")
+    clu.add_argument("--max-rows-per-partition", type=int, default=None)
+
     cmp = sub.add_parser("compact", help="merge small chunks (manifest rewrite)")
     cmp.add_argument("out_dir")
     cmp.add_argument("--min-rows", type=int, default=100_000)
@@ -110,6 +122,17 @@ def main(argv: list[str] | None = None) -> int:
                                  shared_dict_columns=shared,
                                  bloom_columns=blooms,
                                  max_rows_per_partition=args.max_rows_per_partition)
+            print(json.dumps(summary))
+        elif args.cmd == "cluster":
+            from .pipelines.encode_job import cluster_job
+
+            blooms = args.bloom_columns
+            if blooms and blooms != "auto":
+                blooms = blooms.split(",")
+            summary = cluster_job(
+                args.inputs, args.out_dir, by=args.by.split(","),
+                bloom_columns=blooms,
+                max_rows_per_partition=args.max_rows_per_partition)
             print(json.dumps(summary))
         elif args.cmd == "verify":
             from .pipelines.encode_job import verify_job

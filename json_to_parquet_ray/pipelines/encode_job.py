@@ -659,6 +659,41 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         ctx.execution_options.preserve_order = prev
 
 
+def cluster_job(input_paths: list[str] | str, out_dir: str,
+                by: list[str], *, staging_dir: str | None = None,
+                keep_staging: bool = True, **encode_kwargs) -> dict:
+    """Sort-cluster then encode: a DISTRIBUTED ``Dataset.sort`` over the
+    cluster columns, staged as parquet shards, then the normal
+    ``encode_job`` — so the cluster columns' zone maps become disjoint
+    across chunks and range/equality scans prune instead of opening
+    everything (the scale path for predicate-heavy stores; pair with
+    ``bloom_columns`` for the columns you did NOT cluster by).
+
+    The staging parquet is the sort's materialization boundary; encode
+    resume/content-addressing applies to the encode phase against that
+    staging. For ties ``Dataset.sort`` gives no deterministic order, so
+    include a tiebreaker key in ``by`` (e.g. a row id) if re-runs must
+    produce identical chunk ids.
+    """
+    import shutil
+
+    import ray
+
+    staged = staging_dir or (out_dir.rstrip("/") + "_staged")
+    shutil.rmtree(staged, ignore_errors=True)
+    ray.data.read_parquet(input_paths).sort(by).write_parquet(staged)
+    summary = encode_job(staged, out_dir, **encode_kwargs)
+    summary["clustered_by"] = list(by)
+    if keep_staging:
+        # staging is the store's recorded SOURCE: verify_job compares
+        # chunks against it and encode resume re-reads it — keep it until
+        # the store is verified (the default), then callers may delete
+        summary["staging_dir"] = staged
+    else:
+        shutil.rmtree(staged, ignore_errors=True)
+    return summary
+
+
 def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
     """Merge runs of small chunks into bigger ones (manifest rewrite).
 

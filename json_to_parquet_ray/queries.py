@@ -1009,7 +1009,12 @@ def q_zonemap_pruned_scan(sf_dir: str):
     the two SQL filters in (segment, doc_id) order."""
     import shutil
 
-    from .pipelines.encode_job import decode_dataset, encode_job, zone_prune
+    from .pipelines.encode_job import (
+        cluster_job,
+        decode_dataset,
+        encode_job,
+        zone_prune,
+    )
 
     src = os.path.join(sf_dir, "documents.parquet")
     out = _tmp_dir("zm", sf_dir)
@@ -1021,15 +1026,13 @@ def q_zonemap_pruned_scan(sf_dir: str):
     seg0 = (decode_dataset(out, zone_filter=zf).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
 
-    # string-zone path: cluster by lang (distributed sort), re-encode,
+    # string-zone path: cluster_job (distributed sort → staged encode),
     # then an equality predicate must prune non-'en' chunks by zone alone
-    sorted_dir = _tmp_dir("zms", sf_dir)
     out_s = _tmp_dir("zmso", sf_dir)
-    shutil.rmtree(sorted_dir, ignore_errors=True)
     shutil.rmtree(out_s, ignore_errors=True)
-    _read(sf_dir, "documents").sort(["lang", "doc_id"]).write_parquet(sorted_dir)
-    encode_job(sorted_dir, out_s, shared_dict_columns=None,
-               max_rows_per_partition=64)
+    shutil.rmtree(out_s + "_staged", ignore_errors=True)
+    cluster_job(src, out_s, by=["lang", "doc_id"],
+                shared_dict_columns=None, max_rows_per_partition=64)
     zfs = {"lang": ("en", "en")}
     kept_s, skipped_s = zone_prune(out_s, zfs)
     assert skipped_s > 0 and len(kept_s) > 0, (len(kept_s), skipped_s)

@@ -831,3 +831,30 @@ def test_encode_job_shared_dict_schema_evolution(ray_session, tmp_path):
     lang_codecs = {c["codec"] for rec in recs for c in rec.columns
                    if c["name"] == "lang"}
     assert lang_codecs == {"dict"}
+
+
+def test_cluster_job_zone_disjoint_and_verified(ray_session, tmp_path):
+    """cluster_job: distributed sort → staged encode makes the cluster
+    column's zones disjoint (equality prunes chunks), the store verifies
+    bit-identical against its staging, and rows survive exactly."""
+    from json_to_parquet_ray.pipelines.encode_job import (
+        cluster_job,
+        decode_dataset,
+        zone_prune,
+    )
+
+    src = str(tmp_path / "cc.parquet")
+    write_cc_parquet(src, 2000, seed=5, row_group_size=500)
+    out = str(tmp_path / "clu")
+    summary = cluster_job(src, out, by=["lang", "url"],
+                          max_rows_per_partition=250)
+    assert summary["clustered_by"] == ["lang", "url"]
+    assert verify_job(out)["failed"] == []
+    langs = pq.read_table(src, columns=["lang"]).column("lang").to_pylist()
+    target = sorted(set(langs))[0]
+    kept, skipped = zone_prune(out, {"lang": (target, target)})
+    assert skipped > 0 and len(kept) > 0
+    df = decode_dataset(out, columns=["lang"],
+                        zone_filter={"lang": (target, target)}).to_pandas()
+    assert len(df) == sum(1 for l in langs if l == target)
+    assert (df["lang"] == target).all()
