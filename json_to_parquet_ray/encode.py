@@ -118,15 +118,17 @@ def read_chunk_header(blob: bytes) -> tuple[dict, int]:
 
 def _bloom_rejects(f, header: dict, base: int, schema: pa.Schema,
                    eq: dict) -> bool:
-    """True iff some equality value is DEFINITELY absent per the chunk's
-    Bloom filters (reads only the filter byte ranges). Filter bytes are
-    ALWAYS CRC-checked: a bit-flipped filter that wrongly answered
-    "absent" would silently drop real rows, so a corrupt filter instead
-    conservatively never prunes."""
+    """True iff, for some column, EVERY candidate value is DEFINITELY
+    absent per the chunk's Bloom filter (reads only the filter byte
+    ranges). ``eq`` maps column → value or list of values (equality /
+    IN-list). Filter bytes are ALWAYS CRC-checked: a bit-flipped filter
+    that wrongly answered "absent" would silently drop real rows, so a
+    corrupt filter instead conservatively never prunes."""
     from .codecs.bloom import BLOOM_ALGO, bloom_might_contain
 
     by_name = {c["name"]: c for c in header["columns"]}
     for col, v in eq.items():
+        vals = v if isinstance(v, list) else [v]
         c = by_name.get(col)
         if (not c or "bloom_offset" not in c
                 or c.get("bloom_algo") != BLOOM_ALGO):
@@ -139,7 +141,8 @@ def _bloom_rejects(f, header: dict, base: int, schema: pa.Schema,
             logging.getLogger(__name__).warning(
                 "corrupt bloom filter for column %r — not pruning", col)
             continue
-        if not bloom_might_contain(filt, v, schema.field(col).type):
+        typ = schema.field(col).type
+        if not any(bloom_might_contain(filt, x, typ) for x in vals):
             return True
     return False
 

@@ -147,37 +147,52 @@ def _zone_maps(table: pa.Table) -> dict[str, dict]:
 def zone_prune(out_dir: str, zone_filter: dict,
                recs: list | None = None) -> tuple[list, int]:
     """Manifest-level chunk pruning: returns (surviving records in input
-    order, number skipped). ``zone_filter``: {col: (lo, hi)} inclusive;
-    a chunk survives iff every filtered column's zone overlaps [lo, hi]
-    (chunks without a zone map for the column conservatively survive)."""
+    order, number skipped). ``zone_filter``: {col: (lo, hi)} inclusive
+    range, or {col: [v1, v2, ...]} IN-list (a LIST is a value set, a
+    TUPLE is a range); a chunk survives iff every filtered column's zone
+    overlaps the range / contains a possible value (chunks without a
+    zone map for the column conservatively survive)."""
     if recs is None:
         recs = effective_records(out_dir)
+
+    def _zone_hits(z: dict, lo, hi) -> bool:
+        # a string zone may lack "max" (upper bound not representable
+        # after truncation) — that side then conservatively survives
+        zmin, zmax = z.get("min"), z.get("max")
+        if z.get("ts"):
+            # zones store str(datetime) ('YYYY-MM-DD HH:MM:SS');
+            # normalize ISO 'T' separators so lexical order holds
+            lo = None if lo is None else str(lo).replace("T", " ")
+            hi = None if hi is None else str(hi).replace("T", " ")
+        try:
+            return not ((hi is not None and zmin is not None and zmin > hi)
+                        or (lo is not None and zmax is not None
+                            and zmax < lo))
+        except TypeError:
+            raise ValueError(
+                f"zone-filter bound ({lo!r}, {hi!r}) is not comparable "
+                f"with the column's {type(zmin).__name__} zone "
+                f"values") from None
+
     keep, skipped = [], 0
     for rec in recs:
         zones = {c["name"]: c for c in rec.columns}
         alive = True
-        for col, (lo, hi) in zone_filter.items():
+        for col, bound in zone_filter.items():
             z = zones.get(col)
             if z is None or "min" not in z:
                 continue
-            # a string zone may lack "max" (upper bound not representable
-            # after truncation) — that side then conservatively survives
-            zmin, zmax = z.get("min"), z.get("max")
-            if z.get("ts"):
-                # zones store str(datetime) ('YYYY-MM-DD HH:MM:SS');
-                # normalize ISO 'T' separators so lexical order holds
-                lo = None if lo is None else str(lo).replace("T", " ")
-                hi = None if hi is None else str(hi).replace("T", " ")
             try:
-                if (hi is not None and zmin is not None and zmin > hi) or (
-                        lo is not None and zmax is not None and zmax < lo):
-                    alive = False
-                    break
-            except TypeError:
-                raise ValueError(
-                    f"zone-filter bound for column {col!r} "
-                    f"({lo!r}, {hi!r}) is not comparable with its "
-                    f"{type(zmin).__name__} zone values") from None
+                if isinstance(bound, list):
+                    alive = any(_zone_hits(z, v, v) for v in bound
+                                if v is not None)
+                else:
+                    lo, hi = bound
+                    alive = _zone_hits(z, lo, hi)
+            except ValueError as e:
+                raise ValueError(f"column {col!r}: {e}") from None
+            if not alive:
+                break
         if alive:
             keep.append(rec)
         else:
@@ -493,9 +508,13 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    schema: pa.Schema | None = None):
     """Ray Dataset over the encoded chunks → decoded Arrow rows (streaming).
 
-    ``zone_filter`` {col: (lo, hi)} prunes whole chunks via manifest zone
-    maps (skipped chunks are never opened), then applies the exact
-    inclusive row filter to the surviving chunks.
+    ``zone_filter`` {col: (lo, hi)} (inclusive range) or {col: [v1, ...]}
+    (IN-list; a LIST is a value set, a TUPLE is a range) prunes whole
+    chunks via manifest zone maps (skipped chunks are never opened), then
+    applies the exact row filter to the surviving chunks. Equality and
+    IN-list predicates additionally consult per-chunk Bloom filters
+    inside the read tasks when the store was encoded with
+    ``bloom_columns``.
 
     ``schema`` enables read-time schema evolution: decoded batches are
     aligned to the target (missing columns null-filled, types cast,
@@ -514,10 +533,10 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         # masquerade as success
         ts_cols = {c["name"] for rec in all_recs for c in rec.columns
                    if c.get("ts")}
-        for col, (lo, hi) in zone_filter.items():
+        for col, bound in zone_filter.items():
             if col not in ts_cols:
                 continue
-            for v in (lo, hi):
+            for v in (bound if isinstance(bound, list) else bound):
                 if v is None:
                     continue
                 try:
@@ -552,13 +571,22 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     # plain typo'd projection should still fail loudly
     missing_ok = bool(filter_only_cols) or (schema is not None)
 
-    # equality predicates (lo == hi) additionally consult the chunks'
-    # Bloom filters inside the read tasks: a definitely-absent value
-    # skips the chunk body at header+filter I/O cost (codecs.bloom) —
-    # the pruning zone maps can't do on unsorted high-cardinality columns
-    eq_prune = ({c: lo for c, (lo, hi) in zone_filter.items()
-                 if lo is not None and lo == hi}
-                if zone_filter else None) or None
+    # equality (lo == hi) and IN-list predicates additionally consult
+    # the chunks' Bloom filters inside the read tasks: a chunk whose
+    # filter rejects every candidate value skips its body at
+    # header+filter I/O cost (codecs.bloom) — the pruning zone maps
+    # can't do on unsorted high-cardinality columns
+    def _eq_values(bound):
+        if isinstance(bound, list):
+            vs = [v for v in bound if v is not None]
+            return vs or None
+        lo, hi = bound
+        return [lo] if lo is not None and lo == hi else None
+
+    eq_prune = None
+    if zone_filter:
+        eq_prune = {c: vs for c, b in zone_filter.items()
+                    if (vs := _eq_values(b)) is not None} or None
 
     def decode_item(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -580,7 +608,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                         f"read-time schema evolution")
             if zone_filter:
                 mask = None
-                for col, (lo, hi) in zone_filter.items():
+                for col, bound in zone_filter.items():
                     if col not in t.column_names:
                         # schema evolution: a chunk written before this
                         # column existed has it all-null for every row,
@@ -620,12 +648,25 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                             return v
 
-                    lo_c, hi_c = _bound(lo), _bound(hi)
-                    m = pc.and_kleene(
-                        pc.greater_equal(c, lo_c) if lo_c is not None
-                        else pc.is_valid(c),
-                        pc.less_equal(c, hi_c) if hi_c is not None
-                        else pc.is_valid(c))
+                    if isinstance(bound, list):
+                        # IN-list: exact membership (nulls never match)
+                        vals = [_bound(v) for v in bound if v is not None]
+                        vals = [v.as_py() if isinstance(v, pa.Scalar)
+                                else v for v in vals]
+                        try:
+                            vset = pa.array(vals, type=c.type)
+                        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                                pa.ArrowNotImplementedError, TypeError):
+                            vset = pa.array(vals).cast(c.type)
+                        m = pc.is_in(c, value_set=vset)
+                    else:
+                        lo, hi = bound
+                        lo_c, hi_c = _bound(lo), _bound(hi)
+                        m = pc.and_kleene(
+                            pc.greater_equal(c, lo_c) if lo_c is not None
+                            else pc.is_valid(c),
+                            pc.less_equal(c, hi_c) if hi_c is not None
+                            else pc.is_valid(c))
                     mask = m if mask is None else pc.and_kleene(mask, m)
                 if mask is not None:
                     t = t.filter(pc.fill_null(mask, False))

@@ -1047,7 +1047,8 @@ def q_bloom_pruned_lookup(sf_dir: str):
     gain a synthetic high-cardinality ``url`` (source || '/doc-' || id —
     unsorted, so every chunk's string ZONE spans the value space and
     min/max pruning is useless), are encoded with ``bloom_columns`` and
-    looked up by equality. A distributed probe asserts at runtime that
+    batch-fetched with a 3-value IN-list. A distributed probe asserts at
+    runtime that
     Bloom sections reject chunks zone maps could not; the decode then
     reads header+filter bytes for pruned chunks instead of their bodies.
     Oracle: the same lookup, with the url derived in SQL."""
@@ -1080,23 +1081,26 @@ def q_bloom_pruned_lookup(sf_dir: str):
     encode_job(src_dir, out, bloom_columns=["url"],
                max_rows_per_partition=64)
 
-    # the target url (doc_id 7), fetched with a pushed-down row filter —
-    # never a full-table driver read
+    # the target urls (doc_ids 7, 211, 413 — a batch point-fetch),
+    # fetched with a pushed-down row filter — never a full-table driver
+    # read
     import pyarrow.parquet as pq
 
-    t7 = pq.ParquetDataset(
-        src_dir, filters=[("doc_id", "=", 7)]).read(columns=["url"])
-    target = t7.column("url")[0].as_py()
+    ids = [7, 211, 413]
+    tt = pq.ParquetDataset(
+        src_dir, filters=[("doc_id", "in", ids)]).read(columns=["url"])
+    targets = sorted(tt.column("url").to_pylist())
+    assert len(targets) == len(ids), targets
 
     # runtime contract: zones alone prune nothing (unsorted urls), blooms
     # prune almost everything; the probe reads header+filter bytes only
     # and runs DISTRIBUTED (one task per item batch)
     recs = effective_records(out)
-    _, zone_skipped = zone_prune(out, {"url": (target, target)}, recs=recs)
+    _, zone_skipped = zone_prune(out, {"url": targets}, recs=recs)
     items = [{"path": os.path.join(out, r.chunk_file)} for r in recs]
 
     def probe(b: pa.Table) -> pa.Table:
-        n = sum(chunk_bloom_rejects(p, {"url": target})
+        n = sum(chunk_bloom_rejects(p, {"url": targets})
                 for p in b.column("path").to_pylist())
         return pa.table({"rejected": pa.array([n], pa.int64())})
 
@@ -1108,7 +1112,7 @@ def q_bloom_pruned_lookup(sf_dir: str):
         f"(zones: {zone_skipped}) of {len(recs)} chunks")
 
     df = (decode_dataset(out, columns=["doc_id", "url", "lang"],
-                         zone_filter={"url": (target, target)})
+                         zone_filter={"url": targets})
           .to_pandas().sort_values("doc_id").reset_index(drop=True))
     df["doc_id"] = df["doc_id"].astype("int64")
     return df
@@ -1257,9 +1261,9 @@ ORACLE_SQL = {
     "bloom_pruned_lookup": (
         "SELECT doc_id, source || '/doc-' || CAST(doc_id AS VARCHAR) AS url,"
         " lang FROM documents"
-        " WHERE source || '/doc-' || CAST(doc_id AS VARCHAR) ="
+        " WHERE source || '/doc-' || CAST(doc_id AS VARCHAR) IN"
         "   (SELECT source || '/doc-' || CAST(doc_id AS VARCHAR)"
-        "    FROM documents WHERE doc_id = 7)"
+        "    FROM documents WHERE doc_id IN (7, 211, 413))"
         " ORDER BY doc_id"
     ),
     "token_counts": (

@@ -214,3 +214,36 @@ def test_bloom_eq_prune_keeps_sequential_fast_path(bloom_store):
     assert t.equals(t_full)
     t0 = read_chunk_file(path, eq_prune={"url": "https://no.such/url"})
     assert t0.num_rows == 0 and t0.column_names == t_full.column_names
+
+
+def test_in_list_lookup_zone_bloom_and_exact(bloom_store):
+    """IN-list decode: {col: [v1, v2]} batch point-fetch — zone maps
+    survive any-value overlap, blooms reject all-absent chunks, the
+    exact filter is set membership. Also covers the all-absent list."""
+    from json_to_parquet_ray.pipelines.encode_job import (
+        decode_dataset,
+        effective_records,
+    )
+
+    src, out = bloom_store
+    urls = pq.read_table(src, columns=["url"]).column("url").to_pylist()
+    picks = sorted({urls[3], urls[1502], urls[2999]})
+    df = decode_dataset(out, columns=["url"],
+                        zone_filter={"url": picks}).to_pandas()
+    assert sorted(df["url"]) == picks
+    # IN-list with absent values mixed in: same rows
+    df2 = decode_dataset(
+        out, columns=["url"],
+        zone_filter={"url": picks + ["https://no.such/a", None]}
+    ).to_pandas()
+    assert sorted(df2["url"]) == picks
+    # all-absent IN-list: every chunk bloom-rejects, zero rows
+    recs = effective_records(out)
+    assert all(chunk_bloom_rejects(
+        os.path.join(out, r.chunk_file),
+        {"url": ["https://no.such/a", "https://no.such/b"]})
+        for r in recs)
+    df0 = decode_dataset(out, columns=["url"],
+                         zone_filter={"url": ["https://no.such/a"]}
+                         ).to_pandas()
+    assert len(df0) == 0
