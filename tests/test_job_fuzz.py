@@ -125,11 +125,19 @@ def test_bloom_eq_lookup_fuzz_matches_post_filter(ray_session,
     col = data.draw(st.sampled_from(["i", "s", "k"]))
     vals = [v for v in t.column(col).to_pylist() if v is not None]
     absent = (st.integers(-(2**60), 2**60) if col == "i" else _text)
-    v = data.draw(st.one_of(st.sampled_from(sorted(set(vals))), absent)
-                  if vals else absent)
-    rows = decode_dataset(out, zone_filter={col: (v, v)}).take_all()
+    pool = st.one_of(st.sampled_from(sorted(set(vals))), absent) \
+        if vals else absent
+    if data.draw(st.booleans()):
+        # single-value equality: (v, v) range form
+        v = data.draw(pool)
+        zf, wanted = (v, v), {v}
+    else:
+        # IN-list form: mixed present/absent values (list = value set)
+        vs = data.draw(st.lists(pool, min_size=1, max_size=5))
+        zf, wanted = list(vs), set(vs)
+    rows = decode_dataset(out, zone_filter={col: zf}).take_all()
     got = sorted(r["rid"] for r in rows)
     want = sorted(rid for rid, x in zip(t.column("rid").to_pylist(),
                                         t.column(col).to_pylist())
-                  if x == v)
-    assert got == want, (col, v)
+                  if x in wanted and x is not None)
+    assert got == want, (col, zf)
