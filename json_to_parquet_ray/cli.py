@@ -18,6 +18,26 @@ import json
 import sys
 
 
+def _parse_zone_filter(s: str) -> dict:
+    """COLUMN=LO,HI range or COLUMN=V1|V2|V3 IN-list → zone_filter dict.
+    Bounds parse as int, then float, else stay strings (timestamp/text)."""
+    def bound(v: str):
+        if v == "":
+            return None
+        for conv in (int, float):
+            try:
+                return conv(v)
+            except ValueError:
+                pass
+        return v
+
+    col, _, rng = s.partition("=")
+    if "|" in rng:
+        return {col: [bound(v) for v in rng.split("|")]}
+    lo, _, hi = rng.partition(",")
+    return {col: (bound(lo), bound(hi))}
+
+
 def _ray_session():
     import ray
 
@@ -63,11 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("parquet_out")
     dec.add_argument("--zone-filter", default=None,
                      help="COLUMN=LO,HI inclusive range (empty side = "
-                          "open; values may be ints, floats, or timestamp "
-                          "strings); chunks whose zone maps miss the range "
-                          "are never opened. An equality (LO == HI) also "
-                          "consults per-chunk Bloom filters when the store "
-                          "was encoded with --bloom-columns")
+                          "open) or COLUMN=V1|V2|V3 IN-list; values may "
+                          "be ints, floats, or timestamp strings. Chunks "
+                          "whose zone maps miss are never opened; "
+                          "equality/IN predicates also consult per-chunk "
+                          "Bloom filters when the store was encoded with "
+                          "--bloom-columns")
 
     clu = sub.add_parser(
         "cluster", help="distributed sort-cluster then encode (disjoint "
@@ -80,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
     clu.add_argument("--bloom-columns", default=None,
                      help="as for encode")
     clu.add_argument("--max-rows-per-partition", type=int, default=None)
+
+    sc = sub.add_parser(
+        "scan-stats", help="explain pruning for a filter — chunks / "
+                           "zone-skipped / bloom-rejected / to-decode, "
+                           "reading only manifest + filter bytes")
+    sc.add_argument("out_dir")
+    sc.add_argument("--zone-filter", required=True, help="as for decode")
 
     cmp = sub.add_parser("compact", help="merge small chunks (manifest rewrite)")
     cmp.add_argument("out_dir")
@@ -143,23 +171,43 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from .pipelines.encode_job import decode_dataset
 
-            def bound(s: str):
-                if s == "":
-                    return None
-                for conv in (int, float):
-                    try:
-                        return conv(s)
-                    except ValueError:
-                        pass
-                return s  # timestamp/string bound, compared via zone strings
-
-            zf = None
-            if args.zone_filter:
-                col, _, rng = args.zone_filter.partition("=")
-                lo, _, hi = rng.partition(",")
-                zf = {col: (bound(lo), bound(hi))}
+            zf = (_parse_zone_filter(args.zone_filter)
+                  if args.zone_filter else None)
             decode_dataset(args.out_dir, zone_filter=zf).write_parquet(args.parquet_out)
             print(json.dumps({"out": args.parquet_out}))
+        elif args.cmd == "scan-stats":
+            import os
+
+            import pyarrow as pa
+
+            from .encode import chunk_bloom_rejects
+            from .pipelines.encode_job import effective_records, zone_prune
+
+            zf = _parse_zone_filter(args.zone_filter)
+            recs = effective_records(args.out_dir)
+            kept, zone_skipped = zone_prune(args.out_dir, zf, recs=recs)
+            eq = {c: (b if isinstance(b, list) else [b[0]])
+                  for c, b in zf.items()
+                  if isinstance(b, list)
+                  or (b[0] is not None and b[0] == b[1])}
+            bloom_rejected = 0
+            if eq and kept:
+                items = [{"path": os.path.join(args.out_dir, r.chunk_file)}
+                         for r in kept]
+
+                def probe(b: pa.Table) -> pa.Table:
+                    n = sum(chunk_bloom_rejects(p, eq)
+                            for p in b.column("path").to_pylist())
+                    return pa.table({"n": pa.array([n], pa.int64())})
+
+                bloom_rejected = sum(
+                    r["n"] for r in ray.data.from_items(items)
+                    .map_batches(probe, batch_format="pyarrow").take_all())
+            print(json.dumps({
+                "chunks": len(recs), "zone_skipped": zone_skipped,
+                "bloom_rejected": bloom_rejected,
+                "to_decode": len(kept) - bloom_rejected,
+            }))
         elif args.cmd == "compact":
             from .pipelines.encode_job import compact_job
 
