@@ -176,33 +176,26 @@ def main(argv: list[str] | None = None) -> int:
             decode_dataset(args.out_dir, zone_filter=zf).write_parquet(args.parquet_out)
             print(json.dumps({"out": args.parquet_out}))
         elif args.cmd == "scan-stats":
-            import os
-
-            import pyarrow as pa
-
-            from .encode import chunk_bloom_rejects
-            from .pipelines.encode_job import effective_records, zone_prune
+            from .pipelines.encode_job import (
+                bloom_reject_count,
+                effective_records,
+                validate_zone_bounds,
+                zone_prune,
+            )
 
             zf = _parse_zone_filter(args.zone_filter)
             recs = effective_records(args.out_dir)
+            # same fail-fast as decode: the explain must error exactly
+            # where the decode would, not report a bad bound's total
+            # lexical prune as legitimate
+            validate_zone_bounds(recs, zf)
             kept, zone_skipped = zone_prune(args.out_dir, zf, recs=recs)
             eq = {c: (b if isinstance(b, list) else [b[0]])
                   for c, b in zf.items()
                   if isinstance(b, list)
                   or (b[0] is not None and b[0] == b[1])}
-            bloom_rejected = 0
-            if eq and kept:
-                items = [{"path": os.path.join(args.out_dir, r.chunk_file)}
-                         for r in kept]
-
-                def probe(b: pa.Table) -> pa.Table:
-                    n = sum(chunk_bloom_rejects(p, eq)
-                            for p in b.column("path").to_pylist())
-                    return pa.table({"n": pa.array([n], pa.int64())})
-
-                bloom_rejected = sum(
-                    r["n"] for r in ray.data.from_items(items)
-                    .map_batches(probe, batch_format="pyarrow").take_all())
+            bloom_rejected = (bloom_reject_count(args.out_dir, kept, eq)
+                              if eq else 0)
             print(json.dumps({
                 "chunks": len(recs), "zone_skipped": zone_skipped,
                 "bloom_rejected": bloom_rejected,

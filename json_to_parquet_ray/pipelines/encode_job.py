@@ -503,6 +503,53 @@ def encode_job(
     return plan_note
 
 
+def validate_zone_bounds(recs: list, zone_filter: dict) -> None:
+    """Fail fast ON THE DRIVER for bounds a temporal column can't parse
+    (e.g. CLI ts=2024,2025): the zone prune compares zone STRINGS
+    lexically so such bounds slip through it and can lexically prune
+    EVERY chunk — an empty result must not masquerade as success, and
+    raising inside a Ray task would surface as an opaque RayTaskError.
+    Shared by decode_dataset and the CLI scan-stats explain path (the
+    explain must error exactly where the decode would)."""
+    ts_cols = {c["name"] for rec in recs for c in rec.columns
+               if c.get("ts")}
+    for col, bound in zone_filter.items():
+        if col not in ts_cols:
+            continue
+        for v in bound:  # tuple range and IN-list both iterate values
+            if v is None:
+                continue
+            try:
+                pa.scalar(str(v)).cast(pa.timestamp("us"))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                raise ValueError(
+                    f"zone-filter bound {v!r} is not a full literal "
+                    f"for timestamp column {col!r} (use e.g. "
+                    f"2024-01-01T00:00:00)") from None
+
+
+def bloom_reject_count(out_dir: str, recs: list, eq: dict) -> int:
+    """Distributed count of chunks whose Bloom sections reject ``eq``
+    ({col: value | [values]}) — header+filter bytes only, one probe task
+    batch per item block. The shared observability probe for the CLI
+    scan-stats command and the bloom_pruned_lookup query."""
+    import ray
+
+    from ..encode import chunk_bloom_rejects
+
+    if not recs:
+        return 0
+    items = [{"path": os.path.join(out_dir, r.chunk_file)} for r in recs]
+
+    def probe(b: pa.Table) -> pa.Table:
+        n = sum(chunk_bloom_rejects(p, eq)
+                for p in b.column("path").to_pylist())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    return sum(r["n"] for r in ray.data.from_items(items)
+               .map_batches(probe, batch_format="pyarrow").take_all())
+
+
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    zone_filter: dict | None = None,
                    schema: pa.Schema | None = None):
@@ -524,28 +571,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
 
     if zone_filter:
         all_recs = effective_records(out_dir)
-        # fail fast ON THE DRIVER for bounds a temporal column can't
-        # parse (e.g. CLI ts=2024,2025): the zone prune compares zone
-        # STRINGS lexically so such bounds slip through it, and raising
-        # inside a Ray task would surface as an opaque RayTaskError.
-        # Validate against ALL records BEFORE pruning — a bad bound can
-        # lexically prune every chunk, and an empty result must not
-        # masquerade as success
-        ts_cols = {c["name"] for rec in all_recs for c in rec.columns
-                   if c.get("ts")}
-        for col, bound in zone_filter.items():
-            if col not in ts_cols:
-                continue
-            for v in (bound if isinstance(bound, list) else bound):
-                if v is None:
-                    continue
-                try:
-                    pa.scalar(str(v)).cast(pa.timestamp("us"))
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    raise ValueError(
-                        f"zone-filter bound {v!r} is not a full literal "
-                        f"for timestamp column {col!r} (use e.g. "
-                        f"2024-01-01T00:00:00)") from None
+        validate_zone_bounds(all_recs, zone_filter)
         recs, _ = zone_prune(out_dir, zone_filter, recs=all_recs)
     else:
         # input order is recomputed from the recorded fragment identity
@@ -649,15 +675,36 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                             return v
 
                     if isinstance(bound, list):
-                        # IN-list: exact membership (nulls never match)
-                        vals = [_bound(v) for v in bound if v is not None]
-                        vals = [v.as_py() if isinstance(v, pa.Scalar)
-                                else v for v in vals]
-                        try:
-                            vset = pa.array(vals, type=c.type)
-                        except (pa.ArrowInvalid, pa.ArrowTypeError,
-                                pa.ArrowNotImplementedError, TypeError):
-                            vset = pa.array(vals).cast(c.type)
+                        # IN-list: exact membership (nulls never match).
+                        # Cast per value; one the column type can't
+                        # represent (2.5 against int64) simply never
+                        # matches — SQL IN semantics, and the same answer
+                        # the bloom path gives — instead of an uncaught
+                        # lossy-cast error killing the read task.
+                        vals = []
+                        for v in bound:
+                            if v is None:
+                                continue
+                            b_v = _bound(v)
+                            if isinstance(b_v, pa.Scalar):
+                                b_v = b_v.as_py()
+                            try:
+                                try:
+                                    conv = pa.array([b_v], type=c.type)[0]
+                                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                                        pa.ArrowNotImplementedError,
+                                        TypeError):
+                                    conv = pa.array([b_v]).cast(c.type)[0]
+                            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                                    pa.ArrowNotImplementedError, TypeError,
+                                    OverflowError):
+                                continue  # unrepresentable: never present
+                            # typed construction is PERMISSIVE (2.5 →
+                            # int64 silently truncates to 2); only values
+                            # that survive the round trip can match
+                            if conv.as_py() == b_v:
+                                vals.append(conv.as_py())
+                        vset = pa.array(vals, type=c.type)
                         m = pc.is_in(c, value_set=vset)
                     else:
                         lo, hi = bound
@@ -712,17 +759,47 @@ def cluster_job(input_paths: list[str] | str, out_dir: str,
 
     The staging parquet is the sort's materialization boundary; encode
     resume/content-addressing applies to the encode phase against that
-    staging. For ties ``Dataset.sort`` gives no deterministic order, so
-    include a tiebreaker key in ``by`` (e.g. a row id) if re-runs must
-    produce identical chunk ids.
+    staging. A completed staging is REUSED on re-run (matched by a
+    fingerprint of the inputs and sort keys written after the sort
+    finishes), so a job killed mid-encode resumes against identical
+    staging paths. When staging must be regenerated (first run, inputs
+    or keys changed, staging deleted), any existing ``out_dir`` manifest
+    is cleared first: Ray's parquet writer names shards per-execution,
+    so records from a previous staging generation would never be claimed
+    by resume and would DUPLICATE every row on decode.
     """
+    import hashlib
     import shutil
 
     import ray
 
+    paths = [input_paths] if isinstance(input_paths, str) else list(input_paths)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                         if f.endswith(".parquet"))
+        else:
+            files.append(p)
+    fp = hashlib.sha1(json.dumps(
+        {"by": list(by),
+         "inputs": sorted((f, os.path.getsize(f)) for f in files)},
+        sort_keys=True).encode()).hexdigest()
+
     staged = staging_dir or (out_dir.rstrip("/") + "_staged")
-    shutil.rmtree(staged, ignore_errors=True)
-    ray.data.read_parquet(input_paths).sort(by).write_parquet(staged)
+    marker = os.path.join(staged, "_staging_complete.json")
+    reuse = False
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                reuse = json.load(f).get("fingerprint") == fp
+        except (OSError, json.JSONDecodeError):
+            reuse = False
+    if not reuse:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)  # stale-generation records
+        ray.data.read_parquet(paths).sort(by).write_parquet(staged)
+        write_atomic(marker, json.dumps({"fingerprint": fp}).encode())
     summary = encode_job(staged, out_dir, **encode_kwargs)
     summary["clustered_by"] = list(by)
     if keep_staging:

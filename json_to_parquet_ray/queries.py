@@ -1030,7 +1030,8 @@ def q_zonemap_pruned_scan(sf_dir: str):
     # then an equality predicate must prune non-'en' chunks by zone alone
     out_s = _tmp_dir("zmso", sf_dir)
     shutil.rmtree(out_s, ignore_errors=True)
-    shutil.rmtree(out_s + "_staged", ignore_errors=True)
+    # cluster_job owns its staging lifecycle (fingerprinted reuse /
+    # regeneration) — no caller-side cleanup of the derived _staged path
     cluster_job(src, out_s, by=["lang", "doc_id"],
                 shared_dict_columns=None, max_rows_per_partition=64)
     zfs = {"lang": ("en", "en")}
@@ -1054,10 +1055,8 @@ def q_bloom_pruned_lookup(sf_dir: str):
     Oracle: the same lookup, with the url derived in SQL."""
     import shutil
 
-    import ray
-
-    from .encode import chunk_bloom_rejects
     from .pipelines.encode_job import (
+        bloom_reject_count,
         decode_dataset,
         effective_records,
         encode_job,
@@ -1097,16 +1096,7 @@ def q_bloom_pruned_lookup(sf_dir: str):
     # and runs DISTRIBUTED (one task per item batch)
     recs = effective_records(out)
     _, zone_skipped = zone_prune(out, {"url": targets}, recs=recs)
-    items = [{"path": os.path.join(out, r.chunk_file)} for r in recs]
-
-    def probe(b: pa.Table) -> pa.Table:
-        n = sum(chunk_bloom_rejects(p, {"url": targets})
-                for p in b.column("path").to_pylist())
-        return pa.table({"rejected": pa.array([n], pa.int64())})
-
-    bloom_skipped = sum(
-        r["rejected"] for r in ray.data.from_items(items)
-        .map_batches(probe, batch_format="pyarrow").take_all())
+    bloom_skipped = bloom_reject_count(out, recs, {"url": targets})
     assert bloom_skipped > max(1, zone_skipped), (
         f"bloom pruning ineffective: {bloom_skipped} rejected "
         f"(zones: {zone_skipped}) of {len(recs)} chunks")

@@ -858,3 +858,74 @@ def test_cluster_job_zone_disjoint_and_verified(ray_session, tmp_path):
                         zone_filter={"lang": (target, target)}).to_pandas()
     assert len(df) == sum(1 for l in langs if l == target)
     assert (df["lang"] == target).all()
+
+
+def test_cluster_job_rerun_no_duplicate_rows(ray_session, tmp_path):
+    """Regression: re-running cluster_job into the same out_dir must not
+    leave two manifest generations alive (Ray names staging shards
+    per-execution, so identity-based resume can't claim the old ones —
+    the prior run's records would DUPLICATE every row on decode). A
+    completed staging is fingerprint-reused (true resume); a changed
+    sort key regenerates staging AND clears the stale manifest."""
+    from json_to_parquet_ray.pipelines.encode_job import (
+        cluster_job,
+        decode_dataset,
+    )
+
+    src = str(tmp_path / "cc.parquet")
+    write_cc_parquet(src, 1000, seed=3, row_group_size=250)
+    out = str(tmp_path / "clu")
+    cluster_job(src, out, by=["lang", "url"], max_rows_per_partition=250)
+    n = decode_dataset(out).count()
+    assert n == 1000
+    # same args: staging reused, resume skips everything, rows unchanged
+    s2 = cluster_job(src, out, by=["lang", "url"],
+                     max_rows_per_partition=250)
+    assert s2["partitions_skipped_resume"] == s2["partitions_total"] > 0
+    assert decode_dataset(out).count() == 1000
+    # different sort key: fresh staging + cleared manifest, still 1000
+    cluster_job(src, out, by=["url"], max_rows_per_partition=250)
+    assert decode_dataset(out).count() == 1000
+    assert verify_job(out)["failed"] == []
+
+
+def test_in_list_uncastable_value_matches_sql_semantics(ray_session,
+                                                        tmp_path):
+    """Regression: an IN-list value the column type can't represent
+    (2.5 against int64) must simply never match — not kill the read
+    task with a lossy-cast ArrowInvalid."""
+    from json_to_parquet_ray.pipelines.encode_job import (
+        decode_dataset,
+        encode_job,
+    )
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(20), pa.int64())}), src)
+    out = str(tmp_path / "enc")
+    encode_job(src, out)
+    df = decode_dataset(out, zone_filter={"id": [1, 2.5, 7.0]}).to_pandas()
+    assert sorted(df["id"].tolist()) == [1, 7]  # 2.5 never present, 7.0 casts
+
+
+def test_validate_zone_bounds_rejects_partial_ts_literal(ray_session,
+                                                         tmp_path):
+    """The shared fail-fast (decode AND scan-stats) must reject bounds a
+    timestamp column can't parse — in range and IN-list form — instead
+    of letting a lexical prune of every chunk masquerade as success."""
+    import pytest as _pytest
+
+    from json_to_parquet_ray.pipelines.encode_job import (
+        effective_records,
+        encode_job,
+        validate_zone_bounds,
+    )
+
+    src = str(tmp_path / "cc.parquet")
+    write_cc_parquet(src, 200, seed=2, row_group_size=100)
+    out = str(tmp_path / "enc")
+    encode_job(src, out)
+    recs = effective_records(out)
+    for bad in [{"warc_ts": (2024, 2025)}, {"warc_ts": ["2024"]}]:
+        with _pytest.raises(ValueError, match="full literal"):
+            validate_zone_bounds(recs, bad)
+    validate_zone_bounds(recs, {"warc_ts": ("2024-01-01T00:00:00", None)})
