@@ -74,3 +74,44 @@ def test_cli_stats_plan_and_zone_decode(tmp_path):
     run_cli("decode", enc, dec, "--zone-filter", "id=300,499")
     back = pq.read_table(dec)
     assert sorted(back.column("id").to_pylist()) == list(range(300, 500))
+
+
+def test_cli_cluster_scan_stats_and_in_list_decode(tmp_path):
+    """Round-4 CLI additions in one store: cluster (sort-cluster encode
+    with blooms), scan-stats (pruning explain; bad ts bound fails), and
+    IN-list decode syntax."""
+    import pyarrow as pa
+
+    # u is UNSORTED high-cardinality (zones useless, blooms prune);
+    # the cluster key g gives disjoint zones
+    n = 1000
+    t = pa.table({
+        "g": pa.array([f"g{i % 4}" for i in range(n)]),
+        "id": pa.array(range(n), pa.int64()),
+        "u": pa.array([f"u-{(i * 7919) % n:04d}" for i in range(n)]),
+    })
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src, row_group_size=250)
+
+    enc = str(tmp_path / "enc")
+    summary = run_cli("cluster", src, enc, "--by", "g,id",
+                      "--bloom-columns", "u",
+                      "--max-rows-per-partition", "125")
+    assert summary["clustered_by"] == ["g", "id"]
+
+    # cluster-key equality: zones prune; explain shows it
+    ss = run_cli("scan-stats", enc, "--zone-filter", "g=g0,g0")
+    assert ss["zone_skipped"] > 0 and ss["to_decode"] > 0
+
+    # unsorted-column point lookup: blooms reject chunks whose zones
+    # (wide-but-not-covering here) survived, leaving almost nothing
+    # to decode
+    ss2 = run_cli("scan-stats", enc, "--zone-filter", "u=u-0007,u-0007")
+    assert ss2["bloom_rejected"] >= 1
+    assert 1 <= ss2["to_decode"] <= 3
+
+    # IN-list decode syntax
+    dec = str(tmp_path / "dec")
+    run_cli("decode", enc, dec, "--zone-filter", "u=u-0007|u-0011")
+    back = pq.read_table(dec)
+    assert sorted(back.column("u").to_pylist()) == ["u-0007", "u-0011"]
