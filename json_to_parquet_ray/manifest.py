@@ -98,14 +98,8 @@ def record_path(out_dir: str, partition_id: str) -> str:
 
 def write_record(out_dir: str, rec: PartitionRecord) -> None:
     """Atomic commit: the record only appears once the chunk file is durable."""
-    path = record_path(out_dir, rec.partition_id)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(rec.to_json())
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    write_atomic(record_path(out_dir, rec.partition_id),
+                 rec.to_json().encode())
 
 
 def write_atomic(path: str, data: bytes) -> None:

@@ -55,8 +55,13 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
     # generation's records readable: partition ids derive from pkeys, so
     # changed data/hot-keys produce a different id set and keyed_read
     # would otherwise return both generations (orphaned chunk bytes are
-    # harmless — reads go through the manifest)
-    shutil.rmtree(_manifest_dir(out_dir), ignore_errors=True)
+    # harmless — reads go through the manifest). The new generation is
+    # written to a STAGING manifest dir and swapped in only after the
+    # encode completes — a job killed mid-encode leaves the previous
+    # generation fully readable instead of a silent partial store.
+    new_mdir = _manifest_dir(out_dir) + ".new"
+    shutil.rmtree(new_mdir, ignore_errors=True)
+    os.makedirs(new_mdir, exist_ok=True)
 
     counts = salted_group_count(ds, key_col)
     # filter to HOT keys distributed: the driver sees at most
@@ -101,7 +106,14 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
         # chunk can never mix rows of two distinct keys.
         base = pc.binary_join_element_wise(
             pc.cast(pc.utf8_length(keys), pa.string()), keys, ":")
-        sv = b.column(salt_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        # fill nulls + modular int64 cast at the ARROW level: a null id
+        # would otherwise go through float64 NaN -> uint64, which is
+        # C-undefined and architecture-dependent — a task retried on a
+        # different node could place the row in a different salt
+        # sub-chunk, breaking the byte-identical-retry contract
+        sv = (pc.fill_null(pc.cast(b.column(salt_col), pa.int64(),
+                                   safe=False), 0)
+              .to_numpy(zero_copy_only=False).astype(np.uint64, copy=False))
         salt = ((sv * _SALT_MUL) >> np.uint64(32)).astype(np.int64) % salt_buckets
         hot_mask = pc.is_in(keys, value_set=ray.get(hot_ref)).to_numpy(
             zero_copy_only=False)
@@ -126,7 +138,7 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
         rec = {"partition_id": pid, "key": key, "pkey": pkey,
                "num_rows": body.num_rows, "chunk_file": chunk_file,
                "chunk_size": len(blob)}
-        write_atomic(os.path.join(_manifest_dir(out_dir), f"{pid}.json"),
+        write_atomic(os.path.join(new_mdir, f"{pid}.json"),
                      json.dumps(rec, sort_keys=True).encode())
         return pa.table({"pkey": pa.array([pkey]),
                          "num_rows": pa.array([body.num_rows], pa.int64()),
@@ -134,10 +146,21 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
 
     summary = keyed.groupby("_pkey").map_groups(
         encode_group, batch_format="pyarrow").to_pandas()
+    # commit: swap the completed generation in (two renames — the only
+    # window without a readable manifest is between them; a crash
+    # anywhere earlier leaves the OLD generation fully intact)
+    mdir = _manifest_dir(out_dir)
+    trash = mdir + ".old"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(mdir):
+        os.rename(mdir, trash)
+    os.rename(new_mdir, mdir)
+    shutil.rmtree(trash, ignore_errors=True)
+    empty = len(summary) == 0  # empty input: zero partitions, no crash
     return {"partitions": len(summary),
             "hot_keys": hot,
-            "rows": int(summary["num_rows"].sum()),
-            "chunk_bytes": int(summary["chunk_bytes"].sum())}
+            "rows": 0 if empty else int(summary["num_rows"].sum()),
+            "chunk_bytes": 0 if empty else int(summary["chunk_bytes"].sum())}
 
 
 def keyed_manifest(out_dir: str) -> list[dict]:
@@ -177,6 +200,19 @@ def keyed_read(out_dir: str, keys: list | None = None):
         return pa.concat_tables(tables)
 
     if not items:
+        all_recs = keyed_manifest(out_dir)
+        if all_recs:
+            # no key matched, but the store has a schema: return a TYPED
+            # empty dataset (from any chunk's header — a few bytes) so
+            # callers can still select/union the store's columns
+            from ..encode import _read_header, schema_from_b64
+
+            p = os.path.join(out_dir, all_recs[0]["chunk_file"])
+            with open(p, "rb") as f:
+                hdr, _ = _read_header(f)
+            sch = schema_from_b64(hdr["schema"])
+            return ray.data.from_arrow(sch.empty_table()), {
+                "chunks_read": 0, "chunks_total": total}
         return ray.data.from_pandas(pd.DataFrame()), {
             "chunks_read": 0, "chunks_total": total}
     ds = ray.data.from_items(items).map_batches(

@@ -26,12 +26,18 @@ import pyarrow.compute as pc
 
 def extract_host(batch: pa.Table, url_col: str = "url",
                  out_col: str = "host") -> pa.Table:
-    """Vectorized url → hostname (scheme://host/...)."""
+    """Vectorized url → hostname: case-insensitive scheme or
+    scheme-relative ``//host``, userinfo / port / path / query / fragment
+    stripped, host lowercased (DNS names are case-insensitive — a
+    skew census must not split one real host across case variants).
+    Values with no ``//`` authority pass through lowercased."""
     host = pc.replace_substring_regex(
-        batch.column(url_col), pattern=r"^[a-z][a-z0-9+.-]*://([^/]*).*$",
+        batch.column(url_col),
+        pattern=(r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//"
+                 r"(?:[^/?#@]*@)?([^/?#:]*).*$"),
         replacement=r"\1", max_replacements=1,
     )
-    return batch.append_column(out_col, host)
+    return batch.append_column(out_col, pc.utf8_lower(host))
 
 
 def _partial_counts(batch: pa.Table, col: str, salt_buckets: int) -> pa.Table:
@@ -96,14 +102,27 @@ def key_buckets(col: pa.ChunkedArray | pa.Array,
         # fill nulls at the Arrow level BEFORE to_numpy: a null key
         # would otherwise force a float64 round-trip that corrupts
         # keys >= 2^53, so the two sides hash the same key to
-        # different buckets and matching rows silently vanish
-        filled = pc.fill_null(col.cast(pa.int64()), 0)
+        # different buckets and matching rows silently vanish.
+        # safe=False: uint64 ids above 2^63 (hash ids) wrap modularly
+        # instead of raising — the wrap is deterministic, and both sides
+        # of an exchange wrap identically
+        filled = pc.fill_null(pc.cast(col, pa.int64(), safe=False), 0)
         a = filled.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
         h = a * np.uint64(0x9E3779B97F4A7C15)
     elif pa.types.is_floating(t):
+        # hash float keys by their canonical BIT PATTERN, not a value
+        # cast to uint64: casting NaN/negative floats to uint64 is
+        # C-undefined (x86 and ARM disagree), so a mixed-architecture
+        # cluster would bucket the same key differently per side.
+        # Canonicalize -0.0 → +0.0 (they compare equal and must
+        # co-bucket) and all NaN payloads → one quiet NaN first.
         filled = pc.fill_null(col, 0.0)
-        a = filled.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        h = a * np.uint64(0x9E3779B97F4A7C15)
+        a = filled.to_numpy(zero_copy_only=False).astype(np.float64,
+                                                         copy=False)
+        a = np.where(a == 0.0, 0.0, a)
+        a = np.where(np.isnan(a), np.float64("nan"), a)
+        h = np.ascontiguousarray(a).view(np.uint64) \
+            * np.uint64(0x9E3779B97F4A7C15)
     else:  # strings/binary: vectorized C hash via pandas (siphash)
         h = pd.util.hash_array(
             np.asarray(col.to_pandas(), dtype=object), categorize=False)
@@ -390,7 +409,14 @@ def heavy_hitters(ds, col: str, k: int = 20, salt_buckets: int = 8) -> pa.Table:
     ORDER BY oracle."""
     counts = salted_group_count(ds, col, salt_buckets)
     top = counts.sort(["count", "value"], descending=[True, False]).limit(k)
-    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    # stay Arrow end-to-end: a pandas hop would round-trip a null-bearing
+    # int column through float64, corrupting values >= 2^53 and changing
+    # the output type to double
+    tbls = list(top.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if tbls:
+        return pa.concat_tables(tbls)
+    base = getattr(top.schema(), "base_schema", None)
+    return base.empty_table() if base is not None else pa.table({})
 
 
 def distinct_values(ds, col: str, salt_buckets: int = 8,
@@ -413,16 +439,29 @@ def distinct_values(ds, col: str, salt_buckets: int = 8,
 
     partials = ds.map_batches(batch_unique, batch_format="pyarrow").materialize()
     if partials.count() <= driver_merge_cap:
-        vals = partials.to_pandas()["value"].dropna().unique()
-        return pa.array(sorted(vals))
+        return _arrow_sorted_unique(partials, "value")
 
-    def group_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset="value")[["value"]]
+    def group_dedup(t: pa.Table) -> pa.Table:
+        # Arrow-native dedup: a pandas hop here would round-trip
+        # null-bearing int columns through float64 (see _exact_pandas)
+        return pa.table({"value": pc.unique(t.column("value")
+                                            .combine_chunks())})
 
-    deduped = partials.groupby("salt").map_groups(group_dedup, batch_format="pandas")
-    vals = deduped.to_pandas()["value"].dropna().unique()
-    arr = pa.array(sorted(vals))
-    return arr
+    deduped = partials.groupby("salt").map_groups(group_dedup,
+                                                 batch_format="pyarrow")
+    return _arrow_sorted_unique(deduped, "value")
+
+
+def _arrow_sorted_unique(ds_or_tbl, col: str) -> pa.Array:
+    """Distinct non-null values of a small Dataset column, sorted,
+    WITHOUT a pandas hop — int exactness and the Arrow type survive."""
+    tbls = list(ds_or_tbl.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"))
+    if not tbls:
+        return pa.array([])
+    merged = pa.concat_tables(tbls).column(col).combine_chunks()
+    u = pc.unique(merged).drop_null()
+    return u.take(pc.array_sort_indices(u))
 
 
 def distinct_values_multi(ds, cols: list[str], salt_buckets: int = 8,

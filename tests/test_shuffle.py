@@ -420,3 +420,91 @@ def test_window_queries_null_user_oracle_parity(ray_session, tmp_path):
             if got[c].dtype != want[c].dtype:
                 want[c] = want[c].astype(got[c].dtype)
         pd.testing.assert_frame_equal(got, want, check_like=True), qname
+
+
+def test_extract_host_edge_forms():
+    """Round-4 review: userinfo/port/query must not leak into the host,
+    uppercase schemes and scheme-relative urls must parse, and hosts
+    lowercase (one real host must not split across census variants)."""
+    t = pa.table({"url": pa.array([
+        "https://example.com?q=1",
+        "https://user:pw@example.com:8080/x",
+        "HTTP://X.org/",
+        "//cdn.example.com/a",
+        "https://MiXeD.Case.NET/p",
+        "not a url",
+    ])})
+    out = extract_host(t)
+    assert out.column("host").to_pylist() == [
+        "example.com", "example.com", "x.org", "cdn.example.com",
+        "mixed.case.net", "not a url"]
+
+
+def test_distinct_and_heavy_hitters_exact_big_ints(ray_session):
+    """Round-4 review: null-bearing int64 columns must survive the
+    driver merge WITHOUT a float64 round-trip — 2^53 and 2^53+1 stay
+    distinct and the output type stays int64."""
+    import ray
+
+    from json_to_parquet_ray.shuffle import distinct_values, heavy_hitters
+
+    big = 2**53
+    vals = [big, big + 1, None, 7] * 50
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals, pa.int64())}))
+    d = distinct_values(ds, "k")
+    assert d.type == pa.int64()
+    assert d.to_pylist() == [7, big, big + 1]
+    # overflow path (cap forces the salted-groupby dedup)
+    d2 = distinct_values(ds.repartition(4), "k", driver_merge_cap=1)
+    assert d2.equals(d)
+    top = heavy_hitters(ds, "k", k=4)
+    got = {r["value"]: r["count"] for r in top.to_pylist()}
+    assert got[big] == 50 and got[big + 1] == 50
+    assert top.column("value").type == pa.int64()
+
+
+def test_key_buckets_uint64_and_float_edges(ray_session):
+    """Round-4 review: uint64 ids above 2^63 must hash (modular wrap,
+    not ArrowInvalid), and float keys bucket by canonical bits:
+    0.0 == -0.0 co-bucket, NaNs co-bucket."""
+    from json_to_parquet_ray.shuffle import key_buckets
+
+    u = pa.chunked_array([pa.array([2**63 + 5, 1, 2**64 - 1], pa.uint64())])
+    b = key_buckets(u, 16)
+    assert len(b) == 3 and ((0 <= b) & (b < 16)).all()
+    f = pa.chunked_array([pa.array(
+        [0.0, -0.0, float("nan"), float("nan"), -1.5, None])])
+    bf = key_buckets(f, 16)
+    assert bf[0] == bf[1]  # ±0 compare equal -> same bucket
+    assert bf[2] == bf[3]  # canonical NaN
+    assert ((0 <= bf) & (bf < 16)).all()
+
+
+def test_keyed_encode_empty_and_rerun_atomicity(ray_session, tmp_path):
+    """Round-4 review: empty input returns a zero summary (no KeyError,
+    and the previous generation is REPLACED only at commit time);
+    keyed_read on a missing key returns a TYPED empty dataset."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.keyed_store import (
+        keyed_encode,
+        keyed_read,
+    )
+
+    out = str(tmp_path / "ks")
+    t = pa.table({"k": pa.array(["a", "b", "a"]),
+                  "id": pa.array([1, 2, 3], pa.int64())})
+    s1 = keyed_encode(ray.data.from_arrow(t), out, "k", "id")
+    assert s1["rows"] == 3
+    # missing-key read: typed empty DATASET — schema carries the store's
+    # columns (Ray's to_pandas drops columns for zero-row datasets, so
+    # the schema is the level of the contract)
+    ds0, io0 = keyed_read(out, keys=["zz"])
+    assert ds0.count() == 0
+    assert set(ds0.schema().names) == {"k", "id"}
+    assert io0 == {"chunks_read": 0, "chunks_total": 2}
+    # empty re-encode: no crash, store is now the (empty) new generation
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    s2 = keyed_encode(empty, out, "k", "id")
+    assert s2 == {"partitions": 0, "hot_keys": [], "rows": 0,
+                  "chunk_bytes": 0}
