@@ -30,7 +30,6 @@ COST_WEIGHT = {
     "zstd": 1.02,
     "zstd9": 1.12,  # level-9 zstd: ~3-5x slower encode than level 1
     "lz4": 1.01,
-    "constant": 0.50,
     "forbp": 0.98,
     "delta": 0.98,
     "rle": 0.98,
@@ -102,6 +101,7 @@ def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, str, dic
     """(label, codec_name, kwargs) candidate triples."""
     out: list[tuple[str, str, dict]] = [
         ("plain", "plain", {}), ("zstd", "zstd", {}), ("zstd9", "zstd9", {}),
+        ("lz4", "lz4", {}),  # decode-speed point on the frontier
     ]
     string_like = (pa.types.is_string(t) or pa.types.is_large_string(t)
                    or pa.types.is_binary(t) or pa.types.is_large_binary(t))
@@ -118,8 +118,12 @@ def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, str, dic
     elif string_like:
         card = st.cardinality
         if card and card <= st.n * 0.5:
-            # dictionary; FSST on the dictionary values when they are long-ish
-            avg_len = (st.nbytes / max(1, st.n - st.null_count)) if st.n else 0
+            # dictionary; FSST on the dictionary values when they are
+            # long-ish. char_bytes counts VALUE bytes only — nbytes also
+            # includes offsets+validity (~4-8 B/row), which overstated
+            # avg_len and mis-gated 12-byte values into the fsst branch
+            n_valid = max(1, st.n - st.null_count)
+            avg_len = ((st.char_bytes or st.nbytes) / n_valid) if st.n else 0
             vcodec = "fsst" if avg_len >= 16 and card >= 32 else "plain"
             out.append(("dict", "dict", {"values_codec": vcodec}))
         if st.avg_run_len >= 2.0 and not pa.types.is_binary(t) and not pa.types.is_large_binary(t):
@@ -151,15 +155,15 @@ def _sample_array(st: ColumnStats, t: pa.DataType) -> pa.Array | None:
 
 def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
     n_valid = st.n - st.null_count
+    sample = _sample_array(st, t)  # built ONCE; the constant path and the
+    # trial loop share it
     if st.n and (n_valid == 0 or (st.cardinality <= 1 and st.null_count in (0, st.n))):
         # all-null or single-distinct-no-null chunk
         try:
-            sample = _sample_array(st, t)
             if sample is not None and get_codec("constant").is_applicable(sample):
                 return ColumnPlan(st.name, "constant", {}, 0.0, {"constant": 0.0})
         except Exception:
             pass
-    sample = _sample_array(st, t)
     if sample is None or len(sample) == 0:
         return ColumnPlan(st.name, "zstd", {}, 1.0, {})
     base = max(1, sample.nbytes)

@@ -17,7 +17,6 @@ row), so they are deterministic under Ray task retries.
 
 from __future__ import annotations
 
-import math
 import pickle
 from dataclasses import dataclass, field
 
@@ -61,7 +60,8 @@ class ColumnStats:
     total_batches: int = 0
     kmv: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
     sample: list = field(default_factory=list)
-    distinct_exact_cap: int = 0        # max per-batch exact distinct seen
+    char_bytes: int = 0                # string/binary VALUE bytes only
+                                       # (nbytes also counts offsets+validity)
 
     # ---------------------------------------------------------------- derived
     @property
@@ -116,7 +116,7 @@ class ColumnStats:
         merged = np.unique(np.concatenate([self.kmv, other.kmv]))
         out.kmv = merged[:KMV_K]
         out.sample = _cap_sample((self.sample + other.sample)[:SAMPLE_CAP])
-        out.distinct_exact_cap = max(self.distinct_exact_cap, other.distinct_exact_cap)
+        out.char_bytes = self.char_bytes + other.char_bytes
         return out
 
     def summary(self) -> dict:
@@ -172,28 +172,45 @@ def column_stats_partial(arr: pa.Array, name: str) -> ColumnStats:
     st.total_batches = 1
     if len(arr) == 0:
         return st
-    # runs: count of value-change boundaries + 1 (vectorized)
+    # runs: count of value-change boundaries + 1 (vectorized).
+    # Consecutive NULLS are ONE run: null/null comparisons previously
+    # counted as boundaries, so a null-run-heavy column reported
+    # avg_run_len ≈ 1 and never got RLE trial-encoded — exactly where
+    # RLE wins biggest
     try:
         if len(arr) > 1:
-            neq = pc.not_equal(arr.slice(1), arr.slice(0, len(arr) - 1))
-            changes = pc.sum(neq).as_py() or 0
-            # null boundaries count as changes too (not_equal → null); count them
-            nulls_in_cmp = neq.null_count
-            st.runs = 1 + int(changes) + nulls_in_cmp
+            a1, a0 = arr.slice(1), arr.slice(0, len(arr) - 1)
+            neq = pc.not_equal(a1, a0)  # null where either side is null
+            both_null = pc.and_(pc.is_null(a1), pc.is_null(a0))
+            one_null = pc.and_(pc.is_null(neq), pc.invert(both_null))
+            st.runs = 1 + int(pc.sum(pc.fill_null(neq, False)).as_py() or 0) \
+                + int(pc.sum(one_null).as_py() or 0)
         else:
             st.runs = 1
     except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
         st.runs = len(arr)
-    if _is_orderable(arr.type):
+    t = arr.type
+    string_like = (pa.types.is_string(t) or pa.types.is_large_string(t)
+                   or pa.types.is_binary(t) or pa.types.is_large_binary(t))
+    if string_like:
+        try:  # VALUE bytes (offsets/validity excluded) for avg-len gates
+            st.char_bytes = int(
+                pc.sum(pc.binary_length(arr)).as_py() or 0)
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            pass
+    if _is_orderable(t):
         try:
             mm = pc.min_max(arr)
-            st.min_val = mm["min"].as_py()
-            st.max_val = mm["max"].as_py()
+            st.min_val = _bound_stat_value(mm["min"].as_py())
+            st.max_val = _bound_stat_value(mm["max"].as_py())
         except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
             pass
         try:
             vals = arr.drop_null()
-            if len(vals) > 1 and not pa.types.is_string(arr.type):
+            # skip the O(n) elementwise comparison for every string-like
+            # type (large_string previously paid it while string skipped,
+            # giving inconsistent sorted_frac semantics per offset width)
+            if len(vals) > 1 and not string_like:
                 diffs_ok = pc.all(
                     pc.greater_equal(vals.slice(1), vals.slice(0, len(vals) - 1))
                 ).as_py()
@@ -205,7 +222,6 @@ def column_stats_partial(arr: pa.Array, name: str) -> ColumnStats:
     try:
         hashes = np.unique(_stable_hash(arr))
         st.kmv = hashes[:KMV_K]
-        st.distinct_exact_cap = len(hashes)
     except (TypeError, pa.ArrowNotImplementedError, pa.ArrowInvalid):
         pass
     stride = max(1, len(arr) // SAMPLE_CAP)
@@ -214,23 +230,68 @@ def column_stats_partial(arr: pa.Array, name: str) -> ColumnStats:
     return st
 
 
+_STAT_VALUE_CAP = 4096  # min/max strings are ADVISORY (zone maps compute
+# their own bounds from the table) — a 10 MB value must not ride along in
+# every pickled partial
+
+
+def _bound_stat_value(v):
+    if isinstance(v, (str, bytes)) and len(v) > _STAT_VALUE_CAP:
+        return v[:_STAT_VALUE_CAP]
+    return v
+
+
 def _est_bytes(v) -> int:
     if isinstance(v, (str, bytes)):
         return len(v)
-    if isinstance(v, (list, tuple, dict)):
-        # nested values must count their real weight — flat-8 would let a
-        # 10k-element list column blow the cap by ~10,000x
-        return 8 * max(len(v), 1)
+    if isinstance(v, dict):
+        # RECURSIVE weight: 8*len(v) undercounts a list of 100 KB strings
+        # by ~10,000x and lets one row blow the byte cap into the
+        # hundreds of MB
+        return sum(_est_bytes(k) + _est_bytes(x) for k, x in v.items()) or 8
+    if isinstance(v, (list, tuple)):
+        return sum(_est_bytes(x) for x in v) or 8
     if hasattr(v, "nbytes"):  # numpy scalar/array
         return int(v.nbytes)
     return 8
 
 
+def _shrink(v, budget: int):
+    """A ≤ budget-byte stand-in for an oversized sample value, or None if
+    the value can't be meaningfully truncated (the sample feeds trial
+    encodes and entropy, where a representative prefix is fine)."""
+    if isinstance(v, (str, bytes)):
+        return v[:budget]
+    if isinstance(v, (list, tuple)):
+        out, used = [], 0
+        for x in v:
+            bx = _est_bytes(x)
+            if used + bx > budget:
+                if isinstance(x, (str, bytes)) and budget > used:
+                    out.append(x[:budget - used])
+                break
+            out.append(x)
+            used += bx
+        return tuple(out) if isinstance(v, tuple) else out
+    return None
+
+
 def _cap_sample(vals: list) -> list:
+    """Byte-capped sample: stop BEFORE a value would blow the cap; a
+    first value that alone exceeds the cap is truncated (or skipped if
+    untruncatable) so one mega-row can never ship a multi-MB partial."""
     out, total = [], 0
     for v in vals:
+        b = _est_bytes(v)
+        if out and total + b > SAMPLE_BYTES_CAP:
+            break
+        if not out and b > SAMPLE_BYTES_CAP:
+            v = _shrink(v, SAMPLE_BYTES_CAP)
+            if v is None:
+                continue
+            b = SAMPLE_BYTES_CAP
         out.append(v)
-        total += _est_bytes(v)
+        total += b
         if total >= SAMPLE_BYTES_CAP:
             break
     return out

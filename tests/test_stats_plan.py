@@ -127,3 +127,43 @@ def test_sample_gate_counters_isolated_per_epoch():
     for i in range(200):
         stats.stats_partial_batch(b, sample_gate=2, gate_epoch=f"e{i}")
     assert len(stats._GATE_CTRS) <= stats._GATE_MAX_EPOCHS
+
+
+def test_null_runs_count_as_one_run():
+    """Regression (round-4 review): consecutive nulls are ONE run, so a
+    null-run-heavy column is RLE-eligible (avg_run_len >= 2)."""
+    arr = pa.array([1, 1] + [None] * 1000 + [2, 2], pa.int64())
+    st = column_stats_partial(arr, "x")
+    assert st.runs == 3
+    assert st.avg_run_len > 300
+
+
+def test_sample_cap_bounds_nested_and_huge_values():
+    """Regression (round-4 review): the sample byte cap must hold for
+    nested values (recursive weight) and for a single huge first value
+    (truncated, not shipped whole); long string min/max are bounded."""
+    import pickle
+
+    from json_to_parquet_ray import stats as S
+
+    big_lists = pa.array([["x" * 100_000] * 10] * 50,
+                         pa.list_(pa.string()))
+    st = column_stats_partial(big_lists, "l")
+    assert len(pickle.dumps(st)) < 4 * S.SAMPLE_BYTES_CAP
+
+    huge = pa.array(["y" * 10_000_000, "a"])
+    st2 = column_stats_partial(huge, "s")
+    assert len(pickle.dumps(st2)) < 4 * S.SAMPLE_BYTES_CAP
+    assert len(st2.max_val) <= S._STAT_VALUE_CAP
+
+
+def test_dict_values_codec_gate_uses_value_bytes():
+    """Regression (round-4 review): avg-len for the dict values_codec
+    gate uses VALUE bytes, not nbytes (offsets+validity) — 12-byte
+    values stay on the plain dictionary path."""
+    vals = pa.array([f"v{i % 40:010d}" for i in range(5000)])  # 11 chars
+    st = column_stats_partial(vals, "s")
+    assert st.char_bytes == 11 * 5000
+    plan = plan_column(st, pa.string())
+    if plan.codec == "dict":
+        assert plan.kwargs.get("values_codec", "plain") == "plain"
