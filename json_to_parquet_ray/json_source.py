@@ -18,6 +18,8 @@ Reference parity (SURVEY.md §2.1):
 from __future__ import annotations
 
 import json
+import os
+import shutil
 
 import pyarrow as pa
 
@@ -145,24 +147,65 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
 
             parts = ds.map_batches(schema_partial, batch_format="pyarrow")
             schemas = [pickle.loads(r["schema"]) for r in parts.take_all()]
-        except Exception:
+        except Exception as ex:
             # Arrow's C++ reader refuses inputs whose types flip WITHIN a
             # parse block ("Column changed from number to string") — fall
             # through to the exact Python parse path rather than dying on
-            # valid JSON
+            # valid JSON. Only PARSE failures reroute: a transient
+            # cluster/worker error must surface, not silently run the
+            # orders-of-magnitude-slower Python path with different
+            # timestamp semantics.
+            cause = getattr(ex, "cause", None) or ex
+            # json.JSONDecodeError included: Ray's JSON datasource retries
+            # a failed Arrow parse with a whole-buffer json.load, so an
+            # Arrow type conflict on JSONL surfaces as 'Extra data'
+            if not isinstance(cause, (pa.ArrowInvalid, pa.ArrowTypeError,
+                                      pa.ArrowNotImplementedError,
+                                      json.JSONDecodeError)):
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "engine-mode Arrow JSON parse failed (%s: %s) — falling "
+                "back to the exact Python parse path",
+                type(cause).__name__, cause)
             schemas = None
         if schemas is not None:
-            # explicit_schema makes Arrow parse strictly: if unify had to
-            # WIDEN a conflicting key (int in one file, string in another
-            # → string), a numeric token no longer parses into the string
-            # field — parse per block + cast instead. unify() itself
-            # reports whether it widened, so the detection can't drift.
+            # explicit_schema makes Arrow parse strictly. When unify had
+            # to WIDEN a conflicting key, try the STRICT parse into the
+            # widened schema FIRST (staged output, swapped in on success):
+            # a string-vs-timestamp widening then keeps the original
+            # lexical text, where the per-block-parse-then-cast fallback
+            # would reformat timestamp-inferred strings ('T' separator
+            # lost). The strict parse fails only when a field holds raw
+            # NUMERIC tokens that must land in a widened string field —
+            # that case parses per block and casts (numbers render
+            # losslessly).
             schema, widened = unify(schemas, mode, return_widened=True)
-            ds2 = read_json_arrow(input_paths,
-                                  schema=None if widened else schema)
-            ds2.map_batches(lambda b: align_table(b, schema),
-                            batch_format="pyarrow").write_parquet(out_dir)
-            return schema
+            attempts = [schema, None] if widened else [schema]
+            for i, sch in enumerate(attempts):
+                staged = out_dir.rstrip("/") + "._strict_tmp"
+                target = staged if (widened and sch is not None) else out_dir
+                if target is staged:
+                    shutil.rmtree(staged, ignore_errors=True)
+                try:
+                    ds2 = read_json_arrow(input_paths, schema=sch)
+                    ds2.map_batches(lambda b: align_table(b, schema),
+                                    batch_format="pyarrow"
+                                    ).write_parquet(target)
+                except Exception as ex:
+                    cause = getattr(ex, "cause", None) or ex
+                    if (i + 1 < len(attempts)
+                            and isinstance(cause, (pa.ArrowInvalid,
+                                                   pa.ArrowTypeError,
+                                                   json.JSONDecodeError))):
+                        shutil.rmtree(staged, ignore_errors=True)
+                        continue
+                    raise
+                if target is staged:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    os.rename(staged, out_dir)
+                return schema
 
     docs_ds = read_json_docs(input_paths)
     schema = infer_schema_distributed(docs_ds, mode)

@@ -63,8 +63,10 @@ class LangId:
     """Actor-pool stage: n-gram-profile language heuristic.
 
     Profiles (common-word and character-class evidence for en/de/fr/es/zh)
-    are compiled ONCE per actor in ``__init__``; ``__call__`` scores each
-    batch vectorized with Arrow regex kernels.
+    are fixed pattern strings; ``__call__`` scores each batch vectorized
+    with Arrow regex kernels (Arrow compiles the RE2 per kernel call —
+    microseconds against the batch scan; the actor-pool shape is for the
+    per-batch vectorized scoring, not a compile cache).
     """
 
     PROFILES = {
@@ -172,8 +174,9 @@ def repetition_ratio_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Deterministic document fingerprints: md5 (oracle-checkable via
-    DuckDB's md5()) + a 64-bit polynomial rolling hash of the utf-8 bytes."""
+    """Deterministic md5 document fingerprint (oracle-checkable via
+    DuckDB's md5()); the engine-path 64-bit polynomial rolling hash lives
+    in ``fingerprint_batch_fast``."""
     texts = batch.column(col).to_pylist()
     md5s = [None if t is None else hashlib.md5(t.encode()).hexdigest()
             for t in texts]
@@ -207,10 +210,8 @@ def fingerprint_batch_fast(batch: pa.Table, col: str = "text") -> pa.Table:
     MEGA = 4 << 20
     huge = np.flatnonzero(lens > MEGA)
     for i in huge:
-        import hashlib as _hl
-
-        dg = _hl.blake2b(data[offs[i]:offs[i + 1]].tobytes(),
-                         digest_size=8).digest()
+        dg = hashlib.blake2b(data[offs[i]:offs[i + 1]].tobytes(),
+                             digest_size=8).digest()
         h[i] = np.uint64(int.from_bytes(dg, "little"))
     nz = np.flatnonzero((lens > 0) & (lens <= MEGA))
     if len(nz):

@@ -153,6 +153,12 @@ def _align_array(arr: pa.Array, target: pa.DataType) -> pa.Array:
         if arr.null_count:
             mask = pa.compute.invert(arr.is_valid()).to_numpy(zero_copy_only=False)
         return pa.array(out, pa.int32(), mask=mask)
+    if pa.types.is_floating(target) and pa.types.is_integer(arr.type):
+        # int→float widening is LOSSY by design (Java doubleValue() /
+        # floatValue() round): a safe cast would raise ArrowInvalid on any
+        # int64 above 2^53 (or 2^24 for the conformance float32 target) —
+        # crashing on valid JSON like a snowflake id next to a 0.5
+        return arr.cast(target, safe=False)
     return arr.cast(target)
 
 
@@ -191,9 +197,42 @@ def table_from_docs(docs: list[dict]) -> pa.Table:
         # a key flips type WITHIN this batch ({"id": 1} then {"id": "x"}):
         # build per-doc tables, widen via unify's conflict resolution, and
         # align — the exceptional path only; clean batches stay one call
-        per = [pa.Table.from_pylist([d]) for d in filled]
+        per = []
+        for d in filled:
+            try:
+                per.append(pa.Table.from_pylist([d]))
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # a mixed-type array INSIDE one document ([1, "x"]) can't
+                # build even per-doc — widen its scalar elements to string
+                # (the same non-promotable-conflict resolution
+                # _unify_types applies across documents)
+                per.append(pa.Table.from_pylist([_widen_mixed_lists(d)]))
         schema = unify([t.schema for t in per])
         return pa.concat_tables([align_table(t, schema) for t in per])
+
+
+def _widen_mixed_lists(v):
+    """Stringify the scalar elements of lists whose element types mix
+    non-promotably within ONE document — [1, "x"] → ["1", "x"] — using
+    the Arrow cast renderings (true/false booleans) so the result matches
+    what cross-document widening would produce."""
+    if isinstance(v, dict):
+        return {k: _widen_mixed_lists(x) for k, x in v.items()}
+    if isinstance(v, list):
+        items = [_widen_mixed_lists(x) for x in v]
+        kinds = {type(x) for x in items
+                 if x is not None and not isinstance(x, (dict, list))}
+        numeric = {int, float}
+        if len(kinds) > 1 and not kinds <= numeric:
+            def render(x):
+                if x is None or isinstance(x, (dict, list)):
+                    return x
+                if isinstance(x, bool):
+                    return "true" if x else "false"
+                return x if isinstance(x, str) else str(x)
+            items = [render(x) for x in items]
+        return items
+    return v
 
 
 def _rows_only_table(n: int) -> pa.Table:
@@ -236,8 +275,9 @@ def _unify_types(name: str, types: list[pa.DataType]) -> pa.DataType:
         return pa.list_(_unify_types(name + ".item",
                                      [t.value_type for t in non_null]))
     raise ValueError(
-        f"JSON key {name!r} mixes object/array and scalar types across "
-        f"documents ({sorted(str(t) for t in non_null)}) — cannot unify")
+        f"JSON key {name!r} mixes incompatible kinds (object vs array vs "
+        f"scalar) across documents ({sorted(str(t) for t in non_null)}) "
+        f"— cannot unify")
 
 
 def unify(schemas: list[pa.Schema], mode: str = "engine",

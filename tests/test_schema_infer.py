@@ -2,6 +2,7 @@
 semantic from SURVEY.md §1.3/§7.3, with golden expected Arrow schemas."""
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from json_to_parquet_ray.json_source import json_docs_to_table, split_documents
@@ -173,3 +174,61 @@ def test_ingest_in_block_type_flip_falls_back_to_python_parse(
     json_to_parquet_job(str(d / "a.jsonl"), out)
     t = pq.ParquetDataset(out).read()
     assert sorted(str(v) for v in t.column("id").to_pylist()) == ["1", "x"]
+
+
+def test_big_int_widens_to_float_lossily(ray_session, tmp_path):
+    """Regression (round-4 review): an int beyond the float mantissa next
+    to a real float must WIDEN with rounding (Java doubleValue()
+    semantics), not crash align_table's safe cast on valid JSON."""
+    import json as _json
+
+    from json_to_parquet_ray.json_source import json_to_parquet_job
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(_json.dumps({"a": 9007199254740993}) + "\n"
+                 + _json.dumps({"a": 0.5}) + "\n")
+    out = str(tmp_path / "out")
+    schema = json_to_parquet_job(str(p), out)
+    assert pa.types.is_floating(schema.field("a").type)
+    t = pq.read_table(out)
+    got = sorted(x for x in t.column("a").to_pylist())
+    assert got[0] == 0.5 and abs(got[1] - 9007199254740993) <= 1
+
+
+def test_mixed_scalar_array_within_one_doc(ray_session, tmp_path):
+    """Regression (round-4 review): [1, "x"] inside ONE document widens
+    its elements to string (the cross-document conflict resolution),
+    never crashes the per-doc fallback."""
+    import json as _json
+
+    from json_to_parquet_ray.json_source import json_to_parquet_job
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(_json.dumps({"id": 1, "a": [1, "x", True]}) + "\n"
+                 + _json.dumps({"id": 2, "a": ["y"]}) + "\n")
+    out = str(tmp_path / "out")
+    json_to_parquet_job(str(p), out)
+    t = pq.read_table(out)
+    by_id = {r["id"]: r["a"] for r in t.to_pylist()}
+    assert by_id[1] == ["1", "x", "true"]
+    assert by_id[2] == ["y"]
+
+
+def test_widened_string_keeps_timestamp_text(ray_session, tmp_path):
+    """Regression (round-4 review): when unify widens a timestamp-looking
+    column to string (a non-date value elsewhere), the output preserves
+    the ORIGINAL lexical text — the strict widened-schema parse runs
+    first instead of per-block inference + reformatting cast."""
+    import json as _json
+
+    from json_to_parquet_ray.json_source import json_to_parquet_job
+
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    a.write_text(_json.dumps({"t": "2024-01-01T10:00:00"}) + "\n")
+    b.write_text(_json.dumps({"t": "not a date"}) + "\n")
+    out = str(tmp_path / "out")
+    schema = json_to_parquet_job([str(a), str(b)], out)
+    assert pa.types.is_string(schema.field("t").type)
+    vals = set(pq.read_table(out).column("t").to_pylist())
+    assert vals == {"2024-01-01T10:00:00", "not a date"}
