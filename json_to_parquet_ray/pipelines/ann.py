@@ -49,6 +49,12 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     q_ref = ray.put(qn)  # broadcast once; tasks read zero-copy from the store
 
     def topk_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # bucket filters upstream (ivf_topk's nprobe pruning) leave
+            # whole batches empty — a (0,0) matmul would crash
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             key: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         q = ray.get(q_ref)
         emb = embedding_matrix(batch.column(vec_col))
         keys = batch.column(key).to_numpy(zero_copy_only=False)
@@ -99,6 +105,9 @@ def assign_buckets(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     c_ref = ray.put(_normalize(centroids))
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: typed empty, no matmul
+            return batch.append_column("ivf_bucket",
+                                       pa.array([], pa.int64()))
         C = ray.get(c_ref)
         emb = _normalize(embedding_matrix(batch.column(vec_col)))
         bucket = (emb @ C.T).argmax(axis=1).astype(np.int64)

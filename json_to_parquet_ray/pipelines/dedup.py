@@ -29,6 +29,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ------------------------------------------------------------------ exact
 
@@ -613,18 +614,27 @@ def cluster_min_label(edges_ds, max_iters: int = 50):
                 "is_edge": pa.array(np.zeros(len(b), np.bool_))}),
             batch_format="pyarrow")
 
-        def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g[~g["is_edge"]][["u", "label"]]
-            edg = g[g["is_edge"]][["u", "v"]]
-            if not len(edg) or not len(lab):
-                return _empty_df({"node": "int64", "label": "int64"})
-            m = edg.merge(lab, on="u", how="inner")
-            return pd.DataFrame({"node": m["v"].astype("int64"),
-                                 "label": m["label"].astype("int64")})
+        def bucket_merge(g: pa.Table) -> pa.Table:
+            # filter in ARROW first: the mixed group frame holds nulls in
+            # v (label rows) and label (edge rows), and a whole-frame
+            # pandas conversion would coerce those int64 columns to
+            # float64 — silently rounding node ids >= 2^53 to the wrong
+            # document. The filtered selections are null-free, so their
+            # pandas merge stays exact int64.
+            mask = g.column("is_edge").combine_chunks()
+            edg_t = g.filter(mask).select(["u", "v"])
+            lab_t = g.filter(pc.invert(mask)).select(["u", "label"])
+            if edg_t.num_rows == 0 or lab_t.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            m = edg_t.to_pandas().merge(lab_t.to_pandas(), on="u",
+                                        how="inner")
+            return pa.table({
+                "node": pa.array(m["v"].to_numpy().astype(np.int64)),
+                "label": pa.array(m["label"].to_numpy().astype(np.int64))})
 
         cand = (edges_sym.union(lab_rows).groupby("bucket")
-                .map_groups(bucket_merge, batch_format="pandas")
-                .map_batches(lambda b: b, batch_format="pyarrow"))  # arrow blocks for union
+                .map_groups(bucket_merge, batch_format="pyarrow"))
         labels = (cand.union(labels)
                   .groupby("node").aggregate(Min("label", alias_name="label"))
                   .map_batches(norm, batch_format="pyarrow")).materialize()
@@ -730,9 +740,8 @@ class SimHash:
     CACHE_CAP = 1_000_000  # bounds actor memory on unbounded-cardinality
     # token streams (URLs, UUIDs); same policy as BpeEncoder
 
-    def __init__(self, col: str = "text", key: str = "doc_id"):
+    def __init__(self, col: str = "text"):
         self.col = col
-        self.key = key
         self._cache: dict[str, int] = {}
 
     def _hash_tokens(self, uniq: list[str]) -> np.ndarray:
@@ -799,9 +808,9 @@ class SimHash:
             "simhash", pa.array(sig.astype(np.int64), pa.int64()))
 
 
-def simhash_batch(batch: pa.Table, col: str = "text", key: str = "doc_id") -> pa.Table:
+def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Stateless wrapper kept for API/test compatibility."""
-    return SimHash(col, key)(batch)
+    return SimHash(col)(batch)
 
 
 def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
@@ -810,7 +819,9 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
 
     Banding uses ``max_hamming + 1`` bands (pigeonhole: any pair within
     the Hamming budget must agree exactly on at least one band)."""
-    sims = ds.map_batches(SimHash, fn_constructor_args=(col, key),
+    # SimHash keys on nothing — it appends a signature column; ``key``
+    # matters only to the banding/emit stages below
+    sims = ds.map_batches(SimHash, fn_constructor_args=(col,),
                           batch_format="pyarrow", concurrency=(1, 4))
     if max_hamming > 7:
         # 8 bands is the most 64 bits can give at width 8; past that the
@@ -844,9 +855,7 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
     # collision-bucket prefilter (shared _collision_rows helper)
     _hot, hot_rows = _collision_rows(keyed, "bkey")
     if hot_rows is None:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
+        return _empty_df({"a": "int64", "b": "int64", "hamming": "int64"})
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         # no bucket cap: the pigeonhole recall guarantee (and the SQL
@@ -872,9 +881,7 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
     pairs = (hot_rows.groupby("bkey").map_groups(emit, batch_format="pandas")
              ).to_pandas()
     if len(pairs) == 0 or "a" not in pairs.columns:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
+        return _empty_df({"a": "int64", "b": "int64", "hamming": "int64"})
     return pairs.drop_duplicates(subset=["a", "b"])
 
 
@@ -966,14 +973,17 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
             # a candidate-free batch must emit a typed empty block — a
             # FixedSizeListArray of size 0 raises ArrowInvalid
             return pa.table({key: pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.binary())})
+                             "vec": pa.array([], pa.large_binary())})
         emb = embedding_matrix(sel.column(vec_col))
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
                                1e-12)
         n, dim = emb.shape
-        offs = (np.arange(n + 1, dtype=np.int32) * dim * 8)
+        # int64 offsets + large_binary: int32 offsets silently wrap
+        # negative once a batch's payload passes 2 GiB (40k rows of
+        # dim-8192 float64 vectors) and the shard would hold garbage
+        offs = (np.arange(n + 1, dtype=np.int64) * dim * 8)
         vec = pa.Array.from_buffers(
-            pa.binary(), n,
+            pa.large_binary(), n,
             [None, pa.py_buffer(offs.tobytes()),
              pa.py_buffer(np.ascontiguousarray(emb, np.float64).tobytes())])
         return pa.table({key: sel.column(key).cast(pa.int64()), "vec": vec})

@@ -47,14 +47,21 @@ class DecodeMedia:
     """
 
     def __init__(self, payload_col: str = "payload", strict: bool = False,
-                 force_stub: bool = False):
+                 force_stub: bool = False, keep_payload: bool = False):
         # force_stub pins the deterministic fake even when Pillow exists —
         # the oracled query uses it so its golden SQL is environment-
         # independent; real pipelines leave it False and get the real
-        # decoder automatically when the library is installed
+        # decoder automatically when the library is installed.
+        # keep_payload threads the binary column through to a downstream
+        # payload consumer (media_pipeline chains ExtractFeatures).
         self.payload_col = payload_col
         self.has_decoder = try_import_pillow() and not force_stub
         self.strict = strict
+        self.keep_payload = keep_payload
+
+    def _finish(self, batch: pa.Table) -> pa.Table:
+        return batch if self.keep_payload \
+            else batch.drop_columns([self.payload_col])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -86,7 +93,7 @@ class DecodeMedia:
         w = (16 + (mix % np.uint64(1024))).astype(np.int32)
         h = (16 + ((mix >> np.uint64(10)) % np.uint64(1024))).astype(np.int32)
         mask = ~valid
-        return (batch.drop_columns([self.payload_col])
+        return (self._finish(batch)
                 .append_column("width", pa.array(w, pa.int32(), mask=mask))
                 .append_column("height", pa.array(h, pa.int32(), mask=mask))
                 .append_column("n_bytes", pa.array(lens, pa.int64()))
@@ -116,7 +123,7 @@ class DecodeMedia:
                     oks.append(True)
             except Exception:
                 ws.append(None), hs.append(None), oks.append(False)
-        return (batch.drop_columns([self.payload_col])
+        return (self._finish(batch)
                 .append_column("width", pa.array(ws, pa.int32()))
                 .append_column("height", pa.array(hs, pa.int32()))
                 .append_column("n_bytes", pa.array(lens, pa.int64()))
@@ -284,7 +291,12 @@ def frame_sample_batch(batch: pa.Table, payload_col: str = "payload",
 
 
 def media_pipeline(ds, batch_size: int = 64, concurrency=(1, 4)):
-    """decode → features over a binary column; small batches on purpose."""
+    """decode → features over a binary column; small batches on purpose
+    (payloads are large). DecodeMedia keeps the payload through so
+    ExtractFeatures can consume it; ExtractFeatures drops it."""
     decoded = ds.map_batches(DecodeMedia, batch_size=batch_size,
-                             batch_format="pyarrow", concurrency=concurrency)
-    return decoded
+                             batch_format="pyarrow", concurrency=concurrency,
+                             fn_constructor_kwargs={"keep_payload": True})
+    return decoded.map_batches(ExtractFeatures, batch_size=batch_size,
+                               batch_format="pyarrow",
+                               concurrency=concurrency)

@@ -559,3 +559,63 @@ def test_multimodal_real_decode_with_pillow():
     assert out.column("n_bytes").to_pylist() == [len(png), 12, 0]
     stub = multimodal.DecodeMedia(force_stub=True)(t)
     assert stub.schema.equals(out.schema)
+
+
+def test_media_pipeline_chains_decode_and_features(ray_session):
+    """Round-4 review: media_pipeline must actually deliver decode AND
+    feature columns (DecodeMedia keeps the payload through for
+    ExtractFeatures, which drops it)."""
+    import ray
+
+    t = pa.table({"media_id": pa.array(range(8), pa.int64()),
+                  "payload": pa.array([bytes([i] * 50) for i in range(8)],
+                                      pa.binary())})
+    out = multimodal.media_pipeline(ray.data.from_arrow(t)).to_pandas()
+    cols = set(out.columns)
+    assert {"media_id", "width", "height", "decode_ok",
+            "feat_nnz", "feat_argmax"} <= cols
+    assert "payload" not in cols
+    assert len(out) == 8
+
+
+def test_ann_empty_bucket_batches(ray_session):
+    """Round-4 review: nprobe pruning leaves whole batches empty — the
+    brute-force and bucket-assign stages must pass them through instead
+    of crashing on a (0,0) matmul."""
+    import ray
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((40, 8))
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in emb])})
+    ds = ray.data.from_arrow(t).repartition(8)
+    # filter that empties most blocks
+    import pyarrow.compute as _pc
+
+    sparse = ds.map_batches(
+        lambda b: b.filter(_pc.less(b.column("vec_id"), 3)),
+        batch_format="pyarrow")
+    df = ann.brute_force_topk(sparse, emb[:2], k=2)
+    assert set(df["query_id"]) == {0, 1}
+    out = ann.assign_buckets(sparse, emb[:4]).to_pandas()
+    assert len(out) == 3 and "ivf_bucket" in out.columns
+
+
+def test_cluster_min_label_exact_big_ids(ray_session):
+    """Round-4 review: node ids >= 2^53 must survive min-label
+    propagation exactly (the bucket merge previously round-tripped
+    null-bearing int64 columns through pandas float64)."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.dedup import cluster_min_label
+
+    big = 2**53
+    edges = pa.table({
+        "a": pa.array([big, big + 1, 7], pa.int64()),
+        "b": pa.array([big + 1, big + 3, 9], pa.int64()),
+    })
+    labels = cluster_min_label(ray.data.from_arrow(edges)).to_pandas()
+    got = dict(zip(labels["node"].astype("int64"),
+                   labels["label"].astype("int64")))
+    assert got[big] == big and got[big + 1] == big and got[big + 3] == big
+    assert got[7] == 7 and got[9] == 7
