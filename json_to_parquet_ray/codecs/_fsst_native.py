@@ -135,8 +135,8 @@ def _build() -> ctypes.CDLL | None:
         with tempfile.NamedTemporaryFile("w", suffix=".c", delete=False) as f:
             f.write(_C_SRC)
             src = f.name
+        tmp_so = cache + f".build.{os.getpid()}"
         try:
-            tmp_so = cache + f".build.{os.getpid()}"
             subprocess.run(
                 ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
                 check=True, capture_output=True, timeout=60,
@@ -146,6 +146,12 @@ def _build() -> ctypes.CDLL | None:
             return None
         finally:
             os.unlink(src)
+            # a failed/timed-out compile leaves a partial .so.build.<pid>
+            # behind — repeated failures on a cluster would accumulate
+            try:
+                os.unlink(tmp_so)
+            except OSError:
+                pass
     try:
         lib = ctypes.CDLL(cache)
     except OSError:

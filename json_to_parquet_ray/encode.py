@@ -109,11 +109,10 @@ def encode_table(table: pa.Table, plan: CodecPlan | None = None,
 
 
 def read_chunk_header(blob: bytes) -> tuple[dict, int]:
-    if blob[:4] != MAGIC:  # explicit (assert is stripped under python -O)
-        raise ValueError("not an RDE1 chunk file")
-    hlen = int.from_bytes(blob[4:12], "little")
-    header = json.loads(blob[12 : 12 + hlen])
-    return header, 12 + hlen
+    import io
+
+    # one preamble parser for bytes and files alike — see _read_header
+    return _read_header(io.BytesIO(blob))
 
 
 def _bloom_rejects(f, header: dict, base: int, schema: pa.Schema,
@@ -193,9 +192,10 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
             f, header, base, schema, eq_prune)
         if columns is None and not rejected:
             # surviving full-projection decode: fall back to the single
-            # sequential read (the header parse is reused via the blob)
+            # sequential read, reusing the already-parsed header
             f.seek(0)
-            return decode_table(f.read(), verify_crc=verify_crc)
+            return decode_table(f.read(), verify_crc=verify_crc,
+                                header_base=(header, base))
         by_name = {c["name"]: c for c in header["columns"]}
         want = (list(columns) if columns is not None
                 else [c["name"] for c in header["columns"]])
@@ -221,8 +221,12 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
 def _rows_only(n: int) -> pa.Table:
     """0-column table that still CARRIES its row count — an empty (or
     all-missing under schema evolution) projection must not collapse the
-    chunk's rows to zero; align_table can then null-fill n rows."""
-    rb = pa.RecordBatch.from_struct_array(pa.array([{}] * n, pa.struct([])))
+    chunk's rows to zero; align_table can then null-fill n rows.
+    Constant-space: one struct row replicated via take, never an n-element
+    Python list."""
+    one = pa.array([{}], pa.struct([]))
+    rb = pa.RecordBatch.from_struct_array(
+        one.take(pa.nulls(n, pa.int64()).fill_null(0)))
     return pa.Table.from_batches([rb], schema=pa.schema([]))
 
 
