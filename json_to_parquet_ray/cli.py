@@ -19,8 +19,9 @@ import sys
 
 
 def _parse_zone_filter(s: str) -> dict:
-    """COLUMN=LO,HI range or COLUMN=V1|V2|V3 IN-list → zone_filter dict.
-    Bounds parse as int, then float, else stay strings (timestamp/text)."""
+    """COLUMN=LO,HI range, COLUMN=V equality, or COLUMN=V1|V2|V3 IN-list
+    → zone_filter dict. Bounds parse as int, then float, else stay
+    strings (timestamp/text)."""
     def bound(v: str):
         if v == "":
             return None
@@ -31,17 +32,29 @@ def _parse_zone_filter(s: str) -> dict:
                 pass
         return v
 
-    col, _, rng = s.partition("=")
+    col, eq, rng = s.partition("=")
+    if not col or not eq:
+        raise SystemExit(
+            f"--zone-filter {s!r}: expected COLUMN=LO,HI, COLUMN=V, or "
+            f"COLUMN=V1|V2|V3")
     if "|" in rng:
         return {col: [bound(v) for v in rng.split("|")]}
+    if "," not in rng:
+        # a single value is an EQUALITY, not the open range (v, None) —
+        # a point lookup must never silently return a superset
+        v = bound(rng)
+        return {col: (v, v)}
     lo, _, hi = rng.partition(",")
     return {col: (bound(lo), bound(hi))}
 
 
 def _ray_session():
+    """Returns (ray, owns_session): shutdown only what this CLI started —
+    an embedding program's already-initialized session must survive."""
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
         # no hardcoded address: ray.init() honors RAY_ADDRESS ("local" in
         # the sandbox) and attaches to the running cluster when the CLI
         # ships as a `ray job submit` driver — address="local" would
@@ -51,7 +64,7 @@ def _ray_session():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, owns
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -128,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--max-words", type=int, default=50_000)
 
     args = p.parse_args(argv)
-    ray = _ray_session()
+    ray, owns_session = _ray_session()
     try:
         if args.cmd == "json2parquet":
             from .json_source import json_to_parquet_job
@@ -230,9 +243,13 @@ def main(argv: list[str] | None = None) -> int:
             import os as _os
 
             if _os.path.isdir(first):
-                first = next(_os.path.join(first, f)
-                             for f in sorted(_os.listdir(first))
-                             if f.endswith(".parquet"))
+                first = next((_os.path.join(first, f)
+                              for f in sorted(_os.listdir(first))
+                              if f.endswith(".parquet")), None)
+                if first is None:
+                    raise SystemExit(
+                        f"plan: no .parquet files found at the top level "
+                        f"of {args.inputs[0]!r}")
             schema = pq.read_schema(first).remove_metadata()
             plan = plan_from_stats(stats, schema)
             print(json.dumps(plan.to_json(), sort_keys=True))
@@ -248,7 +265,8 @@ def main(argv: list[str] | None = None) -> int:
                               "merges_learned": len(merges),
                               "vocab_size": 256 + len(merges)}))
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a caller's shared session
+            ray.shutdown()
     return 0
 
 

@@ -10,7 +10,8 @@ Generation is fully deterministic (numpy Generator seeded with ``seed``):
 - ``warc_ts``: monotone non-decreasing from 2025-01-01T00:00:00Z, seeded
   inter-arrival gaps in [0, 5 s], occasional repeats (runs).
 - ``html``: pseudo-HTML tag soup wrapped around ``text``, ~5-10x its size.
-- ``text``: sentences from a 500-word vocabulary, 100 B - 8 KiB.
+- ``text``: sentences from a 500-word vocabulary, TARGET lengths
+  100 B - 8 KiB (short-word draws can undershoot the low end).
 - ``lang``: "en" w.p. 0.97 else one of {de, fr, es, zh} (near-constant).
 
 No external data; runs at any row count. Also provides the codec-stress
@@ -86,7 +87,8 @@ def make_cc_table(num_rows: int, seed: int = 42, zipf_s: float = 1.2,
     gaps[rng.random(num_rows) < 0.15] = 0  # repeated timestamps → runs
     ts = _WARC_EPOCH_US + np.cumsum(gaps)
 
-    # text: sentences from the vocabulary, 100 B - 8 KiB
+    # text: sentences from the vocabulary, target 100 B - 8 KiB
+    # (approximate at the low end: short-word draws may undershoot)
     texts = []
     htmls = []
     target = rng.integers(100, 8192, size=num_rows)
@@ -128,7 +130,15 @@ def cc_dataset_dir(base_dir: str, num_rows: int, seed: int = 42,
 
     One file per shard, each generated deterministically from
     (seed + shard_index) — so any scale is reproducible and generation
-    parallelizes across the cluster. Returns the directory.
+    parallelizes. Returns the directory.
+
+    TEST FIXTURE, single-node/shared-FS assumption: shard tasks write to
+    a plain local path, so on a multi-node cluster without shared storage
+    the shards would scatter across nodes — benches and tests run
+    single-node by design. Generation is staged into a pid-suffixed dir
+    and atomically renamed in, so a CONCURRENT generator (bench + oracle
+    check on the same base_dir) can never expose a half-written dataset
+    behind the _DONE marker; the losing generator discards its copy.
     """
     import ray
 
@@ -137,7 +147,8 @@ def cc_dataset_dir(base_dir: str, num_rows: int, seed: int = 42,
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
-    os.makedirs(out, exist_ok=True)
+    staging = f"{out}.gen.{os.getpid()}"
+    os.makedirs(staging, exist_ok=True)
     shards = [
         {"shard": i, "rows": min(shard_rows, num_rows - i * shard_rows)}
         for i in range((num_rows + shard_rows - 1) // shard_rows)
@@ -148,15 +159,29 @@ def cc_dataset_dir(base_dir: str, num_rows: int, seed: int = 42,
 
         for item in batch.to_pylist():
             t = make_cc_table(item["rows"], seed=seed + item["shard"])
-            _pq.write_table(t, os.path.join(out, f"shard-{item['shard']:04d}.parquet"),
-                            row_group_size=row_group_size)
+            _pq.write_table(
+                t, os.path.join(staging, f"shard-{item['shard']:04d}.parquet"),
+                row_group_size=row_group_size)
         return batch
 
     ray.data.from_items(shards).map_batches(
         gen, batch_size=1, batch_format="pyarrow"
     ).materialize()
-    with open(done, "w") as f:
+    with open(os.path.join(staging, "_DONE"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(staging, out)
+    except OSError:
+        # another generator won the race (identical deterministic data);
+        # or a stale incomplete `out` exists from a crashed run — replace
+        # it only if it never completed
+        import shutil
+
+        if os.path.exists(done):
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(staging, out)
     return out
 
 

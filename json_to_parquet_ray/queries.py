@@ -593,13 +593,26 @@ def q_top_docs_by_chars(sf_dir: str):
     return top.to_pandas()
 
 
+def _broadcast_table(ds, cap: int = 10_000_000) -> pa.Table:
+    """Materialize the SMALL side of a broadcast join; fails LOUDLY when
+    it exceeds the cap — ``take_batch`` alone silently truncates, which
+    would turn the truncated keys into null join results and silently
+    wrong counts. Past the cap the right tool is ``shuffle.hash_join``."""
+    t = ds.take_batch(cap + 1, batch_format="pyarrow")
+    if t.num_rows > cap:
+        raise ValueError(
+            f"broadcast side has more than {cap} rows — use "
+            f"shuffle.hash_join (distributed) instead of a broadcast join")
+    return t
+
+
 def q_orders_by_segment(sf_dir: str):
     """Broadcast hash join: small customer side shipped once via ray.put,
     probed per batch — no shuffle of the fact table."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .take_batch(10_000_000, batch_format="pyarrow")
+    cust = _broadcast_table(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
     cust_ref = ray.put(cust)  # broadcast the small side ONCE as an Arrow table
 
     def join_batch(batch: pa.Table) -> pa.Table:
@@ -678,7 +691,10 @@ def q_quantiles_n_chars(sf_dir: str):
     ds = _read(sf_dir, "documents", ["n_chars"])
 
     def vc(b: pa.Table) -> pa.Table:
-        c = b.column("n_chars").value_counts()
+        # drop nulls BEFORE counting: quantile_disc ignores NULLs, so a
+        # null bucket would shift every quantile index (and int(NaN)
+        # crashes if a quantile lands on it)
+        c = b.column("n_chars").drop_null().value_counts()
         return pa.table({"v": c.field("values"),
                          "n": c.field("counts").cast(pa.int64())})
 
@@ -703,10 +719,10 @@ def q_orders_per_nation(sf_dir: str):
     index_in/take — the fact table is never shuffled."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .take_batch(10_000_000, batch_format="pyarrow")
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]) \
-        .take_batch(10_000_000, batch_format="pyarrow")
+    cust = _broadcast_table(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    nation = _broadcast_table(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]))
     c_ref, n_ref = ray.put(cust), ray.put(nation)
 
     def probe(b: pa.Table) -> pa.Table:
@@ -782,9 +798,15 @@ def q_events_type_stats(sf_dir: str):
         Sum("s", alias_name="s"), Sum("sq", alias_name="sq"),
         Sum("n", alias_name="n")).to_pandas()
     out["mean_value"] = (out["s"] / out["n"]).round(4)
-    # sample stddev: sqrt((sumsq - n*mean^2) / (n-1))
-    out["std_value"] = np.sqrt(
-        (out["sq"] - out["s"] ** 2 / out["n"]) / (out["n"] - 1)).round(4)
+    # sample stddev: sqrt((sumsq - n*mean^2) / (n-1)). Clamp the variance
+    # at 0 (catastrophic cancellation can drive it epsilon-negative) and
+    # return NULL for single-row groups — STDDEV_SAMP semantics, where
+    # the raw formula gives 0/0 = NaN and the hash compare would diverge
+    var = (out["sq"] - out["s"] ** 2 / out["n"]) / (out["n"] - 1)
+    std = np.sqrt(np.maximum(var, 0.0)).round(4)
+    out["std_value"] = pd.array(
+        np.where(out["n"] > 1, std, np.nan), dtype="Float64")
+    out.loc[out["n"] <= 1, "std_value"] = pd.NA
     out = out.sort_values("event_type").reset_index(drop=True)
     return out[["event_type", "mean_value", "std_value"]]
 
