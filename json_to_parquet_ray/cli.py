@@ -126,6 +126,13 @@ def main(argv: list[str] | None = None) -> int:
     cmp.add_argument("out_dir")
     cmp.add_argument("--min-rows", type=int, default=100_000)
 
+    gcp = sub.add_parser(
+        "gc", help="reclaim orphaned store bytes: chunks no manifest "
+                   "record claims (compaction crash windows, keyed "
+                   "re-encodes), torn write temps, stale staging "
+                   "manifests. Run offline — no concurrent writer.")
+    gcp.add_argument("out_dir")
+
     st = sub.add_parser("stats", help="per-column statistics of parquet input")
     st.add_argument("inputs", nargs="+")
 
@@ -220,6 +227,10 @@ def main(argv: list[str] | None = None) -> int:
             res = compact_job(args.out_dir, min_rows=args.min_rows)
             res.pop("merged", None)
             print(json.dumps(res))
+        elif args.cmd == "gc":
+            from .pipelines.encode_job import gc_job
+
+            print(json.dumps(gc_job(args.out_dir)))
         elif args.cmd == "stats":
             from .stats import compute_stats
 

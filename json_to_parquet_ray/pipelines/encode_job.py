@@ -925,6 +925,104 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
             "merged": results}
 
 
+def gc_job(out_dir: str) -> dict:
+    """Reclaim orphaned bytes from an encoded store (main or keyed).
+
+    Orphans arise from three crash/rewrite windows, none of which affect
+    READ correctness (``effective_records`` / the keyed manifest already
+    refuse to decode the losers) but all of which strand chunk bytes:
+
+    * ``compact_job`` killed between committing merged records and
+      retiring the old ones — the superseded plain records lose manifest
+      reconciliation but their records + chunks stay on disk;
+    * ``keyed_encode`` re-encodes — the new generation's partition ids
+      differ wherever data or hot-keys changed, so the old generation's
+      chunks become unreferenced (keyed_store.py:56-59 swaps only the
+      manifest); a keyed_encode killed mid-run also leaves an
+      uncommitted ``_keyed_manifest.new`` staging dir;
+    * torn ``write_atomic`` temps (``*.tmp.<pid>``) from a killed task.
+
+    Deletes, in order: manifest records that lost reconciliation, then
+    every ``*.rde`` under ``out_dir`` no surviving record claims, every
+    atomic-write temp, stale keyed staging manifests, and now-empty
+    shard dirs. OFFLINE operation: run with no concurrent writer —
+    encode commits chunk bytes BEFORE the manifest record, so gc racing
+    a live job would reclaim a chunk about to be committed.
+    """
+    from ..manifest import manifest_dir, record_path
+    from .keyed_store import _manifest_dir as _keyed_mdir
+    from .keyed_store import keyed_manifest
+
+    has_main = os.path.isdir(manifest_dir(out_dir))
+    has_keyed = os.path.isdir(_keyed_mdir(out_dir))
+    if not (has_main or has_keyed):
+        raise ValueError(
+            f"gc: {out_dir!r} has neither _manifest nor _keyed_manifest — "
+            f"refusing to sweep a directory that is not an encoded store")
+
+    live: set[str] = set()
+    records_retired = 0
+    if has_main:
+        eff = {r.partition_id for r in effective_records(out_dir)}
+        for pid, rec in load_manifest(out_dir).items():
+            if pid in eff:
+                live.add(os.path.normpath(rec.chunk_file))
+            else:
+                # lost reconciliation (stale generation / torn merge):
+                # retire the record; its chunk falls to the sweep below
+                try:
+                    os.remove(record_path(out_dir, pid))
+                    records_retired += 1
+                except OSError:
+                    pass
+    staging_removed = 0
+    if has_keyed:
+        live |= {os.path.normpath(r["chunk_file"])
+                 for r in keyed_manifest(out_dir)}
+        for suffix in (".new", ".old"):
+            stale = _keyed_mdir(out_dir) + suffix
+            if os.path.isdir(stale):
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+                staging_removed += 1
+
+    chunks_deleted = tmps_deleted = 0
+    bytes_reclaimed = 0
+    for root, dirs, files in os.walk(out_dir, topdown=False):
+        for name in files:
+            p = os.path.join(root, name)
+            rel = os.path.normpath(os.path.relpath(p, out_dir))
+            victim = None
+            if ".tmp." in name:
+                victim = "tmp"
+            elif name.endswith(".rde") and rel not in live:
+                victim = "chunk"
+            if victim:
+                try:
+                    sz = os.path.getsize(p)
+                    os.remove(p)
+                except OSError:
+                    continue
+                bytes_reclaimed += sz
+                if victim == "chunk":
+                    chunks_deleted += 1
+                else:
+                    tmps_deleted += 1
+        # drop shard dirs the sweep emptied (topdown=False: children first)
+        if os.path.basename(root).startswith("shard-"):
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+    return {"chunks_deleted": chunks_deleted,
+            "bytes_reclaimed": bytes_reclaimed,
+            "records_retired": records_retired,
+            "tmps_deleted": tmps_deleted,
+            "staging_dirs_removed": staging_removed,
+            "chunks_live": len(live)}
+
+
 def verify_job(out_dir: str) -> dict:
     """Distributed bit-identical verification: decode every chunk and compare
     against its recorded input fragment. Returns {partitions, ok, failed:[...]}.

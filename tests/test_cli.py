@@ -75,6 +75,20 @@ def test_cli_stats_plan_and_zone_decode(tmp_path):
     back = pq.read_table(dec)
     assert sorted(back.column("id").to_pylist()) == list(range(300, 500))
 
+    # gc: an orphaned chunk + torn temp are reclaimed, store stays green
+    orphan = os.path.join(enc, "shard-fff", "part-fff.rde")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"x" * 100)
+    with open(os.path.join(enc, "part-a.rde.tmp.1"), "wb") as f:
+        f.write(b"y")
+    gc = run_cli("gc", enc)
+    assert gc["chunks_deleted"] == 1 and gc["tmps_deleted"] == 1
+    assert gc["bytes_reclaimed"] >= 101
+    assert not os.path.exists(orphan)
+    ver = run_cli("verify", enc)
+    assert ver["failed"] == []
+
 
 def test_cli_cluster_scan_stats_and_in_list_decode(tmp_path):
     """Round-4 CLI additions in one store: cluster (sort-cluster encode

@@ -929,3 +929,93 @@ def test_validate_zone_bounds_rejects_partial_ts_literal(ray_session,
         with _pytest.raises(ValueError, match="full literal"):
             validate_zone_bounds(recs, bad)
     validate_zone_bounds(recs, {"warc_ts": ("2024-01-01T00:00:00", None)})
+
+
+def test_gc_job_reclaims_orphans(ray_session, cc_parquet, tmp_path):
+    """gc: stale-generation records retire, unclaimed chunks and torn
+    write temps are deleted, and verify/decode stay green."""
+    from json_to_parquet_ray.manifest import (
+        PartitionRecord,
+        effective_records,
+        record_path,
+        write_atomic,
+    )
+    from json_to_parquet_ray.pipelines.encode_job import gc_job
+
+    out = str(tmp_path / "enc_gc")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    rows_before = decode_dataset(out).count()
+
+    # (a) an unreferenced chunk (compaction-crash leftover)
+    orphan = os.path.join(out, "shard-0ab", "part-0abcdef.rde")
+    write_atomic(orphan, b"x" * 1024)
+    # (b) a torn atomic-write temp
+    tmp = os.path.join(out, "shard-0ab", "part-zzz.rde.tmp.123")
+    with open(tmp, "wb") as f:
+        f.write(b"y" * 10)
+    # (c) a stale plain record losing manifest reconciliation: same
+    # fragment as a live record but smaller row coverage
+    live = effective_records(out)[0]
+    stale_frag = dict(live.fragment)
+    stale_frag["num_rows"] = max(1, live.num_rows // 2)
+    stale = PartitionRecord(
+        partition_id="deadbeefdeadbeef", fragment=stale_frag,
+        num_rows=stale_frag["num_rows"],
+        chunk_file=os.path.join("shard-dea", "part-dead.rde"),
+        chunk_size=4)
+    write_atomic(os.path.join(out, stale.chunk_file), b"abcd")
+    write_atomic(record_path(out, stale.partition_id),
+                 stale.to_json().encode())
+    assert stale.partition_id in load_manifest(out)
+
+    res = gc_job(out)
+    assert res["records_retired"] == 1
+    assert res["chunks_deleted"] == 2   # the orphan + the stale chunk
+    assert res["tmps_deleted"] == 1
+    assert res["bytes_reclaimed"] >= 1024 + 10 + 4
+    assert not os.path.exists(orphan) and not os.path.exists(tmp)
+    assert stale.partition_id not in load_manifest(out)
+
+    assert verify_job(out)["failed"] == []
+    assert decode_dataset(out).count() == rows_before
+    res2 = gc_job(out)  # idempotent: nothing left to reclaim
+    assert res2["chunks_deleted"] == 0 and res2["records_retired"] == 0
+
+
+def test_gc_job_keyed_store_re_encode(ray_session, tmp_path):
+    """gc on a keyed store: a re-encode's previous generation (chunks no
+    manifest record claims) and an uncommitted staging manifest are
+    reclaimed; the current generation stays readable."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import keyed_store
+    from json_to_parquet_ray.pipelines.encode_job import gc_job
+
+    out = str(tmp_path / "ks_gc")
+    t1 = pa.table({"id": pa.array(range(100), pa.int64()),
+                   "k": pa.array(["a"] * 50 + ["b"] * 50)})
+    keyed_store.keyed_encode(ray.data.from_arrow(t1), out, "k", "id")
+    gen1 = {r["chunk_file"] for r in keyed_store.keyed_manifest(out)}
+    assert len(gen1) == 2
+
+    t2 = pa.table({"id": pa.array(range(100), pa.int64()),
+                   "k": pa.array(["c"] * 50 + ["d"] * 50)})
+    keyed_store.keyed_encode(ray.data.from_arrow(t2), out, "k", "id")
+    os.makedirs(keyed_store._manifest_dir(out) + ".new", exist_ok=True)
+
+    res = gc_job(out)
+    assert res["chunks_deleted"] == len(gen1)
+    assert res["staging_dirs_removed"] == 1
+    for cf in gen1:
+        assert not os.path.exists(os.path.join(out, cf))
+    ds, _ = keyed_store.keyed_read(out)
+    got = ds.to_pandas()
+    assert len(got) == 100
+    assert sorted(got["k"].unique()) == ["c", "d"]
+
+
+def test_gc_job_refuses_non_store(tmp_path):
+    from json_to_parquet_ray.pipelines.encode_job import gc_job
+
+    with pytest.raises(ValueError, match="neither"):
+        gc_job(str(tmp_path))
