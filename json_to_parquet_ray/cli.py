@@ -94,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     dec = sub.add_parser("decode", help="decode chunks back to parquet")
     dec.add_argument("out_dir")
     dec.add_argument("parquet_out")
+    dec.add_argument("--columns", default=None,
+                     help="comma-separated projection — only these "
+                          "columns' byte ranges are read from each chunk")
     dec.add_argument("--zone-filter", default=None,
                      help="COLUMN=LO,HI inclusive range (empty side = "
                           "open) or COLUMN=V1|V2|V3 IN-list; values may "
@@ -193,7 +196,9 @@ def main(argv: list[str] | None = None) -> int:
 
             zf = (_parse_zone_filter(args.zone_filter)
                   if args.zone_filter else None)
-            decode_dataset(args.out_dir, zone_filter=zf).write_parquet(args.parquet_out)
+            cols = args.columns.split(",") if args.columns else None
+            decode_dataset(args.out_dir, columns=cols,
+                           zone_filter=zf).write_parquet(args.parquet_out)
             print(json.dumps({"out": args.parquet_out}))
         elif args.cmd == "scan-stats":
             from .pipelines.encode_job import (

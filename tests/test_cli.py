@@ -89,6 +89,14 @@ def test_cli_stats_plan_and_zone_decode(tmp_path):
     ver = run_cli("verify", enc)
     assert ver["failed"] == []
 
+    # projected decode: only the requested column comes back
+    dec2 = str(tmp_path / "dec2")
+    run_cli("decode", enc, dec2, "--columns", "id",
+            "--zone-filter", "id=0,99")
+    back2 = pq.read_table(dec2)
+    assert back2.column_names == ["id"]
+    assert sorted(back2.column("id").to_pylist()) == list(range(100))
+
 
 def test_cli_cluster_scan_stats_and_in_list_decode(tmp_path):
     """Round-4 CLI additions in one store: cluster (sort-cluster encode
