@@ -129,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
     cmp.add_argument("out_dir")
     cmp.add_argument("--min-rows", type=int, default=100_000)
 
+    con = sub.add_parser(
+        "consolidate", help="fold per-partition manifest JSONs into one "
+                            "parquet index (one driver read instead of "
+                            "10^7 file opens at scale); later encodes "
+                            "append JSON deltas that overlay it. Run "
+                            "offline — no concurrent writer.")
+    con.add_argument("out_dir")
+
     gcp = sub.add_parser(
         "gc", help="reclaim orphaned store bytes: chunks no manifest "
                    "record claims (compaction crash windows, keyed "
@@ -232,6 +240,10 @@ def main(argv: list[str] | None = None) -> int:
             res = compact_job(args.out_dir, min_rows=args.min_rows)
             res.pop("merged", None)
             print(json.dumps(res))
+        elif args.cmd == "consolidate":
+            from .manifest import consolidate
+
+            print(json.dumps(consolidate(args.out_dir)))
         elif args.cmd == "gc":
             from .pipelines.encode_job import gc_job
 

@@ -112,11 +112,42 @@ def write_atomic(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
-def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
-    mdir = manifest_dir(out_dir)
+def index_path(out_dir: str) -> str:
+    return os.path.join(manifest_dir(out_dir), "index.parquet")
+
+
+def _load_index(out_dir: str) -> dict[str, PartitionRecord]:
+    """Records from the consolidated parquet index (empty if none)."""
+    p = index_path(out_dir)
+    if not os.path.exists(p):
+        return {}
+    import pyarrow.parquet as pq
+
     out: dict[str, PartitionRecord] = {}
+    try:
+        rows = pq.read_table(p, columns=["json"]).column("json").to_pylist()
+    except Exception:
+        # unreadable index → same policy as a torn JSON record: the
+        # covered partitions simply re-encode (content-addressed ids
+        # make that idempotent), nothing decodes wrong
+        return {}
+    for raw in rows:
+        try:
+            rec = PartitionRecord(**json.loads(raw))
+        except (json.JSONDecodeError, TypeError):
+            continue
+        out[rec.partition_id] = rec
+    return out
+
+
+def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
+    """All records: the consolidated index (one parquet file) plus any
+    newer per-partition JSON deltas, which win on partition-id collision.
+    Without consolidation this is the original all-JSON layout."""
+    mdir = manifest_dir(out_dir)
     if not os.path.isdir(mdir):
-        return out
+        return {}
+    out = _load_index(out_dir)
     shard_dirs = [os.path.join(mdir, d) for d in sorted(os.listdir(mdir))
                   if d.startswith("shard-")]
     for sd in shard_dirs or [mdir]:
@@ -133,6 +164,68 @@ def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
                 continue  # torn record → partition will be re-encoded
             out[rec.partition_id] = rec
     return out
+
+
+def consolidate(out_dir: str) -> dict:
+    """Compact the per-partition JSON records into ONE parquet index.
+
+    ``load_manifest`` otherwise opens one JSON file per partition — at
+    10^7 partitions (100 TB-scale stores) that is 10^7 driver file opens
+    on EVERY resume/decode/verify. After consolidation the driver reads
+    one parquet file; later encodes keep appending JSON deltas that
+    overlay the index, and a re-consolidation folds them in.
+
+    Crash-safe: the new index is committed atomically FIRST, then the
+    covered JSON files are removed — a crash between the two leaves a
+    record present in both, which load_manifest resolves by partition id
+    (identical content, deltas win). Offline operation, like gc/compact.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    recs = load_manifest(out_dir)
+    if not recs:
+        return {"records_indexed": 0, "delta_files_removed": 0}
+    rows = [recs[pid].to_json() for pid in sorted(recs)]
+    p = index_path(out_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + f".tmp.{os.getpid()}"
+    pq.write_table(pa.table({"json": pa.array(rows, pa.string())}), tmp)
+    os.replace(tmp, p)
+    removed = 0
+    for pid in recs:
+        try:
+            os.remove(record_path(out_dir, pid))
+            removed += 1
+        except OSError:
+            pass
+    return {"records_indexed": len(rows), "delta_files_removed": removed}
+
+
+def retire_records(out_dir: str, pids: set[str]) -> int:
+    """Remove records by partition id, wherever they live — the JSON
+    delta file, the consolidated index (one atomic rewrite for the whole
+    batch), or both. Returns how many records existed and were removed."""
+    gone: set[str] = set()
+    for pid in pids:
+        try:
+            os.remove(record_path(out_dir, pid))
+            gone.add(pid)
+        except OSError:
+            pass
+    idx = _load_index(out_dir)
+    hit = pids & idx.keys()
+    if hit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        keep = [idx[pid].to_json() for pid in sorted(idx) if pid not in hit]
+        p = index_path(out_dir)
+        tmp = p + f".tmp.{os.getpid()}"
+        pq.write_table(pa.table({"json": pa.array(keep, pa.string())}), tmp)
+        os.replace(tmp, p)
+        gone |= hit
+    return len(gone)
 
 
 def effective_records(out_dir: str) -> list[PartitionRecord]:

@@ -909,13 +909,14 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
     results = ray.data.from_items(items).map_batches(
         merge, batch_size=1, batch_format="pyarrow").take_all()
 
-    # all merged chunks durable → retire the old records and chunk files
-    from ..manifest import record_path
+    # all merged chunks durable → retire the old records (JSON delta or
+    # consolidated-index resident) and chunk files
+    from ..manifest import retire_records
 
+    retire_records(out_dir, {r.partition_id for g in groups for r in g})
     for g in groups:
         for r in g:
             try:
-                os.remove(record_path(out_dir, r.partition_id))
                 os.remove(os.path.join(out_dir, r.chunk_file))
             except OSError:
                 pass
@@ -949,7 +950,7 @@ def gc_job(out_dir: str) -> dict:
     encode commits chunk bytes BEFORE the manifest record, so gc racing
     a live job would reclaim a chunk about to be committed.
     """
-    from ..manifest import manifest_dir, record_path
+    from ..manifest import manifest_dir, retire_records
     from .keyed_store import _manifest_dir as _keyed_mdir
     from .keyed_store import keyed_manifest
 
@@ -964,17 +965,15 @@ def gc_job(out_dir: str) -> dict:
     records_retired = 0
     if has_main:
         eff = {r.partition_id for r in effective_records(out_dir)}
+        stale: set[str] = set()
         for pid, rec in load_manifest(out_dir).items():
             if pid in eff:
                 live.add(os.path.normpath(rec.chunk_file))
             else:
                 # lost reconciliation (stale generation / torn merge):
                 # retire the record; its chunk falls to the sweep below
-                try:
-                    os.remove(record_path(out_dir, pid))
-                    records_retired += 1
-                except OSError:
-                    pass
+                stale.add(pid)
+        records_retired = retire_records(out_dir, stale) if stale else 0
     staging_removed = 0
     if has_keyed:
         live |= {os.path.normpath(r["chunk_file"])

@@ -86,6 +86,11 @@ def test_cli_stats_plan_and_zone_decode(tmp_path):
     assert gc["chunks_deleted"] == 1 and gc["tmps_deleted"] == 1
     assert gc["bytes_reclaimed"] >= 101
     assert not os.path.exists(orphan)
+
+    # consolidate: JSON records fold into one parquet index; verify and
+    # projected decode below then run against the INDEXED store
+    con = run_cli("consolidate", enc)
+    assert con["records_indexed"] == 4 and con["delta_files_removed"] == 4
     ver = run_cli("verify", enc)
     assert ver["failed"] == []
 

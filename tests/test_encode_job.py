@@ -1019,3 +1019,64 @@ def test_gc_job_refuses_non_store(tmp_path):
 
     with pytest.raises(ValueError, match="neither"):
         gc_job(str(tmp_path))
+
+
+def test_manifest_consolidate_lifecycle(ray_session, tmp_path):
+    """Consolidated manifest index: one parquet file replaces the
+    per-partition JSONs (one driver read instead of 10^7 file opens at
+    scale); resume, appends (JSON deltas overlay the index), compaction
+    retirement of index-resident records, and gc all keep working."""
+    import glob as _glob
+
+    from json_to_parquet_ray.manifest import (
+        consolidate,
+        effective_records,
+        index_path,
+    )
+    from json_to_parquet_ray.pipelines.encode_job import compact_job, gc_job
+
+    d = tmp_path / "src"
+    d.mkdir()
+    write_cc_parquet(str(d / "a.parquet"), 1000, seed=1, row_group_size=250)
+    out = str(tmp_path / "enc")
+    encode_job(str(d), out, shared_dict_columns=None)
+    before = load_manifest(out)
+    assert len(before) == 4
+
+    res = consolidate(out)
+    assert res == {"records_indexed": 4, "delta_files_removed": 4}
+    assert os.path.exists(index_path(out))
+    assert not _glob.glob(os.path.join(out, "_manifest",
+                                       "shard-*", "part-*.json"))
+    after = load_manifest(out)
+    assert {p: r.to_json() for p, r in after.items()} == \
+           {p: r.to_json() for p, r in before.items()}
+    assert verify_job(out)["failed"] == []
+
+    # resume reads the index: a second encode re-encodes nothing
+    s2 = encode_job(str(d), out, shared_dict_columns=None)
+    assert s2["partitions_skipped_resume"] == 4
+    assert s2["partitions_encoded"] == 0
+
+    # append: a new input file encodes as JSON deltas over the index
+    write_cc_parquet(str(d / "b.parquet"), 500, seed=2, row_group_size=250)
+    s3 = encode_job(str(d), out, shared_dict_columns=None)
+    assert s3["partitions_encoded"] == 2
+    assert s3["partitions_skipped_resume"] == 4
+    assert len(load_manifest(out)) == 6
+    assert decode_dataset(out).count() == 1500
+    assert consolidate(out)["records_indexed"] == 6  # folds deltas in
+
+    # compaction retires INDEX-resident records (one index rewrite)
+    c = compact_job(out, min_rows=10_000)
+    assert c["groups"] == 1 and c["chunks_after"] == 1
+    eff = effective_records(out)
+    assert len(eff) == 1 and "merged" in eff[0].fragment
+    assert len(load_manifest(out)) == 1
+    assert verify_job(out)["failed"] == []
+    assert decode_dataset(out).count() == 1500
+
+    # gc on the indexed store: nothing live is touched, idempotent
+    g = gc_job(out)
+    assert g["chunks_deleted"] == 0 and g["records_retired"] == 0
+    assert decode_dataset(out).count() == 1500
