@@ -129,6 +129,12 @@ def main(argv: list[str] | None = None) -> int:
     cmp.add_argument("out_dir")
     cmp.add_argument("--min-rows", type=int, default=100_000)
 
+    ss = sub.add_parser(
+        "store-stats", help="store metrics from the manifest only: "
+                            "per-column codec distribution + encoded "
+                            "bytes, chunk/row totals, encode wall time")
+    ss.add_argument("out_dir")
+
     con = sub.add_parser(
         "consolidate", help="fold per-partition manifest JSONs into one "
                             "parquet index (one driver read instead of "
@@ -240,6 +246,10 @@ def main(argv: list[str] | None = None) -> int:
             res = compact_job(args.out_dir, min_rows=args.min_rows)
             res.pop("merged", None)
             print(json.dumps(res))
+        elif args.cmd == "store-stats":
+            from .pipelines.encode_job import store_stats
+
+            print(json.dumps(store_stats(args.out_dir), sort_keys=True))
         elif args.cmd == "consolidate":
             from .manifest import consolidate
 

@@ -926,6 +926,32 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
             "merged": results}
 
 
+def store_stats(out_dir: str) -> dict:
+    """Store-level metrics from manifest records alone (no chunk reads):
+    per-column codec distribution and encoded bytes, plus chunk/row
+    totals and recorded encode wall time — the 'metrics' half of the
+    north rule's per-partition lineage + metrics. Works on JSON-delta
+    and consolidated-index manifests alike."""
+    recs = effective_records(out_dir)
+    cols: dict[str, dict] = {}
+    for rec in recs:
+        for c in rec.columns:
+            st = cols.setdefault(c["name"],
+                                 {"codecs": {}, "encoded_bytes": 0})
+            st["codecs"][c["codec"]] = st["codecs"].get(c["codec"], 0) + 1
+            st["encoded_bytes"] += int(c["size"])
+    total_bytes = sum(r.chunk_size for r in recs)
+    for st in cols.values():
+        st["pct_of_store"] = round(100 * st["encoded_bytes"]
+                                   / max(total_bytes, 1), 2)
+        st["codecs"] = dict(sorted(st["codecs"].items()))
+    return {"chunks": len(recs),
+            "rows": sum(r.num_rows for r in recs),
+            "chunk_bytes": total_bytes,
+            "encode_wall_s": round(sum(r.wall_time_s for r in recs), 3),
+            "columns": dict(sorted(cols.items()))}
+
+
 def gc_job(out_dir: str) -> dict:
     """Reclaim orphaned bytes from an encoded store (main or keyed).
 

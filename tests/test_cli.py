@@ -91,6 +91,9 @@ def test_cli_stats_plan_and_zone_decode(tmp_path):
     # projected decode below then run against the INDEXED store
     con = run_cli("consolidate", enc)
     assert con["records_indexed"] == 4 and con["delta_files_removed"] == 4
+    st = run_cli("store-stats", enc)
+    assert st["chunks"] == 4 and st["rows"] == 1000
+    assert set(st["columns"]) == {"id", "text"}
     ver = run_cli("verify", enc)
     assert ver["failed"] == []
 

@@ -1080,3 +1080,25 @@ def test_manifest_consolidate_lifecycle(ray_session, tmp_path):
     g = gc_job(out)
     assert g["chunks_deleted"] == 0 and g["records_retired"] == 0
     assert decode_dataset(out).count() == 1500
+
+
+def test_store_stats_metrics(ray_session, cc_parquet, tmp_path):
+    """store_stats: per-column codec distribution and encoded bytes come
+    from manifest records alone, and survive consolidation."""
+    from json_to_parquet_ray.manifest import consolidate
+    from json_to_parquet_ray.pipelines.encode_job import store_stats
+
+    out = str(tmp_path / "enc_ss")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    s = store_stats(out)
+    assert s["chunks"] == 4 and s["rows"] == 2000
+    assert set(s["columns"]) == {"url", "warc_ts", "html", "text", "lang"}
+    for st in s["columns"].values():
+        assert sum(st["codecs"].values()) == 4      # every chunk counted
+        assert st["encoded_bytes"] > 0
+    # column bytes are part of (never exceed) the chunk files' bytes
+    assert sum(st["encoded_bytes"] for st in s["columns"].values()) \
+        <= s["chunk_bytes"]
+    assert s["encode_wall_s"] > 0
+    consolidate(out)
+    assert store_stats(out) == s
