@@ -117,7 +117,13 @@ def index_path(out_dir: str) -> str:
 
 
 def _load_index(out_dir: str) -> dict[str, PartitionRecord]:
-    """Records from the consolidated parquet index (empty if none)."""
+    """Records from the consolidated parquet index (empty if none).
+
+    An index that EXISTS but cannot be read raises: after consolidation
+    it is the only copy of every covered record, so the torn-JSON policy
+    (skip → re-encode) would silently present a populated store as empty
+    — decode would return 0 rows, verify would pass vacuously, and gc
+    would sweep every live chunk as unreferenced."""
     p = index_path(out_dir)
     if not os.path.exists(p):
         return {}
@@ -126,11 +132,11 @@ def _load_index(out_dir: str) -> dict[str, PartitionRecord]:
     out: dict[str, PartitionRecord] = {}
     try:
         rows = pq.read_table(p, columns=["json"]).column("json").to_pylist()
-    except Exception:
-        # unreadable index → same policy as a torn JSON record: the
-        # covered partitions simply re-encode (content-addressed ids
-        # make that idempotent), nothing decodes wrong
-        return {}
+    except Exception as e:
+        raise ValueError(
+            f"manifest index {p!r} exists but cannot be read ({e}); "
+            f"restore it from a backup or delete it EXPLICITLY to fall "
+            f"back to re-encoding the covered partitions") from e
     for raw in rows:
         try:
             rec = PartitionRecord(**json.loads(raw))
@@ -138,6 +144,20 @@ def _load_index(out_dir: str) -> dict[str, PartitionRecord]:
             continue
         out[rec.partition_id] = rec
     return out
+
+
+def _write_index(out_dir: str, json_rows: list[str]) -> None:
+    """Commit the index through write_atomic (fsync before rename): the
+    index may be the SOLE copy of every record, so an unsynced
+    write_table + replace could leave a torn file after power loss."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"json": pa.array(json_rows, pa.string())}), buf)
+    write_atomic(index_path(out_dir), buf.getvalue())
 
 
 def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
@@ -180,18 +200,15 @@ def consolidate(out_dir: str) -> dict:
     record present in both, which load_manifest resolves by partition id
     (identical content, deltas win). Offline operation, like gc/compact.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    if not os.path.isdir(manifest_dir(out_dir)):
+        raise ValueError(
+            f"consolidate: {out_dir!r} has no _manifest — not an encoded "
+            f"store")
     recs = load_manifest(out_dir)
     if not recs:
         return {"records_indexed": 0, "delta_files_removed": 0}
     rows = [recs[pid].to_json() for pid in sorted(recs)]
-    p = index_path(out_dir)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + f".tmp.{os.getpid()}"
-    pq.write_table(pa.table({"json": pa.array(rows, pa.string())}), tmp)
-    os.replace(tmp, p)
+    _write_index(out_dir, rows)
     removed = 0
     for pid in recs:
         try:
@@ -216,27 +233,28 @@ def retire_records(out_dir: str, pids: set[str]) -> int:
     idx = _load_index(out_dir)
     hit = pids & idx.keys()
     if hit:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        keep = [idx[pid].to_json() for pid in sorted(idx) if pid not in hit]
-        p = index_path(out_dir)
-        tmp = p + f".tmp.{os.getpid()}"
-        pq.write_table(pa.table({"json": pa.array(keep, pa.string())}), tmp)
-        os.replace(tmp, p)
+        _write_index(out_dir, [idx[pid].to_json()
+                               for pid in sorted(idx) if pid not in hit])
         gone |= hit
     return len(gone)
 
 
-def effective_records(out_dir: str) -> list[PartitionRecord]:
+def effective_records(out_dir: str,
+                      manifest: dict[str, PartitionRecord] | None = None,
+                      ) -> list[PartitionRecord]:
     """Manifest reconciliation: the records to READ, in input order, with
     overlap resolved. A crash between a compaction's merged-record commit
     and the retirement of the old records leaves a fragment covered by
     BOTH — decoding both would duplicate rows. Resolution: prefer merged
     records (they are newer by construction), accept a merged record only
     if it is complete and none of its fragments is already claimed, then
-    accept plain records for still-unclaimed fragments."""
-    recs = sorted(load_manifest(out_dir).values(), key=lambda r: r.sort_key)
+    accept plain records for still-unclaimed fragments.
+
+    ``manifest`` lets a caller that already ran ``load_manifest`` skip a
+    second full scan (10^7 file opens on an unconsolidated store)."""
+    if manifest is None:
+        manifest = load_manifest(out_dir)
+    recs = sorted(manifest.values(), key=lambda r: r.sort_key)
 
     # claims are ROW-RANGE intervals per (path, row_group): two records
     # covering overlapping rows of the same row group must never both

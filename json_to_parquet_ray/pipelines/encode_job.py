@@ -932,6 +932,14 @@ def store_stats(out_dir: str) -> dict:
     totals and recorded encode wall time — the 'metrics' half of the
     north rule's per-partition lineage + metrics. Works on JSON-delta
     and consolidated-index manifests alike."""
+    from ..manifest import manifest_dir
+
+    if not os.path.isdir(manifest_dir(out_dir)):
+        # same guard as gc/consolidate: a typo'd path must not read as a
+        # healthy empty store
+        raise ValueError(
+            f"store-stats: {out_dir!r} has no _manifest — not an "
+            f"encoded store")
     recs = effective_records(out_dir)
     cols: dict[str, dict] = {}
     for rec in recs:
@@ -962,11 +970,12 @@ def gc_job(out_dir: str) -> dict:
     * ``compact_job`` killed between committing merged records and
       retiring the old ones — the superseded plain records lose manifest
       reconciliation but their records + chunks stay on disk;
-    * ``keyed_encode`` re-encodes — the new generation's partition ids
-      differ wherever data or hot-keys changed, so the old generation's
-      chunks become unreferenced (keyed_store.py:56-59 swaps only the
-      manifest); a keyed_encode killed mid-run also leaves an
-      uncommitted ``_keyed_manifest.new`` staging dir;
+    * ``keyed_encode`` re-encodes — each encode writes its chunks under
+      a fresh ``gen-N`` dir and the manifest swap points reads at the
+      new generation only (keyed_store.py), so the previous
+      generation's chunks become unreferenced; a keyed_encode killed
+      mid-run also leaves an uncommitted ``_keyed_manifest.new``
+      staging dir (its partial gen dir is unreferenced too);
     * torn ``write_atomic`` temps (``*.tmp.<pid>``) from a killed task.
 
     Deletes, in order: manifest records that lost reconciliation, then
@@ -982,6 +991,17 @@ def gc_job(out_dir: str) -> dict:
 
     has_main = os.path.isdir(manifest_dir(out_dir))
     has_keyed = os.path.isdir(_keyed_mdir(out_dir))
+    if not has_keyed and any(os.path.isdir(_keyed_mdir(out_dir) + s)
+                             for s in (".new", ".old")):
+        # keyed_encode killed between its two commit renames: only
+        # .old/.new exist, so NO keyed chunk would enter the live set
+        # and the sweep would delete the entire keyed generation.
+        # Refuse — recovery is one rename (.new is complete by
+        # construction: the swap only starts after the encode finishes).
+        raise ValueError(
+            f"gc: {out_dir!r} has a torn keyed-manifest swap "
+            f"(_keyed_manifest missing but .new/.old present) — rename "
+            f"_keyed_manifest.new (or .old) to _keyed_manifest first")
     if not (has_main or has_keyed):
         raise ValueError(
             f"gc: {out_dir!r} has neither _manifest nor _keyed_manifest — "
@@ -990,9 +1010,12 @@ def gc_job(out_dir: str) -> dict:
     live: set[str] = set()
     records_retired = 0
     if has_main:
-        eff = {r.partition_id for r in effective_records(out_dir)}
+        # ONE manifest scan feeds both reconciliation and the stale set
+        m = load_manifest(out_dir)
+        eff = {r.partition_id for r in effective_records(out_dir,
+                                                         manifest=m)}
         stale: set[str] = set()
-        for pid, rec in load_manifest(out_dir).items():
+        for pid, rec in m.items():
             if pid in eff:
                 live.add(os.path.normpath(rec.chunk_file))
             else:
@@ -1034,8 +1057,9 @@ def gc_job(out_dir: str) -> dict:
                     chunks_deleted += 1
                 else:
                     tmps_deleted += 1
-        # drop shard dirs the sweep emptied (topdown=False: children first)
-        if os.path.basename(root).startswith("shard-"):
+        # drop shard/generation dirs the sweep emptied (topdown=False:
+        # children first, so an emptied gen-N goes after its shards)
+        if os.path.basename(root).startswith(("shard-", "gen-")):
             try:
                 os.rmdir(root)
             except OSError:

@@ -63,6 +63,17 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
     shutil.rmtree(new_mdir, ignore_errors=True)
     os.makedirs(new_mdir, exist_ok=True)
 
+    # every generation gets its own gen-N chunk dir: partition ids derive
+    # from pkeys alone, so a re-encode with the SAME key set would
+    # otherwise overwrite live chunks in place BEFORE the manifest swap —
+    # a mid-encode crash would leave the committed old manifest pointing
+    # at new-generation bytes. Old-gen chunks become unreferenced after
+    # the swap; `gc_job` reclaims them.
+    gens = [int(d[4:]) for d in os.listdir(out_dir)
+            if d.startswith("gen-") and d[4:].isdigit()] \
+        if os.path.isdir(out_dir) else []
+    gen_dir = f"gen-{max(gens, default=-1) + 1}"
+
     counts = salted_group_count(ds, key_col)
     # filter to HOT keys distributed: the driver sees at most
     # total_rows/hot_threshold keys, never the full distinct-key census
@@ -133,7 +144,8 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
                 .sort_by([(salt_col, "ascending")]).combine_chunks())
         blob, header = encode_table(body)
         pid = hashlib.sha1(pkey.encode()).hexdigest()[:16]
-        chunk_file = os.path.join(f"shard-{pid[:3]}", f"part-{pid}.rde")
+        chunk_file = os.path.join(gen_dir, f"shard-{pid[:3]}",
+                                  f"part-{pid}.rde")
         write_atomic(os.path.join(out_dir, chunk_file), blob)
         rec = {"partition_id": pid, "key": key, "pkey": pkey,
                "num_rows": body.num_rows, "chunk_file": chunk_file,

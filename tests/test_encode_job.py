@@ -1102,3 +1102,89 @@ def test_store_stats_metrics(ray_session, cc_parquet, tmp_path):
     assert s["encode_wall_s"] > 0
     consolidate(out)
     assert store_stats(out) == s
+
+
+def test_corrupt_index_fails_loudly_and_gc_refuses(ray_session, cc_parquet,
+                                                   tmp_path):
+    """An index that exists but cannot be read must RAISE, not read as an
+    empty store — gc would otherwise sweep every live chunk."""
+    from json_to_parquet_ray.manifest import (
+        consolidate,
+        index_path,
+    )
+    from json_to_parquet_ray.pipelines.encode_job import gc_job
+
+    out = str(tmp_path / "enc_ci")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    consolidate(out)
+    with open(index_path(out), "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(ValueError, match="cannot be read"):
+        load_manifest(out)
+    with pytest.raises(ValueError, match="cannot be read"):
+        gc_job(out)
+    assert glob.glob(os.path.join(out, "shard-*", "*.rde"))  # untouched
+
+
+def test_gc_refuses_torn_keyed_swap(ray_session, tmp_path):
+    """keyed_encode killed between its two commit renames leaves only
+    .new/.old — gc must refuse instead of sweeping the generation."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import keyed_store
+    from json_to_parquet_ray.pipelines.encode_job import gc_job
+
+    out = str(tmp_path / "ks_torn")
+    t = pa.table({"id": pa.array(range(10), pa.int64()),
+                  "k": pa.array(["a"] * 10)})
+    keyed_store.keyed_encode(ray.data.from_arrow(t), out, "k", "id")
+    mdir = keyed_store._manifest_dir(out)
+    os.rename(mdir, mdir + ".new")  # crash window between the renames
+    with pytest.raises(ValueError, match="torn keyed-manifest swap"):
+        gc_job(out)
+    os.rename(mdir + ".new", mdir)  # the recovery the error names
+    assert gc_job(out)["chunks_deleted"] == 0
+    ds, _ = keyed_store.keyed_read(out)
+    assert len(ds.to_pandas()) == 10
+
+
+def test_keyed_reencode_same_keys_fresh_generation(ray_session, tmp_path):
+    """Re-encoding the SAME key set with changed data writes a fresh
+    gen-N dir — live chunks are never overwritten before the manifest
+    swap; gc reclaims the superseded generation afterwards."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import keyed_store
+    from json_to_parquet_ray.pipelines.encode_job import gc_job
+
+    out = str(tmp_path / "ks_gen")
+    t1 = pa.table({"id": pa.array(range(20), pa.int64()),
+                   "k": pa.array(["a", "b"] * 10),
+                   "v": pa.array([1] * 20, pa.int64())})
+    keyed_store.keyed_encode(ray.data.from_arrow(t1), out, "k", "id")
+    gen1 = {r["chunk_file"] for r in keyed_store.keyed_manifest(out)}
+    assert gen1 and all(cf.startswith("gen-0/") for cf in gen1)
+
+    t2 = t1.set_column(2, "v", pa.array([2] * 20, pa.int64()))
+    keyed_store.keyed_encode(ray.data.from_arrow(t2), out, "k", "id")
+    gen2 = {r["chunk_file"] for r in keyed_store.keyed_manifest(out)}
+    assert all(cf.startswith("gen-1/") for cf in gen2)
+    assert gen1.isdisjoint(gen2)
+    for cf in gen1:  # old bytes intact until gc (crash-window safety)
+        assert os.path.exists(os.path.join(out, cf))
+
+    g = gc_job(out)
+    assert g["chunks_deleted"] == len(gen1)
+    assert not os.path.isdir(os.path.join(out, "gen-0"))  # dir swept too
+    ds, _ = keyed_store.keyed_read(out)
+    assert set(ds.to_pandas()["v"]) == {2}
+
+
+def test_store_stats_and_consolidate_refuse_non_store(tmp_path):
+    from json_to_parquet_ray.manifest import consolidate
+    from json_to_parquet_ray.pipelines.encode_job import store_stats
+
+    with pytest.raises(ValueError, match="not an encoded store"):
+        store_stats(str(tmp_path))
+    with pytest.raises(ValueError, match="not an encoded store"):
+        consolidate(str(tmp_path))
