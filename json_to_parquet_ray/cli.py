@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
                           "Bloom filters for (point-lookup pruning), or "
                           "'auto' = every string/integer column")
     enc.add_argument("--max-rows-per-partition", type=int, default=None)
+    enc.add_argument("--consolidate", action="store_true",
+                     help="fold the manifest into one parquet index "
+                          "after the job completes (see `consolidate`)")
 
     ver = sub.add_parser("verify", help="bit-identical decode verification")
     ver.add_argument("out_dir")
@@ -186,7 +189,8 @@ def main(argv: list[str] | None = None) -> int:
                                  resume=not args.no_resume,
                                  shared_dict_columns=shared,
                                  bloom_columns=blooms,
-                                 max_rows_per_partition=args.max_rows_per_partition)
+                                 max_rows_per_partition=args.max_rows_per_partition,
+                                 consolidate_manifest=args.consolidate)
             print(json.dumps(summary))
         elif args.cmd == "cluster":
             from .pipelines.encode_job import cluster_job

@@ -312,6 +312,7 @@ def encode_job(
     bloom_columns: list[str] | str | None = None,
     concurrency: int | tuple | None = None,
     max_rows_per_partition: int | None = None,
+    consolidate_manifest: bool = False,
 ) -> dict:
     """Run the full encode pipeline; returns a summary dict.
 
@@ -319,6 +320,14 @@ def encode_job(
     writes per-chunk split-block Bloom filters so later equality scans
     prune chunks whose zone maps cannot (unsorted high-cardinality
     columns — url, external ids). See codecs.bloom.
+
+    ``consolidate_manifest`` folds the per-partition JSON records into
+    one parquet index after the job completes (the job end is
+    single-writer by construction, so the offline-only constraint on
+    ``manifest.consolidate`` holds) — at 10^6+ partitions every later
+    resume/decode/verify then reads ONE file instead of one per
+    partition. A killed job leaves plain JSONs and consolidates on the
+    resumed run's completion.
 
     Ray must already be initialised by the caller (driver contract).
     """
@@ -500,6 +509,10 @@ def encode_job(
         os.path.join(out_dir, "_manifest", "job.json"),
         json.dumps(plan_note, indent=1).encode(),
     )
+    if consolidate_manifest:
+        from ..manifest import consolidate
+
+        plan_note["consolidated"] = consolidate(out_dir)
     return plan_note
 
 

@@ -1188,3 +1188,23 @@ def test_store_stats_and_consolidate_refuse_non_store(tmp_path):
         store_stats(str(tmp_path))
     with pytest.raises(ValueError, match="not an encoded store"):
         consolidate(str(tmp_path))
+
+
+def test_encode_job_consolidate_manifest_flag(ray_session, cc_parquet,
+                                              tmp_path):
+    """encode_job(consolidate_manifest=True) finishes with one index and
+    zero JSON deltas; resume and verify read it transparently."""
+    import glob as _glob
+
+    from json_to_parquet_ray.manifest import index_path
+
+    out = str(tmp_path / "enc_cm")
+    s = encode_job(cc_parquet, out, shared_dict_columns=None,
+                   consolidate_manifest=True)
+    assert s["consolidated"]["records_indexed"] == 4
+    assert os.path.exists(index_path(out))
+    assert not _glob.glob(os.path.join(out, "_manifest",
+                                       "shard-*", "part-*.json"))
+    s2 = encode_job(cc_parquet, out, shared_dict_columns=None)
+    assert s2["partitions_skipped_resume"] == 4
+    assert verify_job(out)["failed"] == []
