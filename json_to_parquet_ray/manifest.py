@@ -146,18 +146,58 @@ def _load_index(out_dir: str) -> dict[str, PartitionRecord]:
     return out
 
 
-def _write_index(out_dir: str, json_rows: list[str]) -> None:
+def _write_index(out_dir: str, json_rows: list[str],
+                 sealed: bool = False) -> None:
     """Commit the index through write_atomic (fsync before rename): the
     index may be the SOLE copy of every record, so an unsynced
-    write_table + replace could leave a torn file after power loss."""
+    write_table + replace could leave a torn file after power loss.
+
+    ``sealed`` records (as parquet KV metadata) that the rows ARE the
+    reconciled effective set — no overlapping claims, every merged
+    record complete at write time — so readers may skip
+    ``effective_records``'s interval resolution."""
     import io
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    t = pa.table({"json": pa.array(json_rows, pa.string())})
+    t = t.replace_schema_metadata({"sealed": "1" if sealed else "0"})
     buf = io.BytesIO()
-    pq.write_table(pa.table({"json": pa.array(json_rows, pa.string())}), buf)
+    pq.write_table(t, buf)
     write_atomic(index_path(out_dir), buf.getvalue())
+
+
+def _index_sealed(out_dir: str) -> bool:
+    """True iff a consolidated index exists and was written sealed.
+    Reads only the parquet footer metadata."""
+    p = index_path(out_dir)
+    if not os.path.exists(p):
+        return False
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.read_schema(p).metadata or {}
+    except Exception:
+        return False  # unreadable → the slow path will raise loudly
+    return meta.get(b"sealed") == b"1"
+
+
+def _has_delta_records(out_dir: str) -> bool:
+    """True iff any per-partition JSON record exists alongside the index
+    (deltas overlay — and therefore unseal — the indexed set). Early-
+    exits on the first hit."""
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return False
+    for d in os.listdir(mdir):
+        sd = os.path.join(mdir, d)
+        if not (d.startswith("shard-") and os.path.isdir(sd)):
+            continue
+        for name in os.listdir(sd):
+            if name.startswith("part-") and name.endswith(".json"):
+                return True
+    return False
 
 
 def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
@@ -206,9 +246,15 @@ def consolidate(out_dir: str) -> dict:
             f"store")
     recs = load_manifest(out_dir)
     if not recs:
-        return {"records_indexed": 0, "delta_files_removed": 0}
-    rows = [recs[pid].to_json() for pid in sorted(recs)]
-    _write_index(out_dir, rows)
+        return {"records_indexed": 0, "delta_files_removed": 0,
+                "sealed": False}
+    # sealed iff reconciliation is a no-op for the indexed set (no
+    # overlapping claims, merged records complete) — readers may then
+    # skip interval resolution (see effective_records). Rows go in
+    # input order so a streamed read preserves decode order.
+    ordered = sorted(recs.values(), key=lambda r: r.sort_key)
+    sealed = len(effective_records(out_dir, manifest=recs)) == len(recs)
+    _write_index(out_dir, [r.to_json() for r in ordered], sealed=sealed)
     removed = 0
     for pid in recs:
         try:
@@ -216,7 +262,8 @@ def consolidate(out_dir: str) -> dict:
             removed += 1
         except OSError:
             pass
-    return {"records_indexed": len(rows), "delta_files_removed": removed}
+    return {"records_indexed": len(ordered), "delta_files_removed": removed,
+            "sealed": sealed}
 
 
 def retire_records(out_dir: str, pids: set[str]) -> int:
@@ -233,8 +280,11 @@ def retire_records(out_dir: str, pids: set[str]) -> int:
     idx = _load_index(out_dir)
     hit = pids & idx.keys()
     if hit:
-        _write_index(out_dir, [idx[pid].to_json()
-                               for pid in sorted(idx) if pid not in hit])
+        # retiring records never CREATES overlap, so the seal carries over
+        keep = sorted((r for pid, r in idx.items() if pid not in hit),
+                      key=lambda r: r.sort_key)
+        _write_index(out_dir, [r.to_json() for r in keep],
+                     sealed=_index_sealed(out_dir))
         gone |= hit
     return len(gone)
 
@@ -251,8 +301,19 @@ def effective_records(out_dir: str,
     accept plain records for still-unclaimed fragments.
 
     ``manifest`` lets a caller that already ran ``load_manifest`` skip a
-    second full scan (10^7 file opens on an unconsolidated store)."""
+    second full scan (10^7 file opens on an unconsolidated store).
+
+    Fast path: a SEALED index with no JSON deltas skips the interval
+    resolution entirely — `consolidate` seals only when the indexed set
+    already reconciles to itself, and any later record arrives as a
+    delta (which this check sees). A sealed merged record whose chunk
+    was damaged AFTER sealing is still returned: its plain records were
+    retired, so decoding fails loudly (CRC/size) instead of the rows
+    silently vanishing."""
     if manifest is None:
+        if _index_sealed(out_dir) and not _has_delta_records(out_dir):
+            return sorted(_load_index(out_dir).values(),
+                          key=lambda r: r.sort_key)
         manifest = load_manifest(out_dir)
     recs = sorted(manifest.values(), key=lambda r: r.sort_key)
 

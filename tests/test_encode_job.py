@@ -1044,7 +1044,8 @@ def test_manifest_consolidate_lifecycle(ray_session, tmp_path):
     assert len(before) == 4
 
     res = consolidate(out)
-    assert res == {"records_indexed": 4, "delta_files_removed": 4}
+    assert res == {"records_indexed": 4, "delta_files_removed": 4,
+                   "sealed": True}
     assert os.path.exists(index_path(out))
     assert not _glob.glob(os.path.join(out, "_manifest",
                                        "shard-*", "part-*.json"))
@@ -1207,4 +1208,50 @@ def test_encode_job_consolidate_manifest_flag(ray_session, cc_parquet,
                                        "shard-*", "part-*.json"))
     s2 = encode_job(cc_parquet, out, shared_dict_columns=None)
     assert s2["partitions_skipped_resume"] == 4
+    assert verify_job(out)["failed"] == []
+
+
+def test_sealed_index_fast_path(ray_session, cc_parquet, tmp_path):
+    """A sealed index with no deltas skips interval reconciliation but
+    returns the identical effective set; any delta or conflict unseals."""
+    from json_to_parquet_ray.manifest import (
+        PartitionRecord,
+        _has_delta_records,
+        _index_sealed,
+        consolidate,
+        effective_records,
+        record_path,
+        write_atomic,
+    )
+
+    out = str(tmp_path / "enc_seal")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    slow = [r.to_json() for r in effective_records(out)]
+
+    res = consolidate(out)
+    assert res["sealed"] is True
+    assert _index_sealed(out) and not _has_delta_records(out)
+    # fast path (manifest=None) == full reconciliation result
+    assert [r.to_json() for r in effective_records(out)] == slow
+
+    # a JSON delta unseals the READ (flag stays, delta check catches it)
+    extra = encode_job(cc_parquet, str(tmp_path / "other"),
+                       shared_dict_columns=None)  # noqa: F841
+    live = effective_records(out)[0]
+    stale_frag = dict(live.fragment)
+    stale_frag["num_rows"] = 1
+    stale = PartitionRecord(
+        partition_id="feedfacefeedface", fragment=stale_frag, num_rows=1,
+        chunk_file=os.path.join("shard-fee", "part-feed.rde"),
+        chunk_size=3)
+    write_atomic(os.path.join(out, stale.chunk_file), b"abc")
+    write_atomic(record_path(out, stale.partition_id),
+                 stale.to_json().encode())
+    assert _has_delta_records(out)
+    # reconciliation still wins: the conflicting delta is dropped
+    assert [r.to_json() for r in effective_records(out)] == slow
+    # re-consolidating with the conflict folded in must NOT seal
+    res2 = consolidate(out)
+    assert res2["sealed"] is False
+    assert [r.to_json() for r in effective_records(out)] == slow
     assert verify_job(out)["failed"] == []
