@@ -164,7 +164,10 @@ def _write_index(out_dir: str, json_rows: list[str],
     t = pa.table({"json": pa.array(json_rows, pa.string())})
     t = t.replace_schema_metadata({"sealed": "1" if sealed else "0"})
     buf = io.BytesIO()
-    pq.write_table(t, buf)
+    # small row groups let ray.data.read_parquet split ONE index file
+    # into many read fragments — a sealed-index decode streams its work
+    # items off these row groups (256 records ≈ one task's chunk list)
+    pq.write_table(t, buf, row_group_size=256)
     write_atomic(index_path(out_dir), buf.getvalue())
 
 

@@ -582,17 +582,32 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     schema gains columns or widens types."""
     import ray
 
+    from ..manifest import _has_delta_records, _index_sealed, index_path
+
+    items: list[dict] | None
     if zone_filter:
         all_recs = effective_records(out_dir)
         validate_zone_bounds(all_recs, zone_filter)
         recs, _ = zone_prune(out_dir, zone_filter, recs=all_recs)
+        items = [{"path": os.path.join(out_dir, rec.chunk_file)}
+                 for rec in recs]
+    elif (_index_sealed(out_dir) and not _has_delta_records(out_dir)
+          and pq.read_metadata(index_path(out_dir)).num_rows > 0):
+        # sealed index, no deltas: the work-item list never materializes
+        # on the driver — chunk paths stream straight off the index's
+        # row groups (at 10^7 partitions a from_items list is GBs of
+        # driver heap). Index rows are stored in input order, so decode
+        # order is identical to the reconciliation path's. (An index
+        # retired down to zero records falls through to the empty path.)
+        items = None
     else:
         # input order is recomputed from the recorded fragment identity
         # (path, row_group, row_start) — stable under appends, unlike ids;
         # effective_records resolves merged/plain overlap after a crashed
         # compaction
         recs = effective_records(out_dir)
-    items = [{"path": os.path.join(out_dir, rec.chunk_file)} for rec in recs]
+        items = [{"path": os.path.join(out_dir, rec.chunk_file)}
+                 for rec in recs]
 
     from ..encode import read_chunk_file
 
@@ -740,10 +755,16 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
             tables.append(t)
         return pa.concat_tables(tables)
 
-    if not items:
+    if items is not None and not items:
         import pandas as pd
 
         return ray.data.from_pandas(pd.DataFrame())
+
+    def index_to_paths(b: pa.Table) -> pa.Table:
+        return pa.table({"path": pa.array(
+            [os.path.join(out_dir, json.loads(r)["chunk_file"])
+             for r in b.column("json").to_pylist()], pa.string())})
+
     # decode is the ordering-sensitive pipeline (bit-identical round-trip
     # preserves input row order); Ray's streaming executor reorders output
     # blocks unless preserve_order is set. Datasets SNAPSHOT the
@@ -753,7 +774,10 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
-        return ray.data.from_items(items).map_batches(
+        paths = (ray.data.read_parquet(index_path(out_dir))
+                 .map_batches(index_to_paths, batch_format="pyarrow")
+                 if items is None else ray.data.from_items(items))
+        return paths.map_batches(
             decode_item, batch_size=1, batch_format="pyarrow"
         )
     finally:

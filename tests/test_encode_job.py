@@ -1255,3 +1255,34 @@ def test_sealed_index_fast_path(ray_session, cc_parquet, tmp_path):
     assert res2["sealed"] is False
     assert [r.to_json() for r in effective_records(out)] == slow
     assert verify_job(out)["failed"] == []
+
+
+def test_sealed_index_streamed_decode_order_identical(ray_session,
+                                                      tmp_path):
+    """Decoding a sealed store streams work items off the index row
+    groups (no driver from_items list) and yields byte-identical rows in
+    the same order as the reconciliation path."""
+    from json_to_parquet_ray.manifest import consolidate
+
+    d = tmp_path / "src"
+    d.mkdir()
+    write_cc_parquet(str(d / "a.parquet"), 1500, seed=3, row_group_size=250)
+    write_cc_parquet(str(d / "b.parquet"), 500, seed=4, row_group_size=250)
+    out = str(tmp_path / "enc_stream")
+    encode_job(str(d), out, shared_dict_columns=None)
+
+    before = pa.concat_tables(
+        decode_dataset(out).iter_batches(batch_format="pyarrow",
+                                         batch_size=4096))
+    res = consolidate(out)
+    assert res["sealed"] is True
+    after = pa.concat_tables(
+        decode_dataset(out).iter_batches(batch_format="pyarrow",
+                                         batch_size=4096))
+    assert after.equals(before)          # values AND row order
+
+    proj = pa.concat_tables(
+        decode_dataset(out, columns=["url", "lang"]).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    assert proj.equals(before.select(["url", "lang"]))
+    assert verify_job(out)["failed"] == []
