@@ -1112,16 +1112,37 @@ def gc_job(out_dir: str) -> dict:
 def verify_job(out_dir: str) -> dict:
     """Distributed bit-identical verification: decode every chunk and compare
     against its recorded input fragment. Returns {partitions, ok, failed:[...]}.
+
+    On a sealed consolidated store, work items stream off the index's
+    row groups (no driver-built list) and only FAILURES ever reach the
+    driver — totals aggregate distributed.
     """
     import ray
 
-    items = [
+    from ..manifest import _has_delta_records, _index_sealed, index_path
+
+    use_index = (_index_sealed(out_dir) and not _has_delta_records(out_dir)
+                 and pq.read_metadata(index_path(out_dir)).num_rows > 0)
+    items = None if use_index else [
         {"partition_id": rec.partition_id,
          "chunk": os.path.join(out_dir, rec.chunk_file),
          "sources": json.dumps(rec.source_fragments),  # ≥2 if compacted
          "num_rows": rec.num_rows}
         for rec in effective_records(out_dir)
     ]
+
+    def index_to_items(b: pa.Table) -> pa.Table:
+        rows = []
+        for raw in b.column("json").to_pylist():
+            rec = json.loads(raw)
+            frag = rec["fragment"]
+            rows.append({
+                "partition_id": rec["partition_id"],
+                "chunk": os.path.join(out_dir, rec["chunk_file"]),
+                "sources": json.dumps(frag["merged"] if "merged" in frag
+                                      else [frag]),
+                "num_rows": rec["num_rows"]})
+        return pa.Table.from_pylist(rows)
 
     def check(batch: pa.Table) -> pa.Table:
         out = []
@@ -1160,9 +1181,24 @@ def verify_job(out_dir: str) -> dict:
                         "err": err})
         return pa.Table.from_pylist(out)
 
-    res = ray.data.from_items(items).map_batches(
-        check, batch_size=1, batch_format="pyarrow"
-    ).take_all()
+    if items is not None and not items:
+        return {"partitions": 0, "ok": 0, "failed": []}
+    src = (ray.data.read_parquet(index_path(out_dir))
+           .map_batches(index_to_items, batch_format="pyarrow")
+           if items is None else ray.data.from_items(items))
+    # materialize pins only the TINY verdict rows; the driver then pulls
+    # failures alone (at 10^7 partitions a take_all of every verdict is
+    # GBs of driver heap for a normally-empty answer)
+    res = src.map_batches(check, batch_size=1,
+                          batch_format="pyarrow").materialize()
+    total = res.count()
+
+    def only_failures(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.invert(b.column("ok").combine_chunks()))
+
     failed = [{"partition_id": r["partition_id"], "err": r["err"]}
-              for r in res if not r["ok"]]
-    return {"partitions": len(res), "ok": len(res) - len(failed), "failed": failed}
+              for r in res.map_batches(only_failures,
+                                       batch_format="pyarrow").take_all()]
+    return {"partitions": total, "ok": total - len(failed), "failed": failed}

@@ -1286,3 +1286,29 @@ def test_sealed_index_streamed_decode_order_identical(ray_session,
             batch_format="pyarrow", batch_size=4096))
     assert proj.equals(before.select(["url", "lang"]))
     assert verify_job(out)["failed"] == []
+
+
+def test_sealed_store_verify_reports_corruption(ray_session, cc_parquet,
+                                                tmp_path):
+    """verify on a sealed store (streamed items, failures-only driver
+    path) still surfaces a corrupted chunk with its reason."""
+    from json_to_parquet_ray.manifest import consolidate
+
+    out = str(tmp_path / "enc_vs")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    assert consolidate(out)["sealed"] is True
+    res0 = verify_job(out)
+    assert res0 == {"partitions": 4, "ok": 4, "failed": []}
+
+    victim = sorted(load_manifest(out).values(),
+                    key=lambda r: r.partition_id)[0]
+    p = os.path.join(out, victim.chunk_file)
+    blob = bytearray(open(p, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF      # same size: flips payload bytes
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    res = verify_job(out)
+    assert res["partitions"] == 4 and res["ok"] == 3
+    assert len(res["failed"]) == 1
+    assert res["failed"][0]["partition_id"] == victim.partition_id
+    assert res["failed"][0]["err"]
