@@ -158,6 +158,11 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
 
     summary = keyed.groupby("_pkey").map_groups(
         encode_group, batch_format="pyarrow").to_pandas()
+    # consolidate the generation BEFORE the swap: encode tasks committed
+    # one JSON per partition (atomic, distributed); folding them into one
+    # parquet index here is free of races (this writer owns new_mdir) and
+    # keeps keyed_read to ONE metadata open at 10^6+ keys
+    _consolidate_dir(new_mdir)
     # commit: swap the completed generation in (two renames — the only
     # window without a readable manifest is between them; a crash
     # anywhere earlier leaves the OLD generation fully intact)
@@ -175,11 +180,59 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
             "chunk_bytes": 0 if empty else int(summary["chunk_bytes"].sum())}
 
 
+def _consolidate_dir(mdir: str) -> None:
+    """Fold a generation's per-partition JSON records into ONE parquet
+    index inside ``mdir`` (fsync'd via write_atomic), then drop the
+    JSONs. Caller must be the generation's sole writer."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    recs: list[tuple[str, str]] = []
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                raw = f.read()
+            json.loads(raw)  # only well-formed records index
+        except (OSError, json.JSONDecodeError):
+            continue
+        recs.append((name, raw))
+    if not recs:
+        return
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"json": pa.array([r for _, r in recs], pa.string())}),
+        buf, row_group_size=256)
+    write_atomic(os.path.join(mdir, "index.parquet"), buf.getvalue())
+    for name, _ in recs:
+        try:
+            os.remove(os.path.join(mdir, name))
+        except OSError:
+            pass
+
+
 def keyed_manifest(out_dir: str) -> list[dict]:
+    """All records of the committed generation: the consolidated index
+    (written by keyed_encode before its swap) plus any per-partition
+    JSONs (e.g. a pre-index-era store)."""
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir):
         return []
     out = []
+    idx = os.path.join(mdir, "index.parquet")
+    if os.path.exists(idx):
+        import pyarrow.parquet as pq
+
+        try:
+            raws = pq.read_table(idx, columns=["json"]).column(
+                "json").to_pylist()
+        except Exception as e:
+            raise ValueError(
+                f"keyed manifest index {idx!r} exists but cannot be read "
+                f"({e}); restore it or re-encode the store") from e
+        out.extend(json.loads(r) for r in raws)
     for name in sorted(os.listdir(mdir)):
         if not name.endswith(".json"):
             continue

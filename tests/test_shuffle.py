@@ -508,3 +508,34 @@ def test_keyed_encode_empty_and_rerun_atomicity(ray_session, tmp_path):
     s2 = keyed_encode(empty, out, "k", "id")
     assert s2 == {"partitions": 0, "hot_keys": [], "rows": 0,
                   "chunk_bytes": 0}
+
+
+def test_keyed_manifest_is_consolidated(ray_session, tmp_path):
+    """keyed_encode commits its generation as ONE index file (no
+    per-partition JSONs), and an unreadable index raises instead of
+    reading as an empty store."""
+    import glob as _glob
+    import os
+
+    import pytest
+    import ray
+
+    from json_to_parquet_ray.pipelines.keyed_store import (
+        _manifest_dir,
+        keyed_encode,
+        keyed_manifest,
+    )
+
+    out = str(tmp_path / "ks_idx")
+    t = pa.table({"id": pa.array(range(60), pa.int64()),
+                  "k": pa.array(["a", "b", "c"] * 20)})
+    keyed_encode(ray.data.from_arrow(t), out, "k", "id")
+    mdir = _manifest_dir(out)
+    assert os.path.exists(os.path.join(mdir, "index.parquet"))
+    assert not _glob.glob(os.path.join(mdir, "*.json"))
+    assert {r["key"] for r in keyed_manifest(out)} == {"a", "b", "c"}
+
+    with open(os.path.join(mdir, "index.parquet"), "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(ValueError, match="cannot be read"):
+        keyed_manifest(out)
