@@ -142,6 +142,18 @@ def main() -> None:
     sec, _ = timed(lambda: decode_dataset(out_dir).count())
     queries["decode_cc"] = round(sec, 3)
 
+    if os.environ.get("GRAFT_BENCH_ONLY") != "encode":  # skip in scaling runs
+        # ---- manifest consolidation + sealed streamed decode (work items
+        # come off the index's row groups, not a driver from_items list)
+        from json_to_parquet_ray.manifest import consolidate
+
+        sec, con = timed(lambda: consolidate(out_dir))
+        queries["consolidate_cc"] = round(sec, 3)
+        assert con["sealed"], \
+            "bench store must seal (no overlap by construction)"
+        sec, _n = timed(lambda: decode_dataset(out_dir).count())
+        queries["decode_cc_sealed"] = round(sec, 3)
+
     # ---- stats pass over the CC table (streaming partial+merge)
     sec, _ = timed(lambda: compute_stats(ray.data.read_parquet(cc_dir)))
     queries["stats_cc"] = round(sec, 3)

@@ -563,9 +563,17 @@ def bloom_reject_count(out_dir: str, recs: list, eq: dict) -> int:
                .map_batches(probe, batch_format="pyarrow").take_all())
 
 
+# below this many records, a driver work-item list is cheap and the
+# index collapses to so few row groups that streaming it would SERIALIZE
+# the decode (one read block = one decode task); above it, the streamed
+# path wins on driver heap and the index splits into plenty of blocks
+_STREAM_INDEX_MIN_ROWS = 4096
+
+
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    zone_filter: dict | None = None,
-                   schema: pa.Schema | None = None):
+                   schema: pa.Schema | None = None,
+                   stream_index: bool | None = None):
     """Ray Dataset over the encoded chunks → decoded Arrow rows (streaming).
 
     ``zone_filter`` {col: (lo, hi)} (inclusive range) or {col: [v1, ...]}
@@ -584,6 +592,16 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
 
     from ..manifest import _has_delta_records, _index_sealed, index_path
 
+    def _stream_ok() -> bool:
+        if stream_index is False or zone_filter:
+            return False
+        if not (_index_sealed(out_dir) and not _has_delta_records(out_dir)):
+            return False
+        n = pq.read_metadata(index_path(out_dir)).num_rows
+        # an index retired down to zero records takes the empty path
+        return n > 0 and (stream_index is True
+                          or n >= _STREAM_INDEX_MIN_ROWS)
+
     items: list[dict] | None
     if zone_filter:
         all_recs = effective_records(out_dir)
@@ -591,14 +609,12 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         recs, _ = zone_prune(out_dir, zone_filter, recs=all_recs)
         items = [{"path": os.path.join(out_dir, rec.chunk_file)}
                  for rec in recs]
-    elif (_index_sealed(out_dir) and not _has_delta_records(out_dir)
-          and pq.read_metadata(index_path(out_dir)).num_rows > 0):
-        # sealed index, no deltas: the work-item list never materializes
-        # on the driver — chunk paths stream straight off the index's
-        # row groups (at 10^7 partitions a from_items list is GBs of
-        # driver heap). Index rows are stored in input order, so decode
-        # order is identical to the reconciliation path's. (An index
-        # retired down to zero records falls through to the empty path.)
+    elif _stream_ok():
+        # sealed index, no deltas, big enough: the work-item list never
+        # materializes on the driver — chunk paths stream straight off
+        # the index's row groups (at 10^7 partitions a from_items list
+        # is GBs of driver heap). Index rows are stored in input order,
+        # so decode order is identical to the reconciliation path's.
         items = None
     else:
         # input order is recomputed from the recorded fragment identity
@@ -1109,20 +1125,24 @@ def gc_job(out_dir: str) -> dict:
             "chunks_live": len(live)}
 
 
-def verify_job(out_dir: str) -> dict:
+def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
     """Distributed bit-identical verification: decode every chunk and compare
     against its recorded input fragment. Returns {partitions, ok, failed:[...]}.
 
-    On a sealed consolidated store, work items stream off the index's
-    row groups (no driver-built list) and only FAILURES ever reach the
-    driver — totals aggregate distributed.
+    On a sealed consolidated store past _STREAM_INDEX_MIN_ROWS (or with
+    ``stream_index=True``), work items stream off the index's row groups
+    (no driver-built list). Only FAILURES ever reach the driver either
+    way — totals aggregate distributed.
     """
     import ray
 
     from ..manifest import _has_delta_records, _index_sealed, index_path
 
-    use_index = (_index_sealed(out_dir) and not _has_delta_records(out_dir)
-                 and pq.read_metadata(index_path(out_dir)).num_rows > 0)
+    use_index = (stream_index is not False
+                 and _index_sealed(out_dir)
+                 and not _has_delta_records(out_dir)
+                 and pq.read_metadata(index_path(out_dir)).num_rows
+                 >= (1 if stream_index else _STREAM_INDEX_MIN_ROWS))
     items = None if use_index else [
         {"partition_id": rec.partition_id,
          "chunk": os.path.join(out_dir, rec.chunk_file),

@@ -1276,16 +1276,19 @@ def test_sealed_index_streamed_decode_order_identical(ray_session,
                                          batch_size=4096))
     res = consolidate(out)
     assert res["sealed"] is True
+    # stream_index=True forces the streamed path (auto engages only past
+    # _STREAM_INDEX_MIN_ROWS — small stores keep the cheap driver list)
     after = pa.concat_tables(
-        decode_dataset(out).iter_batches(batch_format="pyarrow",
-                                         batch_size=4096))
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
     assert after.equals(before)          # values AND row order
 
     proj = pa.concat_tables(
-        decode_dataset(out, columns=["url", "lang"]).iter_batches(
+        decode_dataset(out, columns=["url", "lang"],
+                       stream_index=True).iter_batches(
             batch_format="pyarrow", batch_size=4096))
     assert proj.equals(before.select(["url", "lang"]))
-    assert verify_job(out)["failed"] == []
+    assert verify_job(out, stream_index=True)["failed"] == []
 
 
 def test_sealed_store_verify_reports_corruption(ray_session, cc_parquet,
@@ -1297,7 +1300,7 @@ def test_sealed_store_verify_reports_corruption(ray_session, cc_parquet,
     out = str(tmp_path / "enc_vs")
     encode_job(cc_parquet, out, shared_dict_columns=None)
     assert consolidate(out)["sealed"] is True
-    res0 = verify_job(out)
+    res0 = verify_job(out, stream_index=True)
     assert res0 == {"partitions": 4, "ok": 4, "failed": []}
 
     victim = sorted(load_manifest(out).values(),
@@ -1307,7 +1310,7 @@ def test_sealed_store_verify_reports_corruption(ray_session, cc_parquet,
     blob[len(blob) // 2] ^= 0xFF      # same size: flips payload bytes
     with open(p, "wb") as f:
         f.write(bytes(blob))
-    res = verify_job(out)
+    res = verify_job(out, stream_index=True)
     assert res["partitions"] == 4 and res["ok"] == 3
     assert len(res["failed"]) == 1
     assert res["failed"][0]["partition_id"] == victim.partition_id
