@@ -120,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
     clu.add_argument("--bloom-columns", default=None,
                      help="as for encode")
     clu.add_argument("--max-rows-per-partition", type=int, default=None)
+    clu.add_argument("--consolidate", action="store_true",
+                     help="as for encode")
 
     sc = sub.add_parser(
         "scan-stats", help="explain pruning for a filter — chunks / "
@@ -201,7 +203,8 @@ def main(argv: list[str] | None = None) -> int:
             summary = cluster_job(
                 args.inputs, args.out_dir, by=args.by.split(","),
                 bloom_columns=blooms,
-                max_rows_per_partition=args.max_rows_per_partition)
+                max_rows_per_partition=args.max_rows_per_partition,
+                consolidate_manifest=args.consolidate)
             print(json.dumps(summary))
         elif args.cmd == "verify":
             from .pipelines.encode_job import verify_job
