@@ -48,7 +48,8 @@ def job_tables(draw):
     return pa.table(cols)
 
 
-def _roundtrip(tmp_base, tag, t, row_group_size, max_rows_per_partition):
+def _roundtrip(tmp_base, tag, t, row_group_size, max_rows_per_partition,
+               consolidated=False):
     src = os.path.join(tmp_base, f"{tag}.parquet")
     out = os.path.join(tmp_base, f"{tag}_enc")
     pq.write_table(t, src, row_group_size=row_group_size)
@@ -58,8 +59,16 @@ def _roundtrip(tmp_base, tag, t, row_group_size, max_rows_per_partition):
     # pruning must change I/O only, never answers
     encode_job(src, out, shared_dict_columns=None, bloom_columns="auto",
                max_rows_per_partition=max_rows_per_partition)
+    stream = None
+    if consolidated:
+        # sealed-index reads (and, when sealed, the FORCED streamed
+        # decode path) must be answer-identical for arbitrary schemas
+        from json_to_parquet_ray.manifest import consolidate
+
+        stream = consolidate(out)["sealed"] or None
     got = pa.Table.from_pylist(
-        sorted(decode_dataset(out).take_all(), key=lambda r: r["rid"]),
+        sorted(decode_dataset(out, stream_index=stream).take_all(),
+               key=lambda r: r["rid"]),
         schema=t.schema) if t.num_rows else decode_dataset(out)
     return src, out, got
 
@@ -67,8 +76,9 @@ def _roundtrip(tmp_base, tag, t, row_group_size, max_rows_per_partition):
 @settings(max_examples=_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(t=job_tables(), rgs=st.sampled_from([7, 50, 128]),
-       mrpp=st.sampled_from([None, 13, 64]))
-def test_encode_job_roundtrip_fuzz(ray_session, tmp_path_factory, t, rgs, mrpp):
+       mrpp=st.sampled_from([None, 13, 64]), con=st.booleans())
+def test_encode_job_roundtrip_fuzz(ray_session, tmp_path_factory, t, rgs,
+                                   mrpp, con):
     base = str(tmp_path_factory.mktemp("jobfuzz"))
     if t.num_rows == 0:
         # empty input: nothing to encode, decode of an empty store is empty
@@ -79,7 +89,7 @@ def test_encode_job_roundtrip_fuzz(ray_session, tmp_path_factory, t, rgs, mrpp):
                    max_rows_per_partition=mrpp)
         assert decode_dataset(out).count() == 0
         return
-    _, _, got = _roundtrip(base, "t", t, rgs, mrpp)
+    _, _, got = _roundtrip(base, "t", t, rgs, mrpp, consolidated=con)
     assert got.equals(t)
 
 
@@ -91,7 +101,8 @@ def test_zone_filter_fuzz_matches_post_filter(ray_session, tmp_path_factory,
     if t.num_rows == 0:
         return
     base = str(tmp_path_factory.mktemp("zonefuzz"))
-    _, out, _ = _roundtrip(base, "z", t, 16, None)
+    _, out, _ = _roundtrip(base, "z", t, 16, None,
+                           consolidated=data.draw(st.booleans()))
     col = data.draw(st.sampled_from(["i", "s", "k"]))
     vals = [v for v in t.column(col).to_pylist() if v is not None]
     pool = st.sampled_from(sorted(set(vals))) if vals else st.nothing()
