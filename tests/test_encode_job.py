@@ -1315,3 +1315,25 @@ def test_sealed_store_verify_reports_corruption(ray_session, cc_parquet,
     assert len(res["failed"]) == 1
     assert res["failed"][0]["partition_id"] == victim.partition_id
     assert res["failed"][0]["err"]
+
+
+def test_streamed_decode_multi_rowgroup_index_order(ray_session, tmp_path):
+    """The streamed path's ordering guarantee across MULTIPLE index row
+    groups (>256 records → several read fragments): decode order must
+    still equal the reconciliation path's."""
+    from json_to_parquet_ray.manifest import consolidate, index_path
+
+    src = str(tmp_path / "src.parquet")
+    write_cc_parquet(src, 3000, seed=11, row_group_size=1000)
+    out = str(tmp_path / "enc_mrg")
+    encode_job(src, out, shared_dict_columns=None,
+               max_rows_per_partition=10)          # 300 partitions
+    before = pa.concat_tables(
+        decode_dataset(out).iter_batches(batch_format="pyarrow",
+                                         batch_size=8192))
+    assert consolidate(out)["sealed"] is True
+    assert pq.read_metadata(index_path(out)).num_row_groups >= 2
+    after = pa.concat_tables(
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=8192))
+    assert after.equals(before)
