@@ -143,8 +143,12 @@ def main() -> None:
     queries["decode_cc"] = round(sec, 3)
 
     if os.environ.get("GRAFT_BENCH_ONLY") != "encode":  # skip in scaling runs
-        # ---- manifest consolidation + sealed streamed decode (work items
-        # come off the index's row groups, not a driver from_items list)
+        # ---- manifest consolidation + sealed-store decode. At this
+        # store's 16 partitions the decode still uses the driver item
+        # list (the streamed-off-the-index path auto-engages past 4096
+        # records and is forced + order-checked in tests); the entry
+        # measures that a sealed store's decode costs the same — the
+        # manifest load is the only difference at this scale.
         from json_to_parquet_ray.manifest import consolidate
 
         sec, con = timed(lambda: consolidate(out_dir))

@@ -146,29 +146,36 @@ def _load_index(out_dir: str) -> dict[str, PartitionRecord]:
     return out
 
 
-def _write_index(out_dir: str, json_rows: list[str],
-                 sealed: bool = False) -> None:
-    """Commit the index through write_atomic (fsync before rename): the
-    index may be the SOLE copy of every record, so an unsynced
-    write_table + replace could leave a torn file after power loss.
-
-    ``sealed`` records (as parquet KV metadata) that the rows ARE the
-    reconciled effective set — no overlapping claims, every merged
-    record complete at write time — so readers may skip
-    ``effective_records``'s interval resolution."""
+def write_index_file(path: str, json_rows: list[str],
+                     metadata: dict[str, str] | None = None) -> None:
+    """THE index format (main and keyed manifests share it): one parquet
+    'json' string column, committed through write_atomic (fsync before
+    rename — the index may be the SOLE copy of every record, so an
+    unsynced write_table + replace could leave a torn file after power
+    loss). Small row groups let ray.data.read_parquet split ONE index
+    file into many read fragments — a sealed-index decode streams its
+    work items off these row groups (256 records ≈ one task's list)."""
     import io
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pa.table({"json": pa.array(json_rows, pa.string())})
-    t = t.replace_schema_metadata({"sealed": "1" if sealed else "0"})
+    if metadata:
+        t = t.replace_schema_metadata(metadata)
     buf = io.BytesIO()
-    # small row groups let ray.data.read_parquet split ONE index file
-    # into many read fragments — a sealed-index decode streams its work
-    # items off these row groups (256 records ≈ one task's chunk list)
     pq.write_table(t, buf, row_group_size=256)
-    write_atomic(index_path(out_dir), buf.getvalue())
+    write_atomic(path, buf.getvalue())
+
+
+def _write_index(out_dir: str, json_rows: list[str],
+                 sealed: bool = False) -> None:
+    """``sealed`` records (as parquet KV metadata) that the rows ARE the
+    reconciled effective set — no overlapping claims, every merged
+    record complete at write time — so readers may skip
+    ``effective_records``'s interval resolution."""
+    write_index_file(index_path(out_dir), json_rows,
+                     {"sealed": "1" if sealed else "0"})
 
 
 def _index_sealed(out_dir: str) -> bool:
@@ -188,12 +195,15 @@ def _index_sealed(out_dir: str) -> bool:
 
 def _has_delta_records(out_dir: str) -> bool:
     """True iff any per-partition JSON record exists alongside the index
-    (deltas overlay — and therefore unseal — the indexed set). Early-
-    exits on the first hit."""
+    (deltas overlay — and therefore unseal — the indexed set). Scans
+    both the sharded layout and the flat legacy layout load_manifest
+    reads (``shard_dirs or [mdir]``); early-exits on the first hit."""
     mdir = manifest_dir(out_dir)
     if not os.path.isdir(mdir):
         return False
     for d in os.listdir(mdir):
+        if d.startswith("part-") and d.endswith(".json"):
+            return True  # flat legacy layout
         sd = os.path.join(mdir, d)
         if not (d.startswith("shard-") and os.path.isdir(sd)):
             continue
@@ -260,11 +270,16 @@ def consolidate(out_dir: str) -> dict:
     _write_index(out_dir, [r.to_json() for r in ordered], sealed=sealed)
     removed = 0
     for pid in recs:
-        try:
-            os.remove(record_path(out_dir, pid))
-            removed += 1
-        except OSError:
-            pass
+        # both layouts: sharded (record_path) and flat legacy (directly
+        # under _manifest/) — a survivor would be re-read as a delta and
+        # unseal every subsequent load
+        for p in (record_path(out_dir, pid),
+                  os.path.join(manifest_dir(out_dir), f"part-{pid}.json")):
+            try:
+                os.remove(p)
+                removed += 1
+            except OSError:
+                continue
     return {"records_indexed": len(ordered), "delta_files_removed": removed,
             "sealed": sealed}
 
@@ -275,11 +290,13 @@ def retire_records(out_dir: str, pids: set[str]) -> int:
     batch), or both. Returns how many records existed and were removed."""
     gone: set[str] = set()
     for pid in pids:
-        try:
-            os.remove(record_path(out_dir, pid))
-            gone.add(pid)
-        except OSError:
-            pass
+        for p in (record_path(out_dir, pid),
+                  os.path.join(manifest_dir(out_dir), f"part-{pid}.json")):
+            try:
+                os.remove(p)
+                gone.add(pid)
+            except OSError:
+                continue
     idx = _load_index(out_dir)
     hit = pids & idx.keys()
     if hit:

@@ -505,14 +505,15 @@ def encode_job(
                           else sorted(bloom_columns or [])),
         "manifest_records": len(manifest),
     }
+    if consolidate_manifest:
+        from ..manifest import consolidate
+
+        # before job.json, so the on-disk summary records the result too
+        plan_note["consolidated"] = consolidate(out_dir)
     write_atomic(
         os.path.join(out_dir, "_manifest", "job.json"),
         json.dumps(plan_note, indent=1).encode(),
     )
-    if consolidate_manifest:
-        from ..manifest import consolidate
-
-        plan_note["consolidated"] = consolidate(out_dir)
     return plan_note
 
 
@@ -1044,16 +1045,19 @@ def gc_job(out_dir: str) -> dict:
 
     has_main = os.path.isdir(manifest_dir(out_dir))
     has_keyed = os.path.isdir(_keyed_mdir(out_dir))
-    if not has_keyed and any(os.path.isdir(_keyed_mdir(out_dir) + s)
-                             for s in (".new", ".old")):
-        # keyed_encode killed between its two commit renames: only
-        # .old/.new exist, so NO keyed chunk would enter the live set
-        # and the sweep would delete the entire keyed generation.
-        # Refuse — recovery is one rename (.new is complete by
-        # construction: the swap only starts after the encode finishes).
+    if not has_keyed and os.path.isdir(_keyed_mdir(out_dir) + ".old"):
+        # keyed_encode killed between its two commit renames: .old (the
+        # previous complete generation) exists and the committed dir is
+        # gone, so NO keyed chunk would enter the live set and the sweep
+        # would delete a real generation. Refuse — recovery is one
+        # rename: .new if present (complete by construction — the swap
+        # only starts after the encode finishes, and only the swap
+        # removes the committed dir), else .old. A lone PARTIAL .new
+        # without .old (job killed mid-encode, nothing committed) is NOT
+        # this case: it is uncommitted staging, swept below.
         raise ValueError(
             f"gc: {out_dir!r} has a torn keyed-manifest swap "
-            f"(_keyed_manifest missing but .new/.old present) — rename "
+            f"(_keyed_manifest missing but .old present) — rename "
             f"_keyed_manifest.new (or .old) to _keyed_manifest first")
     if not (has_main or has_keyed):
         raise ValueError(
@@ -1080,13 +1084,17 @@ def gc_job(out_dir: str) -> dict:
     if has_keyed:
         live |= {os.path.normpath(r["chunk_file"])
                  for r in keyed_manifest(out_dir)}
-        for suffix in (".new", ".old"):
-            stale = _keyed_mdir(out_dir) + suffix
-            if os.path.isdir(stale):
-                import shutil
+    # stale staging manifests are removed whether or not a committed
+    # keyed manifest exists (a mixed main+keyed dir can hold a lone
+    # partial .new from a first keyed_encode killed mid-run); the
+    # torn-swap guard above already excluded the dangerous .old case
+    for suffix in (".new", ".old"):
+        stale = _keyed_mdir(out_dir) + suffix
+        if os.path.isdir(stale):
+            import shutil
 
-                shutil.rmtree(stale, ignore_errors=True)
-                staging_removed += 1
+            shutil.rmtree(stale, ignore_errors=True)
+            staging_removed += 1
 
     chunks_deleted = tmps_deleted = 0
     bytes_reclaimed = 0

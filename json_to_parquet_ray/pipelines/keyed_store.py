@@ -182,11 +182,10 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
 
 def _consolidate_dir(mdir: str) -> None:
     """Fold a generation's per-partition JSON records into ONE parquet
-    index inside ``mdir`` (fsync'd via write_atomic), then drop the
+    index inside ``mdir`` (same format + fsync'd commit as the main
+    manifest's, via ``manifest.write_index_file``), then drop the
     JSONs. Caller must be the generation's sole writer."""
-    import io
-
-    import pyarrow.parquet as pq
+    from ..manifest import write_index_file
 
     recs: list[tuple[str, str]] = []
     for name in sorted(os.listdir(mdir)):
@@ -201,11 +200,8 @@ def _consolidate_dir(mdir: str) -> None:
         recs.append((name, raw))
     if not recs:
         return
-    buf = io.BytesIO()
-    pq.write_table(
-        pa.table({"json": pa.array([r for _, r in recs], pa.string())}),
-        buf, row_group_size=256)
-    write_atomic(os.path.join(mdir, "index.parquet"), buf.getvalue())
+    write_index_file(os.path.join(mdir, "index.parquet"),
+                     [r for _, r in recs])
     for name, _ in recs:
         try:
             os.remove(os.path.join(mdir, name))
@@ -220,7 +216,11 @@ def keyed_manifest(out_dir: str) -> list[dict]:
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir):
         return []
-    out = []
+    # dedup by partition id, JSONs overlaying the index: if
+    # _consolidate_dir's cleanup failed to remove a JSON (EACCES, NFS
+    # hiccup) the record exists in BOTH — returning it twice would make
+    # keyed_read silently decode that chunk twice
+    by_pid: dict[str, dict] = {}
     idx = os.path.join(mdir, "index.parquet")
     if os.path.exists(idx):
         import pyarrow.parquet as pq
@@ -232,16 +232,19 @@ def keyed_manifest(out_dir: str) -> list[dict]:
             raise ValueError(
                 f"keyed manifest index {idx!r} exists but cannot be read "
                 f"({e}); restore it or re-encode the store") from e
-        out.extend(json.loads(r) for r in raws)
+        for r in raws:
+            rec = json.loads(r)
+            by_pid[rec["partition_id"]] = rec
     for name in sorted(os.listdir(mdir)):
         if not name.endswith(".json"):
             continue
         try:
             with open(os.path.join(mdir, name)) as f:
-                out.append(json.load(f))
+                rec = json.load(f)
         except json.JSONDecodeError:
             continue  # torn record → that partition is simply absent
-    return out
+        by_pid[rec["partition_id"]] = rec
+    return list(by_pid.values())
 
 
 def keyed_read(out_dir: str, keys: list | None = None):

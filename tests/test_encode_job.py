@@ -1128,8 +1128,11 @@ def test_corrupt_index_fails_loudly_and_gc_refuses(ray_session, cc_parquet,
 
 
 def test_gc_refuses_torn_keyed_swap(ray_session, tmp_path):
-    """keyed_encode killed between its two commit renames leaves only
-    .new/.old — gc must refuse instead of sweeping the generation."""
+    """A RE-encode killed between its two commit renames leaves .old
+    (the previous complete generation) with no committed dir — gc must
+    refuse instead of sweeping a real generation. (A lone partial .new
+    with no .old is the mid-encode crash, swept as staging — covered by
+    test_gc_sweeps_lone_partial_keyed_staging.)"""
     import ray
 
     from json_to_parquet_ray.pipelines import keyed_store
@@ -1140,10 +1143,10 @@ def test_gc_refuses_torn_keyed_swap(ray_session, tmp_path):
                   "k": pa.array(["a"] * 10)})
     keyed_store.keyed_encode(ray.data.from_arrow(t), out, "k", "id")
     mdir = keyed_store._manifest_dir(out)
-    os.rename(mdir, mdir + ".new")  # crash window between the renames
+    os.rename(mdir, mdir + ".old")  # crash after the swap's FIRST rename
     with pytest.raises(ValueError, match="torn keyed-manifest swap"):
         gc_job(out)
-    os.rename(mdir + ".new", mdir)  # the recovery the error names
+    os.rename(mdir + ".old", mdir)  # the recovery the error names
     assert gc_job(out)["chunks_deleted"] == 0
     ds, _ = keyed_store.keyed_read(out)
     assert len(ds.to_pandas()) == 10
@@ -1337,3 +1340,105 @@ def test_streamed_decode_multi_rowgroup_index_order(ray_session, tmp_path):
         decode_dataset(out, stream_index=True).iter_batches(
             batch_format="pyarrow", batch_size=8192))
     assert after.equals(before)
+
+
+def test_gc_sweeps_lone_partial_keyed_staging(ray_session, cc_parquet,
+                                              tmp_path):
+    """A first-ever keyed_encode killed mid-run leaves ONLY a partial
+    _keyed_manifest.new (no .old, nothing committed): on a mixed dir gc
+    must sweep it as uncommitted staging, not raise torn-swap."""
+    from json_to_parquet_ray.pipelines.encode_job import gc_job
+    from json_to_parquet_ray.pipelines.keyed_store import _manifest_dir
+
+    out = str(tmp_path / "enc_mix")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    staging = _manifest_dir(out) + ".new"
+    os.makedirs(staging)
+    with open(os.path.join(staging, "deadbeef.json"), "w") as f:
+        f.write('{"partial": true')       # mid-write record
+    orphan = os.path.join(out, "gen-0", "shard-abc", "part-abc.rde")
+    os.makedirs(os.path.dirname(orphan))
+    with open(orphan, "wb") as f:
+        f.write(b"x" * 64)                # the partial generation's chunk
+
+    res = gc_job(out)
+    assert res["staging_dirs_removed"] == 1
+    assert res["chunks_deleted"] == 1
+    assert not os.path.isdir(staging)
+    assert not os.path.exists(orphan)
+    assert verify_job(out)["failed"] == []
+
+
+def test_flat_layout_records_consolidate_and_retire(ray_session, tmp_path):
+    """Legacy FLAT-layout JSONs (directly under _manifest/, the
+    load_manifest fallback): consolidate must remove them (else they
+    resurrect as deltas and unseal every read) and retire_records must
+    reach them too."""
+    from json_to_parquet_ray.manifest import (
+        PartitionRecord,
+        _has_delta_records,
+        _index_sealed,
+        consolidate,
+        effective_records,
+        retire_records,
+        write_atomic,
+    )
+
+    out = str(tmp_path / "flat")
+    recs = []
+    for i in range(3):
+        rec = PartitionRecord(
+            partition_id=f"{i:016x}",
+            fragment={"path": f"in-{i}.parquet", "row_group": 0,
+                      "num_rows": 5, "row_start": 0},
+            num_rows=5, chunk_file=f"part-{i}.rde", chunk_size=4)
+        write_atomic(os.path.join(out, rec.chunk_file), b"abcd")
+        # FLAT layout: record sits directly under _manifest/
+        write_atomic(os.path.join(out, "_manifest",
+                                  f"part-{rec.partition_id}.json"),
+                     rec.to_json().encode())
+        recs.append(rec)
+    assert len(load_manifest(out)) == 3
+    assert _has_delta_records(out)
+
+    res = consolidate(out)
+    assert res["records_indexed"] == 3
+    assert res["delta_files_removed"] == 3
+    assert res["sealed"] is True
+    assert not _has_delta_records(out)     # flat JSONs actually gone
+    assert _index_sealed(out)
+
+    retire_records(out, {recs[0].partition_id})
+    assert {r.partition_id for r in effective_records(out)} == \
+           {r.partition_id for r in recs[1:]}
+
+
+def test_keyed_manifest_dedups_index_and_leftover_json(ray_session,
+                                                       tmp_path):
+    """A JSON record surviving _consolidate_dir's cleanup must not
+    duplicate its index entry (keyed_read would decode the chunk twice)."""
+    import json
+
+    import ray
+
+    from json_to_parquet_ray.pipelines.keyed_store import (
+        _manifest_dir,
+        keyed_encode,
+        keyed_manifest,
+        keyed_read,
+    )
+
+    out = str(tmp_path / "ks_dup")
+    t = pa.table({"id": pa.array(range(40), pa.int64()),
+                  "k": pa.array(["a", "b"] * 20)})
+    keyed_encode(ray.data.from_arrow(t), out, "k", "id")
+    recs = keyed_manifest(out)
+    assert len(recs) == 2
+    # simulate the failed-removal survivor: re-write one record's JSON
+    victim = recs[0]
+    with open(os.path.join(_manifest_dir(out),
+                           f"{victim['partition_id']}.json"), "w") as f:
+        json.dump(victim, f)
+    assert len(keyed_manifest(out)) == 2   # deduped, not 3
+    ds, _ = keyed_read(out)
+    assert len(ds.to_pandas()) == 40       # no chunk decoded twice
