@@ -154,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
                    "re-encodes), torn write temps, stale staging "
                    "manifests. Run offline — no concurrent writer.")
     gcp.add_argument("out_dir")
+    gcp.add_argument("--dry-run", action="store_true",
+                     help="report what would be reclaimed, delete nothing")
 
     st = sub.add_parser("stats", help="per-column statistics of parquet input")
     st.add_argument("inputs", nargs="+")
@@ -264,7 +266,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "gc":
             from .pipelines.encode_job import gc_job
 
-            print(json.dumps(gc_job(args.out_dir)))
+            print(json.dumps(gc_job(args.out_dir, dry_run=args.dry_run)))
         elif args.cmd == "stats":
             from .stats import compute_stats
 

@@ -1014,7 +1014,7 @@ def store_stats(out_dir: str) -> dict:
             "columns": dict(sorted(cols.items()))}
 
 
-def gc_job(out_dir: str) -> dict:
+def gc_job(out_dir: str, dry_run: bool = False) -> dict:
     """Reclaim orphaned bytes from an encoded store (main or keyed).
 
     Orphans arise from three crash/rewrite windows, none of which affect
@@ -1038,6 +1038,9 @@ def gc_job(out_dir: str) -> dict:
     shard dirs. OFFLINE operation: run with no concurrent writer —
     encode commits chunk bytes BEFORE the manifest record, so gc racing
     a live job would reclaim a chunk about to be committed.
+
+    ``dry_run`` reports the same counts/bytes without deleting anything
+    (records, chunks, temps, and staging dirs all stay in place).
     """
     from ..manifest import manifest_dir, retire_records
     from .keyed_store import _manifest_dir as _keyed_mdir
@@ -1079,7 +1082,9 @@ def gc_job(out_dir: str) -> dict:
                 # lost reconciliation (stale generation / torn merge):
                 # retire the record; its chunk falls to the sweep below
                 stale.add(pid)
-        records_retired = retire_records(out_dir, stale) if stale else 0
+        records_retired = (len(stale) if dry_run
+                           else retire_records(out_dir, stale)) if stale \
+            else 0
     staging_removed = 0
     if has_keyed:
         live |= {os.path.normpath(r["chunk_file"])
@@ -1091,9 +1096,10 @@ def gc_job(out_dir: str) -> dict:
     for suffix in (".new", ".old"):
         stale = _keyed_mdir(out_dir) + suffix
         if os.path.isdir(stale):
-            import shutil
+            if not dry_run:
+                import shutil
 
-            shutil.rmtree(stale, ignore_errors=True)
+                shutil.rmtree(stale, ignore_errors=True)
             staging_removed += 1
 
     chunks_deleted = tmps_deleted = 0
@@ -1110,7 +1116,8 @@ def gc_job(out_dir: str) -> dict:
             if victim:
                 try:
                     sz = os.path.getsize(p)
-                    os.remove(p)
+                    if not dry_run:
+                        os.remove(p)
                 except OSError:
                     continue
                 bytes_reclaimed += sz
@@ -1120,7 +1127,8 @@ def gc_job(out_dir: str) -> dict:
                     tmps_deleted += 1
         # drop shard/generation dirs the sweep emptied (topdown=False:
         # children first, so an emptied gen-N goes after its shards)
-        if os.path.basename(root).startswith(("shard-", "gen-")):
+        if not dry_run and os.path.basename(root).startswith(
+                ("shard-", "gen-")):
             try:
                 os.rmdir(root)
             except OSError:
@@ -1130,7 +1138,8 @@ def gc_job(out_dir: str) -> dict:
             "records_retired": records_retired,
             "tmps_deleted": tmps_deleted,
             "staging_dirs_removed": staging_removed,
-            "chunks_live": len(live)}
+            "chunks_live": len(live),
+            "dry_run": dry_run}
 
 
 def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:

@@ -968,6 +968,14 @@ def test_gc_job_reclaims_orphans(ray_session, cc_parquet, tmp_path):
                  stale.to_json().encode())
     assert stale.partition_id in load_manifest(out)
 
+    # dry run first: identical counts, nothing touched
+    dry = gc_job(out, dry_run=True)
+    assert dry["dry_run"] is True
+    assert dry["records_retired"] == 1 and dry["chunks_deleted"] == 2
+    assert dry["tmps_deleted"] == 1
+    assert os.path.exists(orphan) and os.path.exists(tmp)
+    assert stale.partition_id in load_manifest(out)
+
     res = gc_job(out)
     assert res["records_retired"] == 1
     assert res["chunks_deleted"] == 2   # the orphan + the stale chunk
