@@ -985,10 +985,27 @@ def store_stats(out_dir: str) -> dict:
     per-column codec distribution and encoded bytes, plus chunk/row
     totals and recorded encode wall time — the 'metrics' half of the
     north rule's per-partition lineage + metrics. Works on JSON-delta
-    and consolidated-index manifests alike."""
+    and consolidated-index manifests alike. A keyed store (no
+    ``_manifest`` but a ``_keyed_manifest``) reports per-key chunk/row
+    totals instead (keyed records carry no per-column codec metadata)."""
     from ..manifest import manifest_dir
+    from .keyed_store import _manifest_dir as _keyed_mdir
+    from .keyed_store import keyed_manifest
 
     if not os.path.isdir(manifest_dir(out_dir)):
+        if os.path.isdir(_keyed_mdir(out_dir)):
+            krecs = keyed_manifest(out_dir)
+            keys: dict[str, dict] = {}
+            for r in krecs:
+                st = keys.setdefault(r["key"], {"chunks": 0, "rows": 0,
+                                                "chunk_bytes": 0})
+                st["chunks"] += 1
+                st["rows"] += int(r["num_rows"])
+                st["chunk_bytes"] += int(r["chunk_size"])
+            return {"chunks": len(krecs),
+                    "rows": sum(int(r["num_rows"]) for r in krecs),
+                    "chunk_bytes": sum(int(r["chunk_size"]) for r in krecs),
+                    "keys": dict(sorted(keys.items()))}
         # same guard as gc/consolidate: a typo'd path must not read as a
         # healthy empty store
         raise ValueError(

@@ -1450,3 +1450,26 @@ def test_keyed_manifest_dedups_index_and_leftover_json(ray_session,
     assert len(keyed_manifest(out)) == 2   # deduped, not 3
     ds, _ = keyed_read(out)
     assert len(ds.to_pandas()) == 40       # no chunk decoded twice
+
+
+def test_store_stats_keyed_store(ray_session, tmp_path):
+    """store_stats on a keyed store: per-key chunk/row/byte totals,
+    salted hot keys counted across their sub-chunks."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.encode_job import store_stats
+    from json_to_parquet_ray.pipelines.keyed_store import keyed_encode
+
+    out = str(tmp_path / "ks_ss")
+    n = 600
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "k": pa.array(["hot"] * 500 + ["cold"] * 100)})
+    keyed_encode(ray.data.from_arrow(t), out, "k", "id",
+                 hot_threshold=200, salt_buckets=4)
+    s = store_stats(out)
+    assert s["rows"] == n
+    assert s["keys"]["hot"]["chunks"] == 4       # salted sub-chunks
+    assert s["keys"]["hot"]["rows"] == 500
+    assert s["keys"]["cold"] == {"chunks": 1, "rows": 100,
+                                 "chunk_bytes": s["keys"]["cold"]["chunk_bytes"]}
+    assert s["chunks"] == 5
