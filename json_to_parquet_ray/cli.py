@@ -133,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
     cmp = sub.add_parser("compact", help="merge small chunks (manifest rewrite)")
     cmp.add_argument("out_dir")
     cmp.add_argument("--min-rows", type=int, default=100_000)
+    cmp.add_argument("--consolidate", action="store_true",
+                     help="re-consolidate (and usually re-seal) the "
+                          "manifest afterwards — compaction commits "
+                          "merged records as JSON deltas, which unseal "
+                          "a previously sealed index")
 
     ss = sub.add_parser(
         "store-stats", help="store metrics from the manifest only: "
@@ -254,6 +259,10 @@ def main(argv: list[str] | None = None) -> int:
 
             res = compact_job(args.out_dir, min_rows=args.min_rows)
             res.pop("merged", None)
+            if args.consolidate:
+                from .manifest import consolidate
+
+                res["consolidated"] = consolidate(args.out_dir)
             print(json.dumps(res))
         elif args.cmd == "store-stats":
             from .pipelines.encode_job import store_stats
