@@ -127,23 +127,37 @@ def _load_index(out_dir: str) -> dict[str, PartitionRecord]:
     p = index_path(out_dir)
     if not os.path.exists(p):
         return {}
-    import pyarrow.parquet as pq
-
     out: dict[str, PartitionRecord] = {}
-    try:
-        rows = pq.read_table(p, columns=["json"]).column("json").to_pylist()
-    except Exception as e:
-        raise ValueError(
-            f"manifest index {p!r} exists but cannot be read ({e}); "
-            f"restore it from a backup or delete it EXPLICITLY to fall "
-            f"back to re-encoding the covered partitions") from e
-    for raw in rows:
+    for raw in read_index_rows(p):
         try:
             rec = PartitionRecord(**json.loads(raw))
-        except (json.JSONDecodeError, TypeError):
-            continue
+        except (json.JSONDecodeError, TypeError) as e:
+            # same loud-fail policy as the file-level read: the index is
+            # the SOLE copy of every covered record, so a skipped row
+            # would silently drop a partition from decode (rows vanish),
+            # verify (vacuous pass), and gc (live chunk swept as orphan)
+            raise ValueError(
+                f"manifest index {p!r} contains an unparseable record "
+                f"({e}); restore the index from a backup or delete it "
+                f"EXPLICITLY to fall back to re-encoding") from e
         out[rec.partition_id] = rec
     return out
+
+
+def read_index_rows(path: str) -> list[str]:
+    """Read a consolidated index's 'json' rows — ONE loud-fail policy
+    shared by the main and keyed manifests: an index that exists but
+    cannot be read must raise, never read as an empty store."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_table(path, columns=["json"]).column(
+            "json").to_pylist()
+    except Exception as e:
+        raise ValueError(
+            f"manifest index {path!r} exists but cannot be read ({e}); "
+            f"restore it from a backup or delete it EXPLICITLY to fall "
+            f"back to re-encoding the covered partitions") from e
 
 
 def write_index_file(path: str, json_rows: list[str],
@@ -213,6 +227,27 @@ def _has_delta_records(out_dir: str) -> bool:
     return False
 
 
+STREAM_INDEX_MIN_ROWS = 4096
+
+
+def stream_eligible(out_dir: str, force: bool | None = None) -> bool:
+    """True iff readers (decode_dataset, verify_job) may stream their
+    work items off the sealed index: sealed, no JSON deltas, and —
+    unless ``force`` is True — at least STREAM_INDEX_MIN_ROWS records.
+    Below that the index collapses to one 256-record row group (one
+    read block = one task) and streaming would SERIALIZE the work,
+    while a driver item list is still cheap. One shared gate so decode
+    and verify can never drift on what counts as streamable."""
+    if force is False:
+        return False
+    if not (_index_sealed(out_dir) and not _has_delta_records(out_dir)):
+        return False
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(index_path(out_dir)).num_rows
+    return n > 0 and (force is True or n >= STREAM_INDEX_MIN_ROWS)
+
+
 def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
     """All records: the consolidated index (one parquet file) plus any
     newer per-partition JSON deltas, which win on partition-id collision.
@@ -257,6 +292,15 @@ def consolidate(out_dir: str) -> dict:
         raise ValueError(
             f"consolidate: {out_dir!r} has no _manifest — not an encoded "
             f"store")
+    if _index_sealed(out_dir) and not _has_delta_records(out_dir):
+        # already consolidated and sealed with nothing to fold in: the
+        # rewrite would provably change nothing — at 10^7 records that
+        # no-op would be a multi-GB fsync'd rewrite on every resumed run
+        import pyarrow.parquet as pq
+
+        return {"records_indexed":
+                pq.read_metadata(index_path(out_dir)).num_rows,
+                "delta_files_removed": 0, "sealed": True}
     recs = load_manifest(out_dir)
     if not recs:
         return {"records_indexed": 0, "delta_files_removed": 0,

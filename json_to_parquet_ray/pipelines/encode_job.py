@@ -506,10 +506,16 @@ def encode_job(
         "manifest_records": len(manifest),
     }
     if consolidate_manifest:
-        from ..manifest import consolidate
+        from ..manifest import consolidate, manifest_dir
 
-        # before job.json, so the on-disk summary records the result too
-        plan_note["consolidated"] = consolidate(out_dir)
+        # before job.json, so the on-disk summary records the result
+        # too. An empty input (zero fragments) never created _manifest —
+        # nothing to consolidate, and consolidate's not-a-store guard
+        # must not kill an otherwise-successful empty job.
+        plan_note["consolidated"] = (
+            consolidate(out_dir) if os.path.isdir(manifest_dir(out_dir))
+            else {"records_indexed": 0, "delta_files_removed": 0,
+                  "sealed": False})
     write_atomic(
         os.path.join(out_dir, "_manifest", "job.json"),
         json.dumps(plan_note, indent=1).encode(),
@@ -564,13 +570,6 @@ def bloom_reject_count(out_dir: str, recs: list, eq: dict) -> int:
                .map_batches(probe, batch_format="pyarrow").take_all())
 
 
-# below this many records, a driver work-item list is cheap and the
-# index collapses to so few row groups that streaming it would SERIALIZE
-# the decode (one read block = one decode task); above it, the streamed
-# path wins on driver heap and the index splits into plenty of blocks
-_STREAM_INDEX_MIN_ROWS = 4096
-
-
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    zone_filter: dict | None = None,
                    schema: pa.Schema | None = None,
@@ -591,17 +590,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     schema gains columns or widens types."""
     import ray
 
-    from ..manifest import _has_delta_records, _index_sealed, index_path
-
-    def _stream_ok() -> bool:
-        if stream_index is False or zone_filter:
-            return False
-        if not (_index_sealed(out_dir) and not _has_delta_records(out_dir)):
-            return False
-        n = pq.read_metadata(index_path(out_dir)).num_rows
-        # an index retired down to zero records takes the empty path
-        return n > 0 and (stream_index is True
-                          or n >= _STREAM_INDEX_MIN_ROWS)
+    from ..manifest import index_path, stream_eligible
 
     items: list[dict] | None
     if zone_filter:
@@ -610,7 +599,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         recs, _ = zone_prune(out_dir, zone_filter, recs=all_recs)
         items = [{"path": os.path.join(out_dir, rec.chunk_file)}
                  for rec in recs]
-    elif _stream_ok():
+    elif stream_eligible(out_dir, stream_index):
         # sealed index, no deltas, big enough: the work-item list never
         # materializes on the driver — chunk paths stream straight off
         # the index's row groups (at 10^7 partitions a from_items list
@@ -985,32 +974,39 @@ def store_stats(out_dir: str) -> dict:
     per-column codec distribution and encoded bytes, plus chunk/row
     totals and recorded encode wall time — the 'metrics' half of the
     north rule's per-partition lineage + metrics. Works on JSON-delta
-    and consolidated-index manifests alike. A keyed store (no
-    ``_manifest`` but a ``_keyed_manifest``) reports per-key chunk/row
-    totals instead (keyed records carry no per-column codec metadata)."""
+    and consolidated-index manifests alike. A keyed store (a
+    ``_keyed_manifest``) reports per-key chunk/row totals (keyed records
+    carry no per-column codec metadata); a dir holding BOTH manifests —
+    valid, gc handles it — reports the keyed side under ``keyed``."""
     from ..manifest import manifest_dir
     from .keyed_store import _manifest_dir as _keyed_mdir
     from .keyed_store import keyed_manifest
 
-    if not os.path.isdir(manifest_dir(out_dir)):
-        if os.path.isdir(_keyed_mdir(out_dir)):
-            krecs = keyed_manifest(out_dir)
-            keys: dict[str, dict] = {}
-            for r in krecs:
-                st = keys.setdefault(r["key"], {"chunks": 0, "rows": 0,
-                                                "chunk_bytes": 0})
-                st["chunks"] += 1
-                st["rows"] += int(r["num_rows"])
-                st["chunk_bytes"] += int(r["chunk_size"])
-            return {"chunks": len(krecs),
-                    "rows": sum(int(r["num_rows"]) for r in krecs),
-                    "chunk_bytes": sum(int(r["chunk_size"]) for r in krecs),
-                    "keys": dict(sorted(keys.items()))}
+    has_main = os.path.isdir(manifest_dir(out_dir))
+    has_keyed = os.path.isdir(_keyed_mdir(out_dir))
+    if not (has_main or has_keyed):
         # same guard as gc/consolidate: a typo'd path must not read as a
         # healthy empty store
         raise ValueError(
             f"store-stats: {out_dir!r} has no _manifest — not an "
             f"encoded store")
+    keyed_out = None
+    if has_keyed:
+        krecs = keyed_manifest(out_dir)
+        keys: dict[str, dict] = {}
+        for r in krecs:
+            st = keys.setdefault(r["key"], {"chunks": 0, "rows": 0,
+                                            "chunk_bytes": 0})
+            st["chunks"] += 1
+            st["rows"] += int(r["num_rows"])
+            st["chunk_bytes"] += int(r["chunk_size"])
+        keyed_out = {"chunks": len(krecs),
+                     "rows": sum(int(r["num_rows"]) for r in krecs),
+                     "chunk_bytes": sum(int(r["chunk_size"])
+                                        for r in krecs),
+                     "keys": dict(sorted(keys.items()))}
+        if not has_main:
+            return keyed_out
     recs = effective_records(out_dir)
     cols: dict[str, dict] = {}
     for rec in recs:
@@ -1024,11 +1020,14 @@ def store_stats(out_dir: str) -> dict:
         st["pct_of_store"] = round(100 * st["encoded_bytes"]
                                    / max(total_bytes, 1), 2)
         st["codecs"] = dict(sorted(st["codecs"].items()))
-    return {"chunks": len(recs),
-            "rows": sum(r.num_rows for r in recs),
-            "chunk_bytes": total_bytes,
-            "encode_wall_s": round(sum(r.wall_time_s for r in recs), 3),
-            "columns": dict(sorted(cols.items()))}
+    out = {"chunks": len(recs),
+           "rows": sum(r.num_rows for r in recs),
+           "chunk_bytes": total_bytes,
+           "encode_wall_s": round(sum(r.wall_time_s for r in recs), 3),
+           "columns": dict(sorted(cols.items()))}
+    if keyed_out is not None:
+        out["keyed"] = keyed_out
+    return out
 
 
 def gc_job(out_dir: str, dry_run: bool = False) -> dict:
@@ -1110,6 +1109,7 @@ def gc_job(out_dir: str, dry_run: bool = False) -> dict:
     # keyed manifest exists (a mixed main+keyed dir can hold a lone
     # partial .new from a first keyed_encode killed mid-run); the
     # torn-swap guard above already excluded the dangerous .old case
+    staging_roots: list[str] = []
     for suffix in (".new", ".old"):
         stale = _keyed_mdir(out_dir) + suffix
         if os.path.isdir(stale):
@@ -1118,10 +1118,17 @@ def gc_job(out_dir: str, dry_run: bool = False) -> dict:
 
                 shutil.rmtree(stale, ignore_errors=True)
             staging_removed += 1
+            staging_roots.append(stale)
 
     chunks_deleted = tmps_deleted = 0
     bytes_reclaimed = 0
     for root, dirs, files in os.walk(out_dir, topdown=False):
+        # staging dirs are accounted under staging_dirs_removed; in a
+        # dry run they still exist — skip their contents so the report
+        # matches what the real run (rmtree before the walk) reports
+        if any(root == s or root.startswith(s + os.sep)
+               for s in staging_roots):
+            continue
         for name in files:
             p = os.path.join(root, name)
             rel = os.path.normpath(os.path.relpath(p, out_dir))
@@ -1163,20 +1170,16 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
     """Distributed bit-identical verification: decode every chunk and compare
     against its recorded input fragment. Returns {partitions, ok, failed:[...]}.
 
-    On a sealed consolidated store past _STREAM_INDEX_MIN_ROWS (or with
+    On a sealed consolidated store past STREAM_INDEX_MIN_ROWS (or with
     ``stream_index=True``), work items stream off the index's row groups
     (no driver-built list). Only FAILURES ever reach the driver either
     way — totals aggregate distributed.
     """
     import ray
 
-    from ..manifest import _has_delta_records, _index_sealed, index_path
+    from ..manifest import index_path, stream_eligible
 
-    use_index = (stream_index is not False
-                 and _index_sealed(out_dir)
-                 and not _has_delta_records(out_dir)
-                 and pq.read_metadata(index_path(out_dir)).num_rows
-                 >= (1 if stream_index else _STREAM_INDEX_MIN_ROWS))
+    use_index = stream_eligible(out_dir, stream_index)
     items = None if use_index else [
         {"partition_id": rec.partition_id,
          "chunk": os.path.join(out_dir, rec.chunk_file),

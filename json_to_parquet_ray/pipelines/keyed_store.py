@@ -223,16 +223,9 @@ def keyed_manifest(out_dir: str) -> list[dict]:
     by_pid: dict[str, dict] = {}
     idx = os.path.join(mdir, "index.parquet")
     if os.path.exists(idx):
-        import pyarrow.parquet as pq
+        from ..manifest import read_index_rows
 
-        try:
-            raws = pq.read_table(idx, columns=["json"]).column(
-                "json").to_pylist()
-        except Exception as e:
-            raise ValueError(
-                f"keyed manifest index {idx!r} exists but cannot be read "
-                f"({e}); restore it or re-encode the store") from e
-        for r in raws:
+        for r in read_index_rows(idx):
             rec = json.loads(r)
             by_pid[rec["partition_id"]] = rec
     for name in sorted(os.listdir(mdir)):

@@ -1288,7 +1288,7 @@ def test_sealed_index_streamed_decode_order_identical(ray_session,
     res = consolidate(out)
     assert res["sealed"] is True
     # stream_index=True forces the streamed path (auto engages only past
-    # _STREAM_INDEX_MIN_ROWS — small stores keep the cheap driver list)
+    # STREAM_INDEX_MIN_ROWS — small stores keep the cheap driver list)
     after = pa.concat_tables(
         decode_dataset(out, stream_index=True).iter_batches(
             batch_format="pyarrow", batch_size=4096))
@@ -1473,3 +1473,67 @@ def test_store_stats_keyed_store(ray_session, tmp_path):
     assert s["keys"]["cold"] == {"chunks": 1, "rows": 100,
                                  "chunk_bytes": s["keys"]["cold"]["chunk_bytes"]}
     assert s["chunks"] == 5
+
+
+def test_corrupt_index_row_raises(ray_session, cc_parquet, tmp_path):
+    """An index whose parquet structure is intact but holds an
+    unparseable record row must raise — a skipped row would silently
+    drop a partition from decode/verify/gc."""
+    from json_to_parquet_ray.manifest import consolidate, index_path
+    from json_to_parquet_ray.manifest import write_index_file
+
+    out = str(tmp_path / "enc_cr")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    consolidate(out)
+    from json_to_parquet_ray.manifest import read_index_rows
+
+    rows = read_index_rows(index_path(out))
+    rows[1] = rows[1][:-5]          # truncated JSON, valid parquet
+    write_index_file(index_path(out), rows, {"sealed": "1"})
+    with pytest.raises(ValueError, match="unparseable record"):
+        load_manifest(out)
+
+
+def test_encode_consolidate_empty_input_and_noop_reconsolidate(
+        ray_session, cc_parquet, tmp_path):
+    """consolidate_manifest on a zero-fragment input must not crash the
+    job; re-consolidating an already-sealed store with no deltas is a
+    no-op (no index rewrite, counts preserved)."""
+    from json_to_parquet_ray.manifest import consolidate, index_path
+
+    empty_dir = tmp_path / "empty_src"
+    empty_dir.mkdir()
+    out0 = str(tmp_path / "enc_empty")
+    s = encode_job(str(empty_dir), out0, shared_dict_columns=None,
+                   consolidate_manifest=True)
+    assert s["partitions_total"] == 0
+    assert s["consolidated"] == {"records_indexed": 0,
+                                 "delta_files_removed": 0, "sealed": False}
+
+    out = str(tmp_path / "enc_noop")
+    encode_job(cc_parquet, out, shared_dict_columns=None,
+               consolidate_manifest=True)
+    mtime = os.path.getmtime(index_path(out))
+    res = consolidate(out)          # sealed, no deltas → no rewrite
+    assert res == {"records_indexed": 4, "delta_files_removed": 0,
+                   "sealed": True}
+    assert os.path.getmtime(index_path(out)) == mtime
+
+
+def test_store_stats_mixed_main_and_keyed(ray_session, cc_parquet,
+                                          tmp_path):
+    """A dir holding BOTH manifests reports the keyed side under
+    'keyed' instead of silently omitting it."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.encode_job import store_stats
+    from json_to_parquet_ray.pipelines.keyed_store import keyed_encode
+
+    out = str(tmp_path / "mixed")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    t = pa.table({"id": pa.array(range(30), pa.int64()),
+                  "k": pa.array(["a", "b", "c"] * 10)})
+    keyed_encode(ray.data.from_arrow(t), out, "k", "id")
+    s = store_stats(out)
+    assert s["chunks"] == 4 and s["rows"] == 2000        # main side
+    assert s["keyed"]["chunks"] == 3 and s["keyed"]["rows"] == 30
