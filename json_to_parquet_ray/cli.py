@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--no-resume", action="store_true")
     enc.add_argument("--shared-dicts", default=None,
                      help="comma-separated columns, or 'auto'")
+    enc.add_argument("--shared-fsst", default=None,
+                     help="comma-separated string columns whose FSST "
+                          "symbol table is trained once and shared "
+                          "across all partitions (actor-pool state)")
     enc.add_argument("--bloom-columns", default=None,
                      help="comma-separated columns to write per-chunk "
                           "Bloom filters for (point-lookup pruning), or "
@@ -197,6 +201,9 @@ def main(argv: list[str] | None = None) -> int:
             summary = encode_job(args.inputs, args.out_dir,
                                  resume=not args.no_resume,
                                  shared_dict_columns=shared,
+                                 shared_fsst_columns=(
+                                     args.shared_fsst.split(",")
+                                     if args.shared_fsst else None),
                                  bloom_columns=blooms,
                                  max_rows_per_partition=args.max_rows_per_partition,
                                  consolidate_manifest=args.consolidate)
