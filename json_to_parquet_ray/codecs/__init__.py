@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from .alp import AlpCodec
 from .base import Codec
 from .dictionary import DictCodec
 from .forbp import DeltaCodec, ForBitPackCodec
@@ -31,8 +32,8 @@ def register(codec: type[Codec]) -> None:
 
 
 for _c in (PlainCodec, ZstdCodec, ZstdHiCodec, Lz4Codec, ConstantCodec,
-           BssCodec, ForBitPackCodec, DeltaCodec, RleCodec, DictCodec,
-           FsstCodec):
+           BssCodec, AlpCodec, ForBitPackCodec, DeltaCodec, RleCodec,
+           DictCodec, FsstCodec):
     register(_c)
 
 

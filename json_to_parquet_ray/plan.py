@@ -113,6 +113,7 @@ def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, str, dic
             out.append(("dict", "dict", {}))
     elif pa.types.is_floating(t):
         out.append(("bss", "bss", {}))
+        out.append(("alp", "alp", {}))  # wins ~10-30x on decimal-valued doubles
         if st.avg_run_len >= 2.0:
             out.append(("rle", "rle", {}))
     elif string_like:

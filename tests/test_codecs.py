@@ -56,7 +56,30 @@ FLOAT_ARRAYS = {
     "with_nulls": pa.array([1.5, None, -0.0, float("inf")], pa.float64()),
     "f32": pa.array([1.5, 2.5, None], pa.float32()),
     "nan": pa.array([float("nan"), 1.0], pa.float64()),
+    "decimal2": pa.array([123.45, 0.07, -99.99, 1000.0], pa.float64()),
+    "specials": pa.array(
+        [1.5, None, -0.0, float("inf"), float("-inf"), float("nan"),
+         0.0, -1e300, 1e-300, 5e-324], pa.float64()),
+    "f32_decimal": pa.array(
+        np.round(np.linspace(-10, 10, 50), 2).astype(np.float32),
+        pa.float32()),
+    "all_nan": pa.array([float("nan")] * 5, pa.float64()),
 }
+
+
+def float_bits_equal(a: pa.Array, b: pa.Array) -> bool:
+    """Bit-level float equality (NaN-safe), plus identical validity."""
+    if len(a) != len(b) or a.type != b.type:
+        return False
+    if a.null_count != b.null_count:
+        return False
+    va = a.is_valid().to_numpy(zero_copy_only=False)
+    if not (va == b.is_valid().to_numpy(zero_copy_only=False)).all():
+        return False
+    u = np.uint32 if a.type == pa.float32() else np.uint64
+    an = a.fill_null(0.0).to_numpy(zero_copy_only=False).view(u)
+    bn = b.fill_null(0.0).to_numpy(zero_copy_only=False).view(u)
+    return bool((an[va] == bn[va]).all())
 
 
 @pytest.mark.parametrize("codec", ["plain", "zstd", "lz4", "forbp", "delta", "rle", "dict"])
@@ -77,16 +100,47 @@ def test_str_roundtrip(codec, name):
     roundtrip(arr, codec)
 
 
-@pytest.mark.parametrize("codec", ["plain", "zstd", "bss"])
+@pytest.mark.parametrize("codec", ["plain", "zstd", "bss", "alp"])
 @pytest.mark.parametrize("name", sorted(FLOAT_ARRAYS))
 def test_float_roundtrip(codec, name):
     # NaN: arrow equals() treats NaN != NaN at the value level unless bitwise;
-    # compare via to_pylist repr for the nan case
+    # compare bit patterns (also catches a lossy -0.0 → +0.0)
     arr = FLOAT_ARRAYS[name]
     payload, meta = encode_array(arr, codec)
     back = decode_array(payload, meta)
     assert back.type == arr.type
-    assert repr(back.to_pylist()) == repr(arr.to_pylist())
+    assert float_bits_equal(back, arr)
+
+
+def test_alp_exponent_and_exceptions():
+    """ALP picks the smallest exact decimal exponent; non-decimals /
+    specials become verbatim exceptions; decimal columns beat bss."""
+    rng = np.random.default_rng(7)
+    prices = pa.array(np.round(rng.uniform(1, 1000, 20_000), 2), pa.float64())
+    p, meta = encode_array(prices, "alp")
+    assert meta["e"] == 2 and meta["n_exc"] == 0
+    assert float_bits_equal(decode_array(p, meta), prices)
+    # 17-bit codes ≈ 2.2 B/val — far below bss/plain on the same data
+    p_bss, _ = encode_array(prices, "bss")
+    assert len(p) < len(p_bss) * 0.5
+    # integer-valued doubles → e=0
+    qty = pa.array(rng.integers(1, 51, 10_000).astype(float), pa.float64())
+    _, meta_q = encode_array(qty, "alp")
+    assert meta_q["e"] == 0 and meta_q["n_exc"] == 0
+    # full-entropy mantissas: mostly exceptions, still bit-exact
+    gauss = pa.array(rng.standard_normal(5_000), pa.float64())
+    p_g, meta_g = encode_array(gauss, "alp")
+    assert meta_g["n_exc"] > 4_000
+    assert float_bits_equal(decode_array(p_g, meta_g), gauss)
+
+
+@given(st.lists(st.floats(width=64, allow_nan=True, allow_infinity=True)
+                | st.none(), max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_prop_alp_float64(vals):
+    arr = pa.array(vals, pa.float64())
+    payload, meta = encode_array(arr, "alp")
+    assert float_bits_equal(decode_array(payload, meta), arr)
 
 
 def test_constant_codec():
