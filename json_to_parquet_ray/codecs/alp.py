@@ -81,18 +81,27 @@ def _encode_ints(vals: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _choose_exponent(vals: np.ndarray) -> int:
-    """Vote on a strided sample: most exact round-trips wins, smallest
-    ``e`` breaks ties (smaller ints → fewer packed bits)."""
+    """Vote on a strided sample for the exponent with the smallest
+    ESTIMATED encoded size (packed-code bits + exception bytes), as the
+    ALP paper does — not raw hit count: on a 99%-decimal column with 1%
+    true-real noise, e=15 captures the noise exactly but triples the
+    code width, while a small e takes the 1% as exceptions and wins."""
     if len(vals) > _SAMPLE_CAP:
         vals = vals[:: len(vals) // _SAMPLE_CAP + 1]
-    best_e, best_hits = 0, -1
+    n = len(vals)
+    exc_cost = vals.dtype.itemsize + 4  # verbatim value + u32 position
+    best_e, best_cost = 0, None
     for e in range(_MAX_E + 1):
-        _, exact = _encode_ints(vals, e)
+        enc, exact = _encode_ints(vals, e)
         hits = int(exact.sum())
-        if hits > best_hits:
-            best_e, best_hits = e, hits
-        if hits == len(vals):
-            break  # perfect — larger e can't beat it, smaller already lost
+        if hits:
+            ff = enc[exact]
+            width = bit_width(int(ff.max()) - int(ff.min()))
+        else:
+            width = 0
+        cost = width * n / 8 + exc_cost * (n - hits)
+        if best_cost is None or cost < best_cost:
+            best_e, best_cost = e, cost
     return best_e
 
 
