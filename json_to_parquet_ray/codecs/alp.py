@@ -55,10 +55,18 @@ def _bits(vals: np.ndarray) -> np.ndarray:
     return vals.view(np.uint32 if vals.dtype == np.float32 else np.uint64)
 
 
+def _decode_floats(enc: np.ndarray, e: int) -> np.ndarray:
+    """THE decode transform — encode's exactness check uses it verbatim
+    so accepted values round-trip bit-identically by construction."""
+    f = float(10 ** abs(e))
+    v = enc.astype(np.float64)
+    return v / f if e >= 0 else v * f
+
+
 def _exact_mask(vals: np.ndarray, enc: np.ndarray, ok: np.ndarray,
-                f: float) -> np.ndarray:
-    """Slots where ``enc / f`` reproduces ``vals`` bit-identically."""
-    dec = enc.astype(np.float64) / f
+                e: int) -> np.ndarray:
+    """Slots where decoding ``enc`` reproduces ``vals`` bit-identically."""
+    dec = _decode_floats(enc, e)
     if vals.dtype == np.float32:
         dec = dec.astype(np.float32)
     return ok & (_bits(dec) == _bits(vals))
@@ -67,17 +75,20 @@ def _exact_mask(vals: np.ndarray, enc: np.ndarray, ok: np.ndarray,
 def _encode_ints(vals: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
     """(int64 codes, exact-roundtrip mask) for exponent ``e``.
 
-    Non-finite / overflowing slots get code 0 and exact=False; the
-    caller stores them as exceptions.
+    Negative ``e`` handles decimals with trailing zeros (ALP's second
+    exponent): multiples of 100 encode as ``round(v / 100)`` and decode
+    by the exact-factor MULTIPLY ``enc * 100.0`` — one correctly-rounded
+    IEEE op either way. Non-finite / overflowing slots get code 0 and
+    exact=False; the caller stores them as exceptions.
     """
-    f = float(10 ** e)
+    f = float(10 ** abs(e))
     v64 = vals.astype(np.float64, copy=False)
     with np.errstate(invalid="ignore", over="ignore"):
-        scaled = np.round(v64 * f)
+        scaled = np.round(v64 * f) if e >= 0 else np.round(v64 / f)
     ok = np.isfinite(scaled) & (np.abs(scaled) < _ENC_LIMIT)
     enc = np.zeros(len(vals), np.int64)
     enc[ok] = scaled[ok].astype(np.int64)
-    return enc, _exact_mask(vals, enc, ok, f)
+    return enc, _exact_mask(vals, enc, ok, e)
 
 
 def _choose_exponent(vals: np.ndarray) -> int:
@@ -89,9 +100,12 @@ def _choose_exponent(vals: np.ndarray) -> int:
     if len(vals) > _SAMPLE_CAP:
         vals = vals[:: len(vals) // _SAMPLE_CAP + 1]
     n = len(vals)
+    if n == 0:
+        return 0
     exc_cost = vals.dtype.itemsize + 4  # verbatim value + u32 position
     best_e, best_cost = 0, None
-    for e in range(_MAX_E + 1):
+    # |e| ascending so cost ties resolve to the cheapest-to-vote exponent
+    for e in sorted(range(-_MAX_E, _MAX_E + 1), key=lambda x: (abs(x), x < 0)):
         enc, exact = _encode_ints(vals, e)
         hits = int(exact.sum())
         if hits:
@@ -137,12 +151,18 @@ class AlpCodec(Codec):
             payload = pack_sections([validity, b"", b"", b""])
             return payload, {"n": 0, "e": 0, "ref": 0, "width": 0,
                              "n_exc": 0, "type": type_to_b64(arr.type)}
-        e = _choose_exponent(vals)
+        valid = (arr.is_valid().to_numpy(zero_copy_only=False)
+                 if arr.null_count else None)
+        # vote on VALID values only: the 0.0 null-fill codes would drag
+        # the sampled FOR range (and the chosen exponent) toward 0
+        e = _choose_exponent(vals if valid is None else vals[valid])
         enc, exact = _encode_ints(vals, e)
         # null slots were filled with 0.0 which always round-trips
-        # (0 * inv == +0.0), so they never become exceptions
+        # (round(0.0 * f) decodes to +0.0), so they never become
+        # exceptions — but their 0 codes must not anchor the FOR
+        # reference either, so ffill them away like non-exact slots
         exc_idx = np.flatnonzero(~exact).astype(np.uint32)
-        enc = _ffill_where(enc, exact)
+        enc = _ffill_where(enc, exact if valid is None else exact & valid)
         ref = int(enc.min())
         offs = np.subtract(enc, np.int64(ref)).view(np.uint64)
         width = bit_width(int(offs.max()))
@@ -167,7 +187,7 @@ class AlpCodec(Codec):
         offs = unpack_bits(packed, n, meta["width"])
         ref_u64 = np.array(meta["ref"], dtype=np.int64).view(np.uint64)
         enc = (offs + ref_u64).view(np.int64)
-        vals = enc.astype(np.float64) / float(10 ** meta["e"])
+        vals = _decode_floats(enc, meta["e"])
         if np_t is np.float32:
             vals = vals.astype(np.float32)
         if meta["n_exc"]:

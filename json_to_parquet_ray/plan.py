@@ -35,6 +35,9 @@ COST_WEIGHT = {
     "rle": 0.98,
     "dict": 1.00,
     "bss": 1.02,
+    "alp": 1.04,    # 31-exponent sampled vote + full-pass round-trip check:
+                    # a bit heavier than bss's byte shuffle, so it must win
+                    # on size (it does, 1.2-5.9x, on decimal columns)
     "fsst": 1.35,   # pure-Python encoder: needs a real size win to justify
     "fsst+z": 1.40,
 }

@@ -143,6 +143,31 @@ def test_prop_alp_float64(vals):
     assert float_bits_equal(decode_array(payload, meta), arr)
 
 
+def test_alp_nulls_dont_widen_codes():
+    """Null slots are ffilled out of the FOR range: a narrow-range column
+    must pack at the same bit width with or without sprinkled nulls."""
+    rng = np.random.default_rng(3)
+    tight = np.round(rng.uniform(990, 1000, 20_000), 2)
+    _, m0 = encode_array(pa.array(tight, pa.float64()), "alp")
+    mask = np.zeros(20_000, bool)
+    mask[rng.choice(20_000, 200, replace=False)] = True
+    arr = pa.array(tight, pa.float64(), mask=mask)
+    p, m1 = encode_array(arr, "alp")
+    assert m1["width"] == m0["width"] and m1["n_exc"] == 0
+    assert float_bits_equal(decode_array(p, m1), arr)
+
+
+def test_alp_negative_exponent_trailing_zeros():
+    """Multiples of 100 factor the common 10^2 out (e = -2), packing at
+    the reduced magnitude's width instead of the raw value's."""
+    rng = np.random.default_rng(4)
+    arr = pa.array((rng.integers(1, 1000, 20_000) * 100).astype(float),
+                   pa.float64())
+    p, meta = encode_array(arr, "alp")
+    assert meta["e"] == -2 and meta["n_exc"] == 0 and meta["width"] <= 10
+    assert float_bits_equal(decode_array(p, meta), arr)
+
+
 def test_constant_codec():
     for arr in [pa.array(["en"] * 50), pa.array([None] * 10, pa.int64()),
                 pa.array([3.5] * 7)]:
