@@ -101,21 +101,55 @@ def bit_width(max_val: int) -> int:
 
 
 def pack_bits(vals: np.ndarray, width: int) -> bytes:
-    """Pack uint64 values into ``width``-bit little-endian codes."""
+    """Pack uint64 values into ``width``-bit little-endian codes.
+
+    Word-based: each value ORs its bits into one 64-bit word plus an
+    optional spill into the next — no (n × width) bit-matrix
+    intermediate (the previous ``packbits`` formulation allocated
+    n*width uint64s: 272 MB and ~7 s for 2M values at width 17; this
+    is ~0.1 s). The byte stream is identical to the old layout — a
+    little-endian bit stream — so existing stores decode unchanged.
+    """
     if width == 0 or len(vals) == 0:
         return b""
-    vals = vals.astype(np.uint64, copy=False)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    n = len(vals)
+    v = vals.astype(np.uint64, copy=False)
+    total_bits = n * width
+    out = np.zeros((total_bits + 63) // 64 + 1, np.uint64)  # +1 spill pad
+    pos = np.arange(n, dtype=np.uint64) * np.uint64(width)
+    word = (pos >> np.uint64(6)).astype(np.int64)
+    off = pos & np.uint64(63)
+    # each value's bit range is disjoint, so unbuffered OR never clashes
+    np.bitwise_or.at(out, word, v << off)
+    # spill lanes have off > 0, so the used shifts are 1..63; the &63
+    # only keeps the unused off==0 lanes (shift 64 is UB) deterministic
+    spill = np.where(off.astype(np.int64) + width > 64,
+                     v >> ((np.uint64(64) - off) & np.uint64(63)),
+                     np.uint64(0))
+    np.bitwise_or.at(out, word + 1, spill)
+    if not out.dtype.isnative or out.dtype.byteorder == ">":  # pragma: no cover
+        out = out.astype("<u8")
+    return out.tobytes()[: (total_bits + 7) // 8]
 
 
 def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits` — same word-gather formulation."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width, bitorder="little")
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits.reshape(n, width).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    total_words = (n * width + 63) // 64 + 1
+    padded = buf + b"\0" * (total_words * 8 - len(buf))
+    w = np.frombuffer(padded, "<u8")
+    pos = np.arange(n, dtype=np.uint64) * np.uint64(width)
+    word = (pos >> np.uint64(6)).astype(np.int64)
+    off = pos & np.uint64(63)
+    vals = w[word] >> off
+    hi = np.where(off.astype(np.int64) + width > 64,
+                  w[word + 1] << ((np.uint64(64) - off) & np.uint64(63)),
+                  np.uint64(0))
+    vals = vals | hi
+    if width < 64:
+        vals &= np.uint64((1 << width) - 1)
+    return vals
 
 
 def zigzag_encode(d: np.ndarray) -> np.ndarray:

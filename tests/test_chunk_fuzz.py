@@ -21,10 +21,14 @@ def tables(draw):
             draw(st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)),
                           min_size=n, max_size=n)), pa.int64())
     if draw(st.booleans()):
+        # mix raw doubles with 2-decimal values so the planner's alp
+        # candidate wins some chunks and loses others
         cols["f"] = pa.array(
-            draw(st.lists(st.one_of(st.none(),
-                                    st.floats(allow_nan=False, width=64)),
-                          min_size=n, max_size=n)), pa.float64())
+            draw(st.lists(st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),
+                st.integers(-10**6, 10**6).map(lambda v: v / 100.0)),
+                min_size=n, max_size=n)), pa.float64())
     if draw(st.booleans()):
         cols["s"] = pa.array(
             draw(st.lists(st.one_of(st.none(), st.text(max_size=20)),

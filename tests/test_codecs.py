@@ -168,6 +168,28 @@ def test_alp_negative_exponent_trailing_zeros():
     assert float_bits_equal(decode_array(p, meta), arr)
 
 
+def test_pack_bits_byte_layout_stable():
+    """pack_bits must keep emitting the little-endian bit stream the
+    first releases wrote (existing stores decode by it). Oracle = the
+    original bit-matrix formulation."""
+    from json_to_parquet_ray.codecs.base import pack_bits, unpack_bits
+
+    def reference_pack(vals, width):
+        shifts = np.arange(width, dtype=np.uint64)
+        bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+    rng = np.random.default_rng(11)
+    for width in (1, 2, 3, 7, 8, 9, 16, 17, 31, 32, 33, 63, 64):
+        hi = min(1 << width, 1 << 63)
+        vals = rng.integers(0, hi, 997, dtype=np.uint64)
+        if width == 64:
+            vals |= rng.integers(0, 2, 997, dtype=np.uint64) << np.uint64(63)
+        packed = pack_bits(vals, width)
+        assert packed == reference_pack(vals, width), f"width {width}"
+        assert (unpack_bits(packed, len(vals), width) == vals).all()
+
+
 def test_constant_codec():
     for arr in [pa.array(["en"] * 50), pa.array([None] * 10, pa.int64()),
                 pa.array([3.5] * 7)]:

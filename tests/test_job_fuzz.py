@@ -37,10 +37,14 @@ def job_tables(draw):
         draw(st.lists(st.sampled_from(["en", "en", "en", "de", None]),
                       min_size=n, max_size=n)), pa.string())
     if draw(st.booleans()):
+        # mix raw doubles with 2-decimal values so the planner's alp
+        # candidate wins some chunks and loses others
         cols["f"] = pa.array(
-            draw(st.lists(st.one_of(st.none(),
-                                    st.floats(allow_nan=False, width=64)),
-                          min_size=n, max_size=n)), pa.float64())
+            draw(st.lists(st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),
+                st.integers(-10**6, 10**6).map(lambda v: v / 100.0)),
+                min_size=n, max_size=n)), pa.float64())
     if draw(st.booleans()):
         cols["t"] = pa.array(
             draw(st.lists(st.one_of(st.none(), st.integers(0, 2**48)),
