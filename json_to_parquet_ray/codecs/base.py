@@ -13,6 +13,7 @@ JSON-serializable dict so it can live in the lineage manifest.
 from __future__ import annotations
 
 import base64
+import sys
 
 import numpy as np
 import pyarrow as pa
@@ -133,7 +134,7 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
                      v >> ((np.uint64(64) - off) & np.uint64(63)),
                      np.uint64(0))
     np.bitwise_or.at(out, word + 1, spill)
-    if not out.dtype.isnative or out.dtype.byteorder == ">":  # pragma: no cover
+    if sys.byteorder == "big":  # pragma: no cover — stream is defined LE
         out = out.astype("<u8")
     return out.tobytes()[: (total_bits + 7) // 8]
 
