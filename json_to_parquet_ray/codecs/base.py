@@ -115,12 +115,14 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
         return b""
     n = len(vals)
     v = vals.astype(np.uint64, copy=False)
-    if width <= 6:
-        # the bit-matrix form wins at tiny widths (n×width stays small,
-        # while the word scatter pays ~40 ns/value regardless of width)
-        shifts = np.arange(width, dtype=np.uint64)
-        bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-        return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    if width == 1:
+        # packbits alone: 15x faster than the word scatter and the same
+        # small memory footprint. Wider matrix variants (w2-6) win ~2x
+        # on an idle box but their n×width uint64 intermediate is
+        # memory-bandwidth-bound and measured 30x SLOWER than the word
+        # path under a bandwidth-saturating co-tenant — robustness wins
+        return np.packbits((v & np.uint64(1)).astype(np.uint8),
+                           bitorder="little").tobytes()
     total_bits = n * width
     out = np.zeros((total_bits + 63) // 64 + 1, np.uint64)  # +1 spill pad
     pos = np.arange(n, dtype=np.uint64) * np.uint64(width)
