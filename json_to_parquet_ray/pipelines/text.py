@@ -186,58 +186,13 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 def fingerprint_batch_fast(batch: pa.Table, col: str = "text") -> pa.Table:
     """Vectorized 64-bit polynomial content hash per row.
 
-    ``hash(doc) = Σ (b_j + 1) · P^(L-1-j)  (mod 2^64)`` — a segment sum,
-    so the whole batch hashes with ONE ``np.add.reduceat`` over
-    byte-aligned chunks: O(total_bytes) regardless of document length
-    (the previous byte-POSITION loop was O(max_doc_len) Python
-    iterations, seconds per batch when one long document was present).
-    Used only as a shuffle partitioning key — groups verify on exact
-    values, so the hash family is interchangeable."""
-    arr = batch.column(col).combine_chunks().cast(pa.large_binary())
-    n = len(arr)
-    offs = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1,
-                         offset=arr.offset * 8)
-    data_buf = arr.buffers()[2]
-    data = (np.frombuffer(data_buf, np.uint8)[offs[0]:offs[-1]]
-            if data_buf is not None else np.zeros(0, np.uint8))
-    offs = offs - offs[0]
-    lens = offs[1:] - offs[:-1]
-    h = np.full(n, np.uint64(0xCBF29CE484222325))  # sentinel: empty/null
-    # mega-docs would size the power table by their length (8 bytes per
-    # byte of the longest doc) — hash them with one C blake2b call each
-    # instead; a different hash family per size class is fine for a
-    # partitioning key
-    MEGA = 4 << 20
-    huge = np.flatnonzero(lens > MEGA)
-    for i in huge:
-        dg = hashlib.blake2b(data[offs[i]:offs[i + 1]].tobytes(),
-                             digest_size=8).digest()
-        h[i] = np.uint64(int.from_bytes(dg, "little"))
-    nz = np.flatnonzero((lens > 0) & (lens <= MEGA))
-    if len(nz):
-        maxlen = int(lens[nz].max())
-        pw = np.empty(maxlen, np.uint64)
-        pw[0] = 1
-        if maxlen > 1:
-            pw[1:] = np.uint64(0x100000001B3)
-            np.cumprod(pw, out=pw)  # P^0..P^(maxlen-1), uint64 wraparound
-        # doc-aligned byte chunks bound the transient; an explicit GATHER
-        # (not a contiguous slice) keeps excluded docs' bytes — empty or
-        # mega — out of the segments
-        chunk = 1 << 22
-        csum = np.concatenate([[0], np.cumsum(lens[nz])])
-        pos = 0
-        while pos < len(nz):
-            end = int(np.searchsorted(csum, csum[pos] + chunk,
-                                      side="right")) - 1
-            end = min(max(end, pos + 1), len(nz))
-            docs = nz[pos:end]
-            dl = lens[docs]
-            seg_starts = np.concatenate([[0], np.cumsum(dl)[:-1]])
-            within = np.arange(int(dl.sum())) - np.repeat(seg_starts, dl)
-            gidx = np.repeat(offs[docs], dl) + within
-            sub = data[gidx].astype(np.uint64) + np.uint64(1)
-            exps = np.repeat(dl, dl) - 1 - within
-            h[docs] = np.add.reduceat(sub * pw[exps], seg_starts)
-            pos = end
+    The hash core lives in ``stats.poly_hash_binary`` (one
+    ``np.add.reduceat`` over byte-aligned chunks: O(total_bytes), no
+    per-row Python; mega-docs via one C blake2b call each) — shared
+    with the stats KMV sketch. Used only as a shuffle partitioning
+    key — groups verify on exact values, so the hash family is
+    interchangeable."""
+    from ..stats import poly_hash_binary
+
+    h = poly_hash_binary(batch.column(col).combine_chunks())
     return batch.append_column("fp_fnv", pa.array(h.astype(np.int64), pa.int64()))

@@ -11,12 +11,17 @@ input is never shuffled for stats.
 
 Cardinality uses a KMV (k-minimum-values) sketch over a deterministic
 64-bit hash (``pandas.util.hash_array``, fixed key) — mergeable, bounded
-memory, ~1/sqrt(k) relative error. Samples are stride-based (every k-th
-row), so they are deterministic under Ray task retries.
+memory, ~1/sqrt(k) relative error. An attempted swap of the string path
+to ``poly_hash_binary`` was REVERTED: the vectorized gather moves ~70
+bytes of memory traffic per input byte (5.5 s vs pandas' 0.45 s C
+siphash on a 65k-row html column, measured quiet-box) — pandas object
+materialization is not the bottleneck there. Samples are stride-based
+(every k-th row), so they are deterministic under Ray task retries.
 """
 
 from __future__ import annotations
 
+import hashlib
 import pickle
 from dataclasses import dataclass, field
 
@@ -28,6 +33,71 @@ import pyarrow.compute as pc
 KMV_K = 2048
 SAMPLE_CAP = 512  # sampled raw values kept per column for trial encodes
 SAMPLE_BYTES_CAP = 128 * 1024  # hard byte cap so partials stay shippable
+
+
+_POLY_P = np.uint64(0x100000001B3)             # FNV prime, mod 2^64
+_POLY_SENTINEL = np.uint64(0xCBF29CE484222325)  # empty/null value hash
+_POLY_MEGA = 4 << 20
+
+
+def poly_hash_binary(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit polynomial content hash per value.
+
+    ``hash(v) = Σ (b_j + 1) · P^(L-1-j)  (mod 2^64)`` — a segment sum, so
+    the whole array hashes with ``np.add.reduceat`` over byte-aligned
+    chunks: O(total_bytes) with no per-value Python objects. Mega-values
+    (> 4 MiB) would size the power table by their own length, so they
+    hash via one C blake2b call each — a different hash family per size
+    class is fine for partitioning keys. Used by
+    ``text.fingerprint_batch_fast`` (hash family pinned: changing it
+    would reshuffle dedup buckets); NOT used by the KMV sketch — for
+    KMV, pandas' per-object C siphash is 12x faster on long values.
+    """
+    b = arr.cast(pa.large_binary())
+    n = len(b)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    offs = np.frombuffer(b.buffers()[1], np.int64, count=n + 1,
+                         offset=b.offset * 8)
+    data_buf = b.buffers()[2]
+    data = (np.frombuffer(data_buf, np.uint8)[offs[0]:offs[-1]]
+            if data_buf is not None else np.zeros(0, np.uint8))
+    offs = offs - offs[0]
+    lens = offs[1:] - offs[:-1]
+    h = np.full(n, _POLY_SENTINEL)
+    huge = np.flatnonzero(lens > _POLY_MEGA)
+    for i in huge:
+        dg = hashlib.blake2b(data[offs[i]:offs[i + 1]].tobytes(),
+                             digest_size=8).digest()
+        h[i] = np.uint64(int.from_bytes(dg, "little"))
+    nz = np.flatnonzero((lens > 0) & (lens <= _POLY_MEGA))
+    if len(nz):
+        maxlen = int(lens[nz].max())
+        pw = np.empty(maxlen, np.uint64)
+        pw[0] = 1
+        if maxlen > 1:
+            pw[1:] = _POLY_P
+            np.cumprod(pw, out=pw)  # P^0..P^(maxlen-1), uint64 wraparound
+        # doc-aligned byte chunks bound the transient; an explicit GATHER
+        # (not a contiguous slice) keeps excluded values' bytes — empty
+        # or mega — out of the segments
+        chunk = 1 << 22
+        csum = np.concatenate([[0], np.cumsum(lens[nz])])
+        pos = 0
+        while pos < len(nz):
+            end = int(np.searchsorted(csum, csum[pos] + chunk,
+                                      side="right")) - 1
+            end = min(max(end, pos + 1), len(nz))
+            docs = nz[pos:end]
+            dl = lens[docs]
+            seg_starts = np.concatenate([[0], np.cumsum(dl)[:-1]])
+            within = np.arange(int(dl.sum())) - np.repeat(seg_starts, dl)
+            gidx = np.repeat(offs[docs], dl) + within
+            sub = data[gidx].astype(np.uint64) + np.uint64(1)
+            exps = np.repeat(dl, dl) - 1 - within
+            h[docs] = np.add.reduceat(sub * pw[exps], seg_starts)
+            pos = end
+    return h
 
 
 def _stable_hash(arr: pa.Array) -> np.ndarray:
