@@ -1208,7 +1208,10 @@ QUERIES = {
     "doc_length_histogram": q_doc_length_histogram,
     "order_lineitem_join": q_order_lineitem_join,
     "keyed_store_en": q_keyed_store_en,
-    "redact_emails": q_redact_emails,
+    # registered round 4 when the alp codec landed: the four decimal
+    # lineitem columns are the only float encode/decode the driver's
+    # correctness gate can see (documents has no floats)
+    "roundtrip_lineitem": q_roundtrip_lineitem,
     "repetition_ratio": q_repetition_ratio,
     "lang_source_pivot": q_lang_source_pivot,
     "user_running_value": q_user_running_value,
@@ -1237,8 +1240,11 @@ RETIRED_QUERIES = {
     # distinct_lang retired round 4 for bloom_pruned_lookup: distinct-set
     # coverage remains via union_distinct_nations (same operator family)
     "distinct_lang": q_distinct_lang,
+    # redact_emails retired round 4 for roundtrip_lineitem (the alp
+    # codec's only driver-visible float coverage); its vectorized
+    # regex-rewrite class stays covered by normalize_text
+    "redact_emails": q_redact_emails,
     "roundtrip_events": q_roundtrip_events,
-    "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
     "roundtrip_documents_pruned": q_roundtrip_documents_pruned,
@@ -1547,12 +1553,7 @@ ORACLE_SQL = {
         "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
     ),
     "keyed_store_en": "SELECT * FROM documents WHERE lang = 'en'",
-    "redact_emails": (
-        "SELECT doc_id, regexp_replace("
-        "  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com',"
-        "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
-        " AS text FROM documents"
-    ),
+    "roundtrip_lineitem": "SELECT * FROM lineitem",
     "repetition_ratio": (
         "SELECT doc_id, CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0.0 ELSE"
         "  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END"
@@ -1624,8 +1625,13 @@ ORACLE_SQL = {
 # RETIRED_QUERIES).
 RETIRED_ORACLE_SQL = {
     "distinct_lang": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "redact_emails": (
+        "SELECT doc_id, regexp_replace("
+        "  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com',"
+        "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
+        " AS text FROM documents"
+    ),
     "roundtrip_events": "SELECT * FROM events",
-    "roundtrip_lineitem": "SELECT * FROM lineitem",
     "roundtrip_part": "SELECT * FROM part",
     "roundtrip_orders": "SELECT * FROM orders",
     "roundtrip_documents_pruned": "SELECT doc_id, lang FROM documents",
