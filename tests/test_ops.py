@@ -619,3 +619,68 @@ def test_cluster_min_label_exact_big_ids(ray_session):
                    labels["label"].astype("int64")))
     assert got[big] == big and got[big + 1] == big and got[big + 3] == big
     assert got[7] == 7 and got[9] == 7
+
+
+# ------------------------------------------------------------- weighted mix
+
+
+def test_weighted_mix_md5_matches_duckdb(ray_session):
+    """The md5 sampling family must match DuckDB's predicate exactly —
+    the documented SQL-parity contract in pipelines/mix.py."""
+    import duckdb
+    import ray
+
+    from json_to_parquet_ray.pipelines import mix
+
+    tbl = pa.table({"doc_id": pa.array(range(500), pa.int64()),
+                    "lang": pa.array(["en", "de"] * 250, pa.string())})
+    rate = 0.3
+    got = (mix.bernoulli_sample(ray.data.from_arrow(tbl), "doc_id", rate,
+                                hash_fn="md5")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        "SELECT * FROM t WHERE CAST(('0x' || substr(md5(CAST(doc_id AS "
+        "VARCHAR)), 1, 8)) AS BIGINT) % 4294967296 < "
+        f"CAST(floor({rate} * 4294967296) AS BIGINT) ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert 0 < len(got) < 500
+
+
+def test_weighted_mix_deterministic_and_layout_free(ray_session):
+    """Fast-family sampling: identical selection at any batch layout,
+    rate within KMV-ish tolerance, rate>=1 keeps everything."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import mix
+
+    tbl = pa.table({"k": pa.array(range(20_000), pa.int64())})
+    picks = []
+    for blocks in (1, 7, 13):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = mix.bernoulli_sample(ds, "k", 0.25).to_pandas()
+        picks.append(sorted(out["k"].tolist()))
+    assert picks[0] == picks[1] == picks[2]
+    assert abs(len(picks[0]) / 20_000 - 0.25) < 0.02
+    full = mix.bernoulli_sample(ray.data.from_arrow(tbl), "k", 1.0)
+    assert full.count() == 20_000
+
+
+def test_weighted_mix_union_and_labels(ray_session):
+    import ray
+
+    from json_to_parquet_ray.pipelines import mix
+
+    docs = pa.table({"k": pa.array(range(1000), pa.int64())})
+    out = mix.weighted_mix(
+        [("wiki", ray.data.from_arrow(docs), 1.0),
+         ("crawl", ray.data.from_arrow(docs), 0.2)],
+        key_col="k").to_pandas()
+    by = out.groupby("mix_source").size().to_dict()
+    assert by["wiki"] == 1000
+    assert 100 < by["crawl"] < 300
+    # per-corpus selections are independent slices of the SAME key hash
+    crawl_keys = set(out[out.mix_source == "crawl"]["k"])
+    assert crawl_keys < set(range(1000))
