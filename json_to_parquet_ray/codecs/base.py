@@ -123,6 +123,12 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
         # path under a bandwidth-saturating co-tenant — robustness wins
         return np.packbits((v & np.uint64(1)).astype(np.uint8),
                            bitorder="little").tobytes()
+    if width < 64:
+        # truncate each value to its bit slot like the old bit-matrix
+        # form did — without this, a value >= 2^width (a caller bug,
+        # e.g. a stale sampled max) would OR its excess bits into the
+        # NEXT value's slot: silent neighbor corruption vs local loss
+        v = v & np.uint64((1 << width) - 1)
     total_bits = n * width
     out = np.zeros((total_bits + 63) // 64 + 1, np.uint64)  # +1 spill pad
     pos = np.arange(n, dtype=np.uint64) * np.uint64(width)

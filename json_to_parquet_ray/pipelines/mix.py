@@ -18,8 +18,10 @@ the equivalent DuckDB predicate for the md5 family is::
         % 4294967296 < CAST(floor(rate * 4294967296) AS BIGINT)
 
 (md5's first 8 hex chars read big-endian match Python's
-``digest()[:4]``.) Rows keep their source corpus in a ``mix_source``
-column so downstream stages can stratify.
+``digest()[:4]``.) NULL keys are never sampled — the DuckDB predicate
+evaluates to NULL and filters them out, and both hash families here
+drop them explicitly to match. Rows keep their source corpus in a
+``mix_source`` column so downstream stages can stratify.
 
 The reference has nothing like this (single-input CLI); this is a
 first-class engine component per the build brief's training-data
@@ -38,11 +40,25 @@ _SCALE = 1 << 32
 
 
 def _hash_fast(keys: pa.Array) -> np.ndarray:
-    """Vectorized uint32 bucket per key (nulls → bucket of 0)."""
-    a = keys.fill_null(0) if keys.null_count else keys
-    vals = a.to_numpy(zero_copy_only=False)
-    return (pd.util.hash_array(np.ascontiguousarray(vals))
-            % np.uint64(_SCALE)).astype(np.uint64)
+    """Vectorized uint32 bucket per key. Null slots get an arbitrary
+    bucket — the caller masks them out — but they must be FILLED with a
+    type-appropriate value first: a numeric array with nulls converts
+    to float64-with-NaN, which would silently change every non-null
+    value's hash depending on which BATCH a null happened to land in."""
+    t = keys.type
+    if keys.null_count:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            keys = keys.fill_null("")
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            keys = keys.fill_null(b"")
+        else:
+            keys = keys.fill_null(0)
+    vals = keys.to_numpy(zero_copy_only=False)
+    if vals.dtype == object:
+        h = pd.util.hash_array(vals, categorize=False)
+    else:
+        h = pd.util.hash_array(np.ascontiguousarray(vals))
+    return (h % np.uint64(_SCALE)).astype(np.uint64)
 
 
 def _hash_md5(keys: pa.Array) -> np.ndarray:
@@ -72,8 +88,11 @@ def bernoulli_sample(ds, key_col: str, rate: float, hash_fn: str = "fast"):
     threshold = np.uint64(int(rate * _SCALE)) if rate > 0 else np.uint64(0)
 
     def pick(b: pa.Table) -> pa.Table:
-        return b.filter(pa.array(h(b.column(key_col).combine_chunks())
-                                 < threshold))
+        keys = b.column(key_col).combine_chunks()
+        keep = h(keys) < threshold
+        if keys.null_count:  # null keys are never sampled (SQL parity)
+            keep &= keys.is_valid().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")
 
@@ -88,6 +107,10 @@ def weighted_mix(parts, key_col: str, hash_fn: str = "fast",
     ``map_batches`` filter and ``Dataset.union`` concatenates lazily —
     nothing materializes on the driver regardless of corpus count.
     """
+    if not parts:
+        raise ValueError("weighted_mix needs at least one (name, dataset, "
+                         "rate) part — an all-filtered mixture config is "
+                         "a caller bug, not an empty dataset")
     sampled = []
     for name, ds, rate in parts:
         s = bernoulli_sample(ds, key_col, rate, hash_fn)

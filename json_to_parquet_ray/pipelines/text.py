@@ -188,10 +188,11 @@ def fingerprint_batch_fast(batch: pa.Table, col: str = "text") -> pa.Table:
 
     The hash core lives in ``stats.poly_hash_binary`` (one
     ``np.add.reduceat`` over byte-aligned chunks: O(total_bytes), no
-    per-row Python; mega-docs via one C blake2b call each) — shared
-    with the stats KMV sketch. Used only as a shuffle partitioning
-    key — groups verify on exact values, so the hash family is
-    interchangeable."""
+    per-row Python; mega-docs via one C blake2b call each); this is
+    its only caller — the stats KMV sketch deliberately does NOT use
+    it (see the revert note in stats.py). Used only as a shuffle
+    partitioning key — groups verify on exact values, so the hash
+    family is interchangeable."""
     from ..stats import poly_hash_binary
 
     h = poly_hash_binary(batch.column(col).combine_chunks())

@@ -321,3 +321,16 @@ def test_chunk_magic_check_is_explicit():
 
     with pytest.raises(ValueError):
         read_chunk_header(b"XXXX" + b"\x00" * 32)
+
+
+def test_pack_bits_truncates_out_of_range_locally():
+    """A value >= 2^width (caller bug) must lose its own high bits, like
+    the original bit-matrix form — never OR them into the NEXT value's
+    bit slot."""
+    from json_to_parquet_ray.codecs.base import pack_bits, unpack_bits
+
+    packed = pack_bits(np.array([4, 0], np.uint64), 2)
+    assert packed == b"\x00"                       # old-form byte stream
+    assert unpack_bits(packed, 2, 2).tolist() == [0, 0]
+    vals = np.array([(1 << 40) | 5, 6, 7], np.uint64)
+    assert unpack_bits(pack_bits(vals, 17), 3, 17).tolist() == [5, 6, 7]

@@ -684,3 +684,40 @@ def test_weighted_mix_union_and_labels(ray_session):
     # per-corpus selections are independent slices of the SAME key hash
     crawl_keys = set(out[out.mix_source == "crawl"]["k"])
     assert crawl_keys < set(range(1000))
+
+
+def test_weighted_mix_null_keys_dropped(ray_session):
+    """Null keys are never sampled — matching the DuckDB predicate,
+    which evaluates md5(NULL) to NULL and filters the row out; and the
+    fast family must not crash on string keys with nulls (fill_null(0)
+    on a string array raised ArrowTypeError)."""
+    import duckdb
+    import ray
+
+    from json_to_parquet_ray.pipelines import mix
+
+    tbl = pa.table({
+        "k": pa.array(["a", None, "b", "c", None, "d"], pa.string()),
+        "v": pa.array(range(6), pa.int64())})
+    got = (mix.bernoulli_sample(ray.data.from_arrow(tbl), "k", 0.9,
+                                hash_fn="md5").to_pandas())
+    con = duckdb.connect(); con.register("t", tbl)
+    want = con.execute(
+        "SELECT * FROM t WHERE CAST(('0x' || substr(md5(k), 1, 8)) AS "
+        "BIGINT) % 4294967296 < CAST(floor(0.9 * 4294967296) AS BIGINT) "
+        "ORDER BY v").df()
+    assert sorted(got["v"].tolist()) == want["v"].tolist()
+    fast = mix.bernoulli_sample(ray.data.from_arrow(tbl), "k", 0.99).to_pandas()
+    assert fast["k"].notna().all()
+    # a null in the batch must not change non-null keys' hashes: int keys
+    # with/without a null select the same non-null rows
+    base = pa.table({"k": pa.array(range(1000), pa.int64())})
+    with_null = pa.table({"k": pa.array(list(range(1000)) + [None], pa.int64())})
+    s1 = set(mix.bernoulli_sample(ray.data.from_arrow(base), "k", 0.3)
+             .to_pandas()["k"])
+    s2 = set(mix.bernoulli_sample(ray.data.from_arrow(with_null), "k", 0.3)
+             .to_pandas()["k"].dropna())
+    assert s1 == s2
+
+    with pytest.raises(ValueError):
+        mix.weighted_mix([], key_col="k")
