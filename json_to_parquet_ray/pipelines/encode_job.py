@@ -501,6 +501,7 @@ def encode_job(
         "chunk_bytes": chunk_bytes,
         "ratio": round(chunk_bytes / input_bytes, 4) if input_bytes else None,
         "shared_dict_columns": sorted(shared),
+        "shared_fsst_columns": sorted(shared_fsst_columns or []),
         "bloom_columns": ("auto" if bloom_columns == "auto"
                           else sorted(bloom_columns or [])),
         "manifest_records": len(manifest),

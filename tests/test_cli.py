@@ -145,3 +145,36 @@ def test_cli_cluster_scan_stats_and_in_list_decode(tmp_path):
     run_cli("decode", enc, dec, "--zone-filter", "u=u-0007|u-0011")
     back = pq.read_table(dec)
     assert sorted(back.column("u").to_pylist()) == ["u-0007", "u-0011"]
+
+
+def test_cli_shared_fsst_encode(tmp_path):
+    """--shared-fsst trains ONE FSST table over the listed columns and
+    pins them to it: every chunk's codec must be fsst, verify stays
+    bit-identical, and the summary reports the shared columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "id": list(range(800)),
+        "text": [f"the quick brown fox number {i} jumps over the lazy dog"
+                 for i in range(800)],
+    })
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src, row_group_size=200)
+
+    enc = str(tmp_path / "enc")
+    summary = run_cli("encode", src, enc, "--shared-fsst", "text")
+    assert summary["shared_fsst_columns"] == ["text"]
+    assert summary["partitions_encoded"] == 4
+    assert run_cli("verify", enc)["failed"] == []
+
+    import sys
+    sys.path.insert(0, REPO)
+    from json_to_parquet_ray.manifest import load_manifest
+    for rec in load_manifest(enc).values():
+        codecs = {c["name"]: c["codec"] for c in rec.columns}
+        assert codecs["text"] == "fsst"
+
+    dec = str(tmp_path / "dec")
+    run_cli("decode", enc, dec)
+    assert pq.read_table(dec).sort_by("id").equals(t)
