@@ -178,3 +178,48 @@ def test_cli_shared_fsst_encode(tmp_path):
     dec = str(tmp_path / "dec")
     run_cli("decode", enc, dec)
     assert pq.read_table(dec).sort_by("id").equals(t)
+
+
+def test_cli_conformance_mode_no_resume_shared_dicts(tmp_path):
+    """CLI plumbing for the remaining flags: --mode conformance keeps
+    ISO-8601 strings as strings (reference semantics; engine mode lets
+    Arrow infer timestamps), --shared-dicts pins a column to the shared
+    dictionary, and --no-resume re-encodes partitions a resume would
+    skip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "docs.jsonl"
+    docs.write_text(
+        '{"id":1,"ts":"2026-01-01T00:00:00Z","n":3}\n'
+        '{"id":2,"ts":"2026-01-02T12:30:00Z"}\n'
+    )
+    conf = run_cli("json2parquet", str(docs), str(tmp_path / "conf"),
+                   "--mode", "conformance")
+    assert any(s.startswith("ts:string") for s in conf["schema"]), conf
+    eng = run_cli("json2parquet", str(docs), str(tmp_path / "eng"))
+    assert any(s.startswith("ts:timestamp") for s in eng["schema"]), eng
+
+    t = pa.table({"id": list(range(600)),
+                  "lang": (["en"] * 500 + ["de", "fr"] * 50)})
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src, row_group_size=200)
+    enc = str(tmp_path / "enc")
+    s1 = run_cli("encode", src, enc, "--shared-dicts", "lang")
+    assert s1["shared_dict_columns"] == ["lang"]
+    assert s1["partitions_encoded"] == 3
+
+    import sys
+    sys.path.insert(0, REPO)
+    from json_to_parquet_ray.manifest import load_manifest
+    for rec in load_manifest(enc).values():
+        codecs = {c["name"]: c["codec"] for c in rec.columns}
+        assert codecs["lang"] == "dict"
+
+    s2 = run_cli("encode", src, enc, "--shared-dicts", "lang")
+    assert s2["partitions_skipped_resume"] == 3  # default resume skips
+    s3 = run_cli("encode", src, enc, "--shared-dicts", "lang",
+                 "--no-resume")
+    assert s3["partitions_skipped_resume"] == 0
+    assert s3["partitions_encoded"] == 3
+    assert run_cli("verify", enc)["failed"] == []
