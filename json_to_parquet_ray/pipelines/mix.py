@@ -117,6 +117,12 @@ def weighted_mix(parts, key_col: str, hash_fn: str = "fast",
         tag = str(name)
 
         def label(b: pa.Table, _tag=tag) -> pa.Table:
+            if label_col in b.column_names:
+                # Arrow happily appends a DUPLICATE column name; fail
+                # loudly instead of shipping an ambiguous schema
+                raise ValueError(
+                    f"input corpus already has a {label_col!r} column — "
+                    f"pass a different label_col")
             return b.append_column(
                 label_col, pa.array([_tag] * b.num_rows, pa.string()))
 

@@ -721,3 +721,15 @@ def test_weighted_mix_null_keys_dropped(ray_session):
 
     with pytest.raises(ValueError):
         mix.weighted_mix([], key_col="k")
+
+
+def test_weighted_mix_label_collision_raises(ray_session):
+    import ray
+
+    from json_to_parquet_ray.pipelines import mix
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "mix_source": pa.array(["x", "y"], pa.string())})
+    ds = mix.weighted_mix([("a", ray.data.from_arrow(t), 1.0)], key_col="k")
+    with pytest.raises(Exception, match="mix_source"):
+        ds.materialize()
