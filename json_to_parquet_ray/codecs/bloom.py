@@ -59,9 +59,12 @@ _POLY_P = np.uint64(0x100000001B3)  # FNV prime, as the rolling base
 
 def _hash64_bytes(arr: pa.Array) -> np.ndarray:
     """Segment-sum polynomial hash per value (mod 2^64), vectorized:
-    hash(v) = Σ (b_j + 1) · P^(L-1-j). Same family as the dedup
-    partitioning hash; values are bounded by MAX_VALUE_BYTES so the
-    power table stays tiny."""
+    hash(v) = Σ (b_j + 1) · P^(L-1-j). Same family as
+    ``stats.poly_hash_binary`` — for values within MAX_VALUE_BYTES the
+    outputs are splitmix64(poly_hash_binary(v)) exactly, and a test
+    locks that equivalence: persisted filters pin this hash, so neither
+    copy may drift (the duplication is deliberate — poly_hash_binary's
+    mega-value blake2b branch must never apply to filter bytes)."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     arr = arr.cast(pa.large_binary())
     n = len(arr)
@@ -102,22 +105,27 @@ def hash64_column(arr: pa.Array | pa.ChunkedArray) -> np.ndarray | None:
     caller masks them out). None = type not bloom-eligible."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     t = arr.type
+    def _ints(v: pa.Array) -> np.ndarray:
+        # fill nulls BEFORE to_numpy: a null-bearing int array converts
+        # to float64, silently rounding VALID values above 2^53 (and so
+        # changing their hashes); fill_null keeps the exact int dtype.
+        # Null slots hash as 0 — the caller masks them out.
+        if v.null_count:
+            v = v.fill_null(0)
+        return _splitmix64(
+            v.to_numpy(zero_copy_only=False).astype(np.uint64))
+
     if pa.types.is_integer(t):
-        v = arr.cast(pa.int64() if not pa.types.is_unsigned_integer(t)
-                     else pa.uint64())
-        np_v = v.to_numpy(zero_copy_only=False)
-        return _splitmix64(np.nan_to_num(np_v).astype(np.uint64))
+        return _ints(arr.cast(
+            pa.int64() if not pa.types.is_unsigned_integer(t)
+            else pa.uint64()))
     if pa.types.is_timestamp(t):
         # reinterpret at the column's NATIVE unit (lossless for ns) —
         # build and query both pass through the column type first, so
         # the unit is consistent on both sides
-        v = arr.cast(pa.int64())
-        return _splitmix64(
-            np.nan_to_num(v.to_numpy(zero_copy_only=False)).astype(np.uint64))
+        return _ints(arr.cast(pa.int64()))
     if pa.types.is_date(t):
-        v = arr.cast(pa.timestamp("us")).cast(pa.int64())
-        return _splitmix64(
-            np.nan_to_num(v.to_numpy(zero_copy_only=False)).astype(np.uint64))
+        return _ints(arr.cast(pa.timestamp("us")).cast(pa.int64()))
     if (pa.types.is_string(t) or pa.types.is_large_string(t)
             or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
         return _hash64_bytes(arr)
@@ -167,7 +175,10 @@ def build_bloom(arr: pa.Array | pa.ChunkedArray,
         bit = (x * _SALT[i]) >> np.uint32(27)  # top 5 bits of the product
         np.bitwise_or.at(words, blk * _WORDS_PER_BLOCK + i,
                          np.uint32(1) << bit)
-    return words.tobytes()
+    # the filter section is defined little-endian like every other
+    # on-disk structure (no-op copy on LE hosts, bit-compatible with
+    # filters already written there)
+    return words.astype("<u4", copy=False).tobytes()
 
 
 def bloom_might_contain(filt: bytes, value, typ: pa.DataType) -> bool:
@@ -177,7 +188,14 @@ def bloom_might_contain(filt: bytes, value, typ: pa.DataType) -> bool:
     if value is None:
         return False
     if isinstance(value, pa.Scalar):
-        value = value.as_py()
+        try:
+            value = value.as_py()
+        except (OverflowError, ValueError):
+            # e.g. a timestamp scalar outside Python datetime range —
+            # it may still be a real column value, so never claim absence
+            return True
+        if value is None:
+            return False
     try:
         try:
             # target-typed construction first: inference-then-cast can
@@ -193,7 +211,7 @@ def bloom_might_contain(filt: bytes, value, typ: pa.DataType) -> bool:
     h = hash64_column(arr)
     if h is None:
         return True  # ineligible type: never claim absence
-    words = np.frombuffer(filt, np.uint32)
+    words = np.frombuffer(filt, "<u4")
     nblocks = len(words) // _WORDS_PER_BLOCK
     hv = h[0]
     blk = int(((hv >> np.uint64(32)) * np.uint64(nblocks)) >> np.uint64(32))

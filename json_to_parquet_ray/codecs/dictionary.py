@@ -23,6 +23,8 @@ from .base import (
     pack_bits,
     pack_sections,
     pack_validity,
+    type_from_b64,
+    type_to_b64,
     unpack_bits,
     unpack_sections,
     unpack_validity,
@@ -78,6 +80,10 @@ class DictCodec(Codec):
             "cardinality": len(dict_values),
             "values_codec": values_codec,
             "values_meta": vals_meta,
+            # the COLUMN's type, not the dictionary's: a shared dictionary
+            # is built as pa.string() (shuffle.distinct_values_multi), so a
+            # large_string column would otherwise decode as string
+            "type": type_to_b64(arr.type),
         }
         return payload, meta
 
@@ -92,4 +98,12 @@ class DictCodec(Codec):
         mask = None if valid is None else ~valid
         indices = pa.array(codes, type=pa.int64(), mask=mask)
         dict_values = get_codec(meta["values_codec"]).decode(vals_payload, meta["values_meta"])
-        return pc.take(dict_values, indices)
+        out = pc.take(dict_values, indices)
+        # pre-round-4 metas lack "type": keep their historical behavior
+        # (the dictionary's own type)
+        want = meta.get("type")
+        if want is not None:
+            t = type_from_b64(want)
+            if out.type != t:
+                out = out.cast(t)
+        return out

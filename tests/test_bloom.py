@@ -247,3 +247,60 @@ def test_in_list_lookup_zone_bloom_and_exact(bloom_store):
                          zone_filter={"url": ["https://no.such/a"]}
                          ).to_pandas()
     assert len(df0) == 0
+
+
+def test_bloom_scalar_overflow_never_crashes():
+    """A pa.Scalar whose as_py() overflows Python datetime must answer
+    conservatively (maybe present), never raise."""
+    import pyarrow as pa
+
+    from json_to_parquet_ray.codecs.bloom import (
+        bloom_might_contain, build_bloom)
+
+    arr = pa.array([1, 2, 3], pa.timestamp("s"))
+    filt = build_bloom(arr)
+    big = pa.scalar(2**40, pa.timestamp("s"))  # out of datetime range
+    assert bloom_might_contain(filt, big, pa.timestamp("s")) is True
+
+
+def test_bloom_hash_stable_under_nulls_above_2_53():
+    """A null elsewhere in the array must not change a valid value's
+    hash (the old float64 conversion rounded values above 2^53)."""
+    import pyarrow as pa
+
+    from json_to_parquet_ray.codecs.bloom import hash64_column
+
+    big = 2**60 + 1
+    h_clean = hash64_column(pa.array([big], pa.int64()))[0]
+    h_nully = hash64_column(pa.array([big, None], pa.int64()))[0]
+    assert h_clean == h_nully
+
+
+def test_bloom_hash_family_locked_to_poly_hash_binary():
+    """Persisted filters pin the byte hash: it must stay exactly
+    splitmix64(stats.poly_hash_binary) for values within
+    MAX_VALUE_BYTES. If this test fails, a hash-family drift would
+    false-negative every existing filter."""
+    import pyarrow as pa
+
+    from json_to_parquet_ray.codecs.bloom import _hash64_bytes, _splitmix64
+    from json_to_parquet_ray.stats import poly_hash_binary
+
+    arr = pa.array(["", "a", "hello world", "x" * 4096,
+                    "\x00\xff bin-ish"], pa.string())
+    assert (_hash64_bytes(arr) == _splitmix64(poly_hash_binary(arr))).all()
+
+
+def test_dict_shared_dictionary_type_mismatch_roundtrips():
+    """A string shared dictionary over a large_string column must decode
+    back to large_string (the codec records the COLUMN type)."""
+    import pyarrow as pa
+
+    from json_to_parquet_ray.codecs.dictionary import DictCodec
+
+    col = pa.array(["en", "de", None, "en"], pa.large_string())
+    shared = pa.array(["en", "de", "fr"], pa.string())
+    payload, meta = DictCodec.encode(col, dictionary=shared)
+    back = DictCodec.decode(payload, meta)
+    assert back.type == pa.large_string()
+    assert back.equals(col)
