@@ -51,9 +51,12 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     def topk_batch(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             # bucket filters upstream (ivf_topk's nprobe pruning) leave
-            # whole batches empty — a (0,0) matmul would crash
+            # whole batches empty — a (0,0) matmul would crash. Use the
+            # batch's OWN key type: hardcoding int64 made empty blocks
+            # disagree with data blocks on string-keyed datasets
             return pa.table({"query_id": pa.array([], pa.int64()),
-                             key: pa.array([], pa.int64()),
+                             key: pa.array(
+                                 [], type=batch.schema.field(key).type),
                              "cosine": pa.array([], pa.float64())})
         q = ray.get(q_ref)
         emb = embedding_matrix(batch.column(vec_col))
@@ -71,9 +74,14 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     parts = ds.map_batches(topk_batch, batch_format="pyarrow")
     df = parts.to_pandas()  # ≤ #batches x Q x k rows
     if not len(df):  # zero input rows → typed empty, not a KeyError
-        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                             key: pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
+        try:
+            sch = ds.schema()
+            key_t = sch.base_schema.field(key).type
+        except Exception:
+            key_t = pa.int64()
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         key: pa.array([], type=key_t),
+                         "cosine": pa.array([], pa.float64())}).to_pandas()
     df = (df.sort_values(["query_id", "cosine", key],
                          ascending=[True, False, True])
             .groupby("query_id", as_index=False).head(k)
@@ -130,6 +138,11 @@ def stratified_vec_sample(ds, vec_col: str, sample_rows: int) -> np.ndarray:
     rows / 10^6 blocks). Driver memory is hard-capped at
     4·sample_rows."""
     total = ds.count()
+    if total == 0:
+        # fail with an actionable message instead of take_batch's opaque
+        # 'The dataset is empty.' three frames deeper
+        raise ValueError("cannot sample vectors from an empty dataset — "
+                         "ivf_build/ivf_topk need at least one row")
     mod = max(total // max(sample_rows, 1), 1)
 
     def sampled(b: pa.Table) -> pa.Table:

@@ -42,6 +42,8 @@ COST_WEIGHT = {
     "fsst+z": 1.40,
 }
 
+_FSST_MIN_PLAUSIBLE = 0.38  # empirical floor of fsst sampled ratios on text
+
 _weights_resolved = False
 
 
@@ -161,8 +163,14 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
     n_valid = st.n - st.null_count
     sample = _sample_array(st, t)  # built ONCE; the constant path and the
     # trial loop share it
-    if st.n and (n_valid == 0 or (st.cardinality <= 1 and st.null_count in (0, st.n))):
-        # all-null or single-distinct-no-null chunk
+    if st.n and (n_valid == 0 or (st.cardinality <= 1 and len(st.kmv) > 0
+                                  and st.null_count in (0, st.n))):
+        # all-null or single-distinct-no-null chunk. len(kmv) > 0 is the
+        # evidence check: hash-unsupported types (decimal, nested) leave
+        # the KMV empty so cardinality reads 0.0 — without it a
+        # non-constant column whose stride sample happened to be constant
+        # planned 'constant', failed encode-time re-verification, and
+        # fell back to UNCOMPRESSED plain every chunk
         try:
             if sample is not None and get_codec("constant").is_applicable(sample):
                 return ColumnPlan(st.name, "constant", {}, 0.0, {"constant": 0.0})
@@ -178,9 +186,14 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
         codec = get_codec(name)
         if not codec.can_encode(t):
             continue
-        if (name == "fsst" and ratios.get("zstd", 1.0) < 0.5):
-            # pure-Python FSST almost never beats a sub-0.5 zstd ratio once
-            # its 1.35-1.4x cost weight applies — skip the expensive trial
+        if (name == "fsst" and ratios.get("zstd", 1.0)
+                < _FSST_MIN_PLAUSIBLE * COST_WEIGHT["fsst"]
+                / COST_WEIGHT.get("zstd", 1.0)):
+            # skip the expensive trial only when zstd's score already
+            # beats the best PLAUSIBLE fsst score. Weight-aware: with the
+            # pure-Python encoder (weight 1.35) the cutoff is ~0.50, with
+            # the native kernel (1.15 after _resolve_weights) ~0.43 — a
+            # fixed 0.5 skipped trials native FSST would win
             continue
         try:
             trial_kwargs = dict(kwargs)

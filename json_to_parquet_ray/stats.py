@@ -185,7 +185,22 @@ class ColumnStats:
         out.max_val = _merge_minmax(self.max_val, other.max_val, max)
         merged = np.unique(np.concatenate([self.kmv, other.kmv]))
         out.kmv = merged[:KMV_K]
-        out.sample = _cap_sample((self.sample + other.sample)[:SAMPLE_CAP])
+        # INTERLEAVE the two samples before capping: first-wins
+        # concatenation froze the global sample to the first batch's
+        # values after one merge, so entropy/avg_len gates and trial
+        # encodes only ever saw the earliest data (bad when the
+        # distribution drifts across files). Deterministic given the
+        # deterministic merge order.
+        inter: list = []
+        a, b = self.sample, other.sample
+        for i in range(max(len(a), len(b))):
+            if i < len(a):
+                inter.append(a[i])
+            if i < len(b):
+                inter.append(b[i])
+            if len(inter) >= SAMPLE_CAP:
+                break
+        out.sample = _cap_sample(inter[:SAMPLE_CAP])
         out.char_bytes = self.char_bytes + other.char_bytes
         return out
 
@@ -312,7 +327,12 @@ def _bound_stat_value(v):
 
 
 def _est_bytes(v) -> int:
-    if isinstance(v, (str, bytes)):
+    if isinstance(v, str):
+        # UTF-8 bytes, not characters: CJK text under-counted by up to
+        # 4x and let partials overshoot SAMPLE_BYTES_CAP ("hard byte
+        # cap so partials stay shippable")
+        return len(v.encode("utf-8", "surrogatepass"))
+    if isinstance(v, bytes):
         return len(v)
     if isinstance(v, dict):
         # RECURSIVE weight: 8*len(v) undercounts a list of 100 KB strings
@@ -330,7 +350,12 @@ def _shrink(v, budget: int):
     """A ≤ budget-byte stand-in for an oversized sample value, or None if
     the value can't be meaningfully truncated (the sample feeds trial
     encodes and entropy, where a representative prefix is fine)."""
-    if isinstance(v, (str, bytes)):
+    if isinstance(v, str):
+        # truncate by BYTES; errors="ignore" drops a split trailing
+        # multibyte char so the result stays valid utf-8
+        return v.encode("utf-8", "surrogatepass")[:budget].decode(
+            "utf-8", "ignore")
+    if isinstance(v, bytes):
         return v[:budget]
     if isinstance(v, (list, tuple)):
         out, used = [], 0

@@ -733,3 +733,43 @@ def test_weighted_mix_label_collision_raises(ray_session):
     ds = mix.weighted_mix([("a", ray.data.from_arrow(t), 1.0)], key_col="k")
     with pytest.raises(Exception, match="mix_source"):
         ds.materialize()
+
+
+def test_ann_empty_dataset_paths(ray_session):
+    """brute_force_topk on an empty dataset returns a typed empty frame
+    with the dataset's ACTUAL key dtype; the IVF sampler raises a clear
+    error instead of take_batch's opaque one."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import ann
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.string()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    q = np.ones((1, 4), np.float64)
+    out = ann.brute_force_topk(empty, q, key="vec_id")
+    assert len(out) == 0 and out["vec_id"].dtype == object
+    with pytest.raises(ValueError, match="empty dataset"):
+        ann.stratified_vec_sample(empty, "embedding", 16)
+
+
+def test_ann_string_key_empty_batches(ray_session):
+    """Empty blocks must emit the key column at the key's real type —
+    a hardcoded int64 empty schema clashed with string-keyed data
+    blocks."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import ann
+
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "vec_id": pa.array([f"v{i}" for i in range(40)], pa.string()),
+        "embedding": pa.array(rng.standard_normal((40, 8)).astype(
+            np.float32).tolist(), pa.list_(pa.float32()))})
+    # force several blocks, some of which topk_batch will see empty after
+    # an upstream filter
+    ds = ray.data.from_arrow(t).repartition(8).filter(
+        lambda r: not r["vec_id"].endswith("7"))
+    out = ann.brute_force_topk(ds, np.ones((2, 8)), k=3, key="vec_id")
+    assert set(out["query_id"]) == {0, 1}
+    assert all(isinstance(v, str) for v in out["vec_id"])

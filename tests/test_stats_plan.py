@@ -167,3 +167,47 @@ def test_dict_values_codec_gate_uses_value_bytes():
     plan = plan_column(st, pa.string())
     if plan.codec == "dict":
         assert plan.kwargs.get("values_codec", "plain") == "plain"
+
+
+def test_hash_unsupported_type_never_plans_constant():
+    """A decimal column (no stable hash → empty KMV → cardinality 0.0)
+    whose stride sample is constant must NOT plan 'constant' — that
+    plan failed encode-time re-verification and fell back to
+    uncompressed plain on every chunk."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from json_to_parquet_ray.plan import plan_column
+    from json_to_parquet_ray.stats import column_stats_partial
+
+    vals = [Decimal("1.00")] * 100_000
+    vals[77_777] = Decimal("2.00")  # off-stride: the sample misses it
+    arr = pa.array(vals, pa.decimal128(10, 2))
+    st = column_stats_partial(arr, "d")
+    plan = plan_column(st, arr.type)
+    assert plan.codec != "constant", plan
+
+
+def test_sample_merge_interleaves():
+    """Merged samples draw from BOTH partials, not first-wins."""
+    import pyarrow as pa
+
+    from json_to_parquet_ray.stats import SAMPLE_CAP, column_stats_partial
+
+    a = column_stats_partial(pa.array(["a"] * 2000, pa.string()), "s")
+    b = column_stats_partial(pa.array(["b"] * 2000, pa.string()), "s")
+    assert len(a.sample) == SAMPLE_CAP  # precondition: a alone fills the cap
+    merged = a.merge(b)
+    assert "b" in merged.sample and "a" in merged.sample
+
+
+def test_sample_byte_cap_counts_utf8_bytes():
+    """CJK strings must be capped by UTF-8 bytes, not characters."""
+    from json_to_parquet_ray.stats import SAMPLE_BYTES_CAP, _cap_sample
+
+    cjk = "中" * 10_000  # 30 KB utf-8, 10k chars
+    capped = _cap_sample([cjk] * 100)
+    total = sum(len(v.encode("utf-8")) for v in capped)
+    assert total <= SAMPLE_BYTES_CAP + len(cjk.encode("utf-8"))
+    assert len(capped) <= SAMPLE_BYTES_CAP // len(cjk.encode("utf-8")) + 1
