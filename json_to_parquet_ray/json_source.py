@@ -136,6 +136,14 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
     conformance path keeps them as strings like the reference."""
     import pickle
 
+    # REPLACE semantics on every path: the widened engine path already
+    # swapped out_dir via a staged rename, but the non-widened and
+    # Python paths appended parquet files NEXT TO a previous run's — the
+    # same call mixed stale rows or replaced them depending on whether
+    # the schema happened to need widening
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
     if mode == "engine":
         try:
             ds = read_json_arrow(input_paths)
@@ -158,10 +166,15 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
             cause = getattr(ex, "cause", None) or ex
             # json.JSONDecodeError included: Ray's JSON datasource retries
             # a failed Arrow parse with a whole-buffer json.load, so an
-            # Arrow type conflict on JSONL surfaces as 'Extra data'
+            # Arrow type conflict on JSONL surfaces as 'Extra data'.
+            # KeyError/TypeError too: the same retry json.loads a
+            # single-document file to a DICT (not a list) and
+            # from_pylist(dict) raises KeyError — a parse-shaped failure
+            # the Python path handles, not a cluster error
             if not isinstance(cause, (pa.ArrowInvalid, pa.ArrowTypeError,
                                       pa.ArrowNotImplementedError,
-                                      json.JSONDecodeError)):
+                                      json.JSONDecodeError,
+                                      KeyError, TypeError)):
                 raise
             import logging
 
@@ -198,7 +211,8 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
                     if (i + 1 < len(attempts)
                             and isinstance(cause, (pa.ArrowInvalid,
                                                    pa.ArrowTypeError,
-                                                   json.JSONDecodeError))):
+                                                   json.JSONDecodeError,
+                                                   KeyError, TypeError))):
                         shutil.rmtree(staged, ignore_errors=True)
                         continue
                     raise

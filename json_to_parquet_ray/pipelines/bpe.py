@@ -28,7 +28,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # pre-tokenizer: contractions / letter-runs / digit-runs / single
 # punctuation, with the GPT-2-style leading-space convention folded into

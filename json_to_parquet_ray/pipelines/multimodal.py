@@ -29,6 +29,30 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def _binary_buffers(col: pa.Array):
+    """(offs, data, lens, valid) for a binary-like array — the shared
+    buffer-extraction idiom of all three stages (it was copy-pasted with
+    drifting null handling). Null slots are filled with b"" BEFORE the
+    buffers are read: the Arrow spec leaves a null slot's offsets
+    unspecified, so reading them risked histogramming garbage bytes.
+    ``valid`` is None when the column has no nulls."""
+    import pyarrow.compute as pc
+
+    arr = col.cast(pa.large_binary())
+    valid = None
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        arr = arr.fill_null(b"")
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1,
+                         offset=arr.offset * 8)
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, np.uint8)[offs[0]:offs[-1]]
+            if buf is not None else np.zeros(0, np.uint8))
+    offs = offs - offs[0]
+    return offs, data, offs[1:] - offs[:-1], valid
+
+
 def try_import_pillow():
     try:  # pragma: no cover - not present in this container
         import PIL.Image  # noqa: F401
@@ -73,19 +97,12 @@ class DecodeMedia:
         if self.has_decoder:
             return self._decode_real(batch)
         col = batch.column(self.payload_col).combine_chunks()
-        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-        lens = pc.binary_length(col).fill_null(0) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
         # STUB fake dimensions from (length, first byte) — vectorized; a
         # real decoder would replace this (and is inherently per-item)
-        arr = col.cast(pa.large_binary()).fill_null(b"")
-        offs = np.frombuffer(arr.buffers()[1], np.int64, count=len(arr) + 1,
-                             offset=arr.offset * 8)
-        buf = arr.buffers()[2]
-        data = (np.frombuffer(buf, np.uint8)[offs[0]:offs[-1]]
-                if buf is not None else np.zeros(0, np.uint8))
-        offs = offs - offs[0]
-        first = np.zeros(len(arr), np.uint64)
+        offs, data, lens, valid = _binary_buffers(col)
+        if valid is None:
+            valid = np.ones(len(col), bool)
+        first = np.zeros(len(col), np.uint64)
         nz = lens > 0
         first[nz] = data[offs[:-1][nz]]
         mix = (lens.astype(np.uint64) * np.uint64(2654435761)
@@ -148,15 +165,9 @@ class ExtractFeatures:
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        arr = batch.column(self.payload_col).combine_chunks().cast(pa.large_binary())
-        n = len(arr)
-        offs = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1,
-                             offset=arr.offset * 8)
-        buf = arr.buffers()[2]
-        data = (np.frombuffer(buf, np.uint8)[offs[0]:offs[-1]]
-                if buf is not None else np.zeros(0, np.uint8))
-        offs = offs - offs[0]
-        lens = np.diff(offs)
+        col = batch.column(self.payload_col).combine_chunks()
+        n = len(col)
+        offs, data, lens, valid = _binary_buffers(col)
         row_of = np.repeat(np.arange(n), lens)
         hist = np.bincount(row_of * self.dim + (data % self.dim).astype(np.int64),
                            minlength=n * self.dim).reshape(n, self.dim)
@@ -164,10 +175,16 @@ class ExtractFeatures:
         feats = hist.astype(np.float32) / np.maximum(norms, np.float32(1e-12))
         nnz = (hist > 0).sum(axis=1).astype(np.int64)
         argmax = hist.argmax(axis=1).astype(np.int64)
-        col = pa.FixedSizeListArray.from_arrays(
+        out = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.dim)
+        if valid is not None:
+            # NULL payload → NULL feature vector, matching DecodeMedia's
+            # null-dims convention — an all-zero vector was
+            # indistinguishable from a real empty (b"") payload
+            out = out.take(pa.array(np.arange(n), type=pa.int64(),
+                                    mask=~valid))
         return (batch.drop_columns([self.payload_col])
-                .append_column("features", col)
+                .append_column("features", out)
                 .append_column("feat_nnz", pa.array(nnz, pa.int64()))
                 .append_column("feat_argmax",
                                pa.array(argmax, pa.int64(), mask=nnz == 0)))
@@ -194,22 +211,15 @@ class ResizeMedia:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        arr = batch.column(self.payload_col).combine_chunks() \
-            .cast(pa.large_binary())
-        n = len(arr)
+        col = batch.column(self.payload_col).combine_chunks()
+        n = len(col)
         if n == 0:  # Ray delivers empty blocks; np.repeat math below
             # broadcasts a (1,) seed against (0,) and crashes
             return (batch.drop_columns([self.payload_col])
                     .append_column("resized", pa.array([], pa.binary()))
                     .append_column("target_w", pa.array([], pa.int32()))
                     .append_column("target_h", pa.array([], pa.int32())))
-        offs = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1,
-                             offset=arr.offset * 8)
-        buf = arr.buffers()[2]
-        data = (np.frombuffer(buf, np.uint8)[offs[0]:offs[-1]]
-                if buf is not None else np.zeros(0, np.uint8))
-        offs = offs - offs[0]
-        lens = np.diff(offs)
+        offs, data, lens, valid_np = _binary_buffers(col)
         # STUB: keep ~(target_area / est_source_area) of the bytes via a
         # per-row stride; floor 1 byte for non-empty payloads
         tw, th = self.target
@@ -228,8 +238,9 @@ class ResizeMedia:
             [None, pa.py_buffer(np.concatenate(
                 [[0], np.cumsum(out_lens)]).astype(np.int64).tobytes()),
              pa.py_buffer(sel.tobytes())])
-        valid = pc.is_valid(arr)
-        out = pc.if_else(valid, out, pa.scalar(None, pa.large_binary()))
+        if valid_np is not None:
+            out = pc.if_else(pa.array(valid_np), out,
+                             pa.scalar(None, pa.large_binary()))
         return (batch.drop_columns([self.payload_col])
                 .append_column("resized", out.cast(pa.binary()))
                 .append_column("target_w", pa.array(

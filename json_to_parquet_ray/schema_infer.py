@@ -206,7 +206,16 @@ def table_from_docs(docs: list[dict]) -> pa.Table:
                 # build even per-doc — widen its scalar elements to string
                 # (the same non-promotable-conflict resolution
                 # _unify_types applies across documents)
-                per.append(pa.Table.from_pylist([_widen_mixed_lists(d)]))
+                try:
+                    per.append(pa.Table.from_pylist([_widen_mixed_lists(d)]))
+                except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+                    # object/scalar mixes in ONE array ([{"x":1}, "y"])
+                    # aren't widenable — raise the module's designed
+                    # error, not a raw ArrowInvalid from a Ray worker
+                    raise ValueError(
+                        "a JSON document mixes incompatible kinds inside "
+                        f"one array (objects with scalars/lists) and "
+                        f"cannot unify: {e}") from e
         schema = unify([t.schema for t in per])
         return pa.concat_tables([align_table(t, schema) for t in per])
 

@@ -223,3 +223,27 @@ def test_cli_conformance_mode_no_resume_shared_dicts(tmp_path):
     assert s3["partitions_skipped_resume"] == 0
     assert s3["partitions_encoded"] == 3
     assert run_cli("verify", enc)["failed"] == []
+
+
+def test_cli_json2parquet_single_doc_and_replace(tmp_path):
+    """A single-document (non-JSONL) file must fall back to the Python
+    parse path instead of dying on Ray's whole-buffer json.load retry;
+    and a rerun over the same out_dir REPLACES the previous rows on
+    every path (appending depended on whether widening happened)."""
+    import pyarrow.parquet as pq
+
+    one = tmp_path / "one.json"
+    one.write_text('{"a": [1, "x"]}\n')
+    out = run_cli("json2parquet", str(one), str(tmp_path / "o1"))
+    t = pq.read_table(str(tmp_path / "o1"))
+    assert t.num_rows == 1
+    assert t.column("a").to_pylist() == [["1", "x"]]
+
+    a = tmp_path / "a.jsonl"
+    a.write_text('{"id": 998}\n{"id": 999}\n')
+    b = tmp_path / "b.jsonl"
+    b.write_text('{"id": 1}\n{"id": 2}\n')
+    dst = str(tmp_path / "o2")
+    run_cli("json2parquet", str(a), dst)
+    run_cli("json2parquet", str(b), dst)
+    assert sorted(pq.read_table(dst).column("id").to_pylist()) == [1, 2]

@@ -773,3 +773,15 @@ def test_ann_string_key_empty_batches(ray_session):
     out = ann.brute_force_topk(ds, np.ones((2, 8)), k=3, key="vec_id")
     assert set(out["query_id"]) == {0, 1}
     assert all(isinstance(v, str) for v in out["vec_id"])
+
+
+def test_extract_features_null_payload_is_null(ray_session):
+    """A NULL payload must produce a NULL feature vector (DecodeMedia's
+    null-marking convention), not a fabricated all-zero vector."""
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([b"abc", None], pa.binary())})
+    out = multimodal.ExtractFeatures()(t)
+    feats = out.column("features")
+    assert feats.is_valid().to_pylist() == [True, False]
+    assert out.column("feat_nnz").to_pylist() == [3, 0]
+    assert out.column("feat_argmax").is_valid().to_pylist() == [True, False]

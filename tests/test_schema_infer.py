@@ -232,3 +232,14 @@ def test_widened_string_keeps_timestamp_text(ray_session, tmp_path):
     assert pa.types.is_string(schema.field("t").type)
     vals = set(pq.read_table(out).column("t").to_pylist())
     assert vals == {"2024-01-01T10:00:00", "not a date"}
+
+
+def test_intra_doc_object_scalar_mix_raises_designed_error():
+    """[{'x': 1}, 'y'] inside ONE document must raise the module's
+    ValueError, not a raw ArrowInvalid from three frames deep."""
+    import pytest
+
+    from json_to_parquet_ray.schema_infer import table_from_docs
+
+    with pytest.raises(ValueError, match="incompatible kinds"):
+        table_from_docs([{"a": [{"x": 1}, "y"]}])
