@@ -38,10 +38,21 @@ def _parse_zone_filter(s: str) -> dict:
             f"--zone-filter {s!r}: expected COLUMN=LO,HI, COLUMN=V, or "
             f"COLUMN=V1|V2|V3")
     if "|" in rng:
-        return {col: [bound(v) for v in rng.split("|")]}
+        vals = rng.split("|")
+        if any(v == "" for v in vals):
+            raise SystemExit(
+                f"--zone-filter {s!r}: empty value in IN-list")
+        return {col: [bound(v) for v in vals]}
     if "," not in rng:
         # a single value is an EQUALITY, not the open range (v, None) —
-        # a point lookup must never silently return a superset
+        # a point lookup must never silently return a superset. An EMPTY
+        # value is rejected outright: 'col=' with $VAL unset would
+        # otherwise parse as the open range (None, None) ≈ IS NOT NULL
+        # and decode nearly the whole store
+        if rng == "":
+            raise SystemExit(
+                f"--zone-filter {s!r}: empty value (did a shell variable "
+                f"expand to nothing?); use COLUMN=LO,HI for a range")
         v = bound(rng)
         return {col: (v, v)}
     lo, _, hi = rng.partition(",")
@@ -181,7 +192,13 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--max-words", type=int, default=50_000)
 
     args = p.parse_args(argv)
-    ray, owns_session = _ray_session()
+    if args.cmd in ("store-stats", "consolidate", "gc"):
+        # driver-only metadata commands: a pure filesystem read of
+        # manifest records must not pay multi-second Ray startup (or
+        # attach to a live cluster) it never uses
+        ray, owns_session = None, False
+    else:
+        ray, owns_session = _ray_session()
     try:
         if args.cmd == "json2parquet":
             from .json_source import json_to_parquet_job
@@ -239,11 +256,13 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.encode_job import (
                 bloom_reject_count,
                 effective_records,
+                require_store,
                 validate_zone_bounds,
                 zone_prune,
             )
 
             zf = _parse_zone_filter(args.zone_filter)
+            require_store(args.out_dir)
             recs = effective_records(args.out_dir)
             # same fail-fast as decode: the explain must error exactly
             # where the decode would, not report a bad bound's total

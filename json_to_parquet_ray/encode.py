@@ -221,13 +221,11 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
 def _rows_only(n: int) -> pa.Table:
     """0-column table that still CARRIES its row count — an empty (or
     all-missing under schema evolution) projection must not collapse the
-    chunk's rows to zero; align_table can then null-fill n rows.
-    Constant-space: one struct row replicated via take, never an n-element
-    Python list."""
-    one = pa.array([{}], pa.struct([]))
-    rb = pa.RecordBatch.from_struct_array(
-        one.take(pa.nulls(n, pa.int64()).fill_null(0)))
-    return pa.Table.from_batches([rb], schema=pa.schema([]))
+    chunk's rows to zero; align_table can then null-fill n rows. ONE
+    implementation, shared with schema inference."""
+    from .schema_infer import _rows_only_table
+
+    return _rows_only_table(n)
 
 
 def decode_table(blob: bytes, columns: list[str] | None = None,

@@ -333,6 +333,13 @@ def encode_job(
     """
     import ray
 
+    from ..manifest import manifest_dir
+
+    # mark the output as a store up front — a legitimately-EMPTY encode
+    # (zero input fragments) must still satisfy require_store so verify
+    # passes vacuously-but-honestly instead of 'not an encoded store'
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+
     file_schemas: dict[str, pa.Schema] = {}
     frags = list_fragments(input_paths, max_rows_per_partition,
                            schemas_out=file_schemas)
@@ -571,6 +578,20 @@ def bloom_reject_count(out_dir: str, recs: list, eq: dict) -> int:
                .map_batches(probe, batch_format="pyarrow").take_all())
 
 
+def require_store(out_dir: str) -> None:
+    """Loud-fail guard for READ-ONLY store consumers (verify / decode /
+    scan-stats): a typo'd path must not read as a healthy EMPTY store —
+    verify would pass vacuously and decode would write an empty parquet.
+    Same policy gc/store-stats/consolidate already enforce. Encode does
+    NOT call this: a fresh out_dir is its normal starting state."""
+    from ..manifest import manifest_dir
+
+    if not os.path.isdir(manifest_dir(out_dir)):
+        raise ValueError(
+            f"{out_dir!r} is not an encoded store (no _manifest) — "
+            f"refusing to treat it as empty")
+
+
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    zone_filter: dict | None = None,
                    schema: pa.Schema | None = None,
@@ -593,6 +614,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
 
     from ..manifest import index_path, stream_eligible
 
+    require_store(out_dir)
     items: list[dict] | None
     if zone_filter:
         all_recs = effective_records(out_dir)
@@ -1180,6 +1202,7 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
 
     from ..manifest import index_path, stream_eligible
 
+    require_store(out_dir)
     use_index = stream_eligible(out_dir, stream_index)
     items = None if use_index else [
         {"partition_id": rec.partition_id,

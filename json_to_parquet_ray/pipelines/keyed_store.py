@@ -51,6 +51,13 @@ def keyed_encode(ds, out_dir: str, key_col: str, salt_col: str,
     import pyarrow.compute as pc
     import shutil
 
+    if "_pkey" in ds.schema().names:
+        # append_column would create a DUPLICATE _pkey; the groupby then
+        # becomes ambiguous and drop_columns(["_pkey"]) removes BOTH,
+        # silently losing the user's column from every chunk
+        raise ValueError("input dataset already has a '_pkey' column — "
+                         "rename it before keyed_encode")
+
     # a RE-encode into an existing dir must not leave the previous
     # generation's records readable: partition ids derive from pkeys, so
     # changed data/hot-keys produce a different id set and keyed_read
@@ -245,7 +252,8 @@ def keyed_read(out_dir: str, keys: list | None = None):
     chunks are OPENED (manifest-level pruning). Returns (dataset, io)."""
     import ray
 
-    recs = keyed_manifest(out_dir)
+    all_manifest = keyed_manifest(out_dir)
+    recs = all_manifest
     total = len(recs)
     if keys is not None:
         want = {str(k) for k in keys}
@@ -261,7 +269,7 @@ def keyed_read(out_dir: str, keys: list | None = None):
         return pa.concat_tables(tables)
 
     if not items:
-        all_recs = keyed_manifest(out_dir)
+        all_recs = all_manifest  # already loaded — no second index read
         if all_recs:
             # no key matched, but the store has a schema: return a TYPED
             # empty dataset (from any chunk's header — a few bytes) so

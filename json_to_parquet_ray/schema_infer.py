@@ -245,7 +245,12 @@ def _widen_mixed_lists(v):
 
 
 def _rows_only_table(n: int) -> pa.Table:
-    rb = pa.RecordBatch.from_struct_array(pa.array([{}] * n, pa.struct([])))
+    """0-column table that still CARRIES its row count. Constant-space:
+    one struct row replicated via take, never an n-element Python list
+    (shared with encode._rows_only — keep ONE implementation)."""
+    one = pa.array([{}], pa.struct([]))
+    rb = pa.RecordBatch.from_struct_array(
+        one.take(pa.nulls(n, pa.int64()).fill_null(0)))
     return pa.Table.from_batches([rb], schema=pa.schema([]))
 
 

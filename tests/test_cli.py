@@ -247,3 +247,18 @@ def test_cli_json2parquet_single_doc_and_replace(tmp_path):
     run_cli("json2parquet", str(a), dst)
     run_cli("json2parquet", str(b), dst)
     assert sorted(pq.read_table(dst).column("id").to_pylist()) == [1, 2]
+
+
+def test_cli_zone_filter_empty_value_rejected(tmp_path):
+    """--zone-filter 'col=' (an unset shell variable) must error, not
+    silently decode the whole store as the open range."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "-m", "json_to_parquet_ray.cli", "decode",
+         str(tmp_path / "whatever"), str(tmp_path / "out"),
+         "--zone-filter", "id="],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert res.returncode != 0
+    assert "empty value" in (res.stderr + res.stdout)

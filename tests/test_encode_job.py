@@ -1537,3 +1537,48 @@ def test_store_stats_mixed_main_and_keyed(ray_session, cc_parquet,
     s = store_stats(out)
     assert s["chunks"] == 4 and s["rows"] == 2000        # main side
     assert s["keyed"]["chunks"] == 3 and s["keyed"]["rows"] == 30
+
+
+def test_verify_decode_refuse_non_store(ray_session, tmp_path):
+    """verify/decode on a typo'd path must raise, never read as a
+    healthy EMPTY store (vacuous verify pass / empty decode) — the same
+    policy gc/store-stats/consolidate enforce."""
+    import pytest
+
+    from json_to_parquet_ray.pipelines.encode_job import (
+        decode_dataset, verify_job)
+
+    bogus = str(tmp_path / "no_such_store")
+    os.makedirs(bogus)
+    with pytest.raises(ValueError, match="not an encoded store"):
+        verify_job(bogus)
+    with pytest.raises(ValueError, match="not an encoded store"):
+        decode_dataset(bogus)
+
+
+def test_empty_encode_is_still_a_store(ray_session, tmp_path):
+    """A zero-fragment encode marks the output as a store, so verify
+    passes vacuously-but-honestly instead of refusing."""
+    from json_to_parquet_ray.pipelines.encode_job import (
+        encode_job, verify_job)
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    out = str(tmp_path / "enc")
+    s = encode_job(str(src), out, shared_dict_columns=None)
+    assert s["partitions_total"] == 0
+    assert verify_job(out) == {"partitions": 0, "ok": 0, "failed": []}
+
+
+def test_keyed_encode_rejects_pkey_collision(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from json_to_parquet_ray.pipelines.keyed_store import keyed_encode
+
+    t = pa.table({"lang": ["en", "de"], "doc_id": [1, 2],
+                  "_pkey": ["x", "y"]})
+    with pytest.raises(ValueError, match="_pkey"):
+        keyed_encode(ray.data.from_arrow(t), str(tmp_path / "ks"),
+                     key_col="lang", salt_col="doc_id")
