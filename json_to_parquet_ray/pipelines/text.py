@@ -40,7 +40,12 @@ _STOP_RE = r"(?i)\b(?:" + "|".join(_STOPWORDS) + r")\b"
 
 
 def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Length / punctuation / uppercase / stopword ratios (all Arrow kernels)."""
+    """Length / punctuation / uppercase / stopword ratios (all Arrow
+    kernels). ``stopword_ratio`` is stopword MATCHES per whitespace
+    token and can exceed 1.0 when several stopwords share one token
+    ('the,the' is one \\S+ token holding two matches) — the definition
+    is pinned by the SQL oracle (`quality_scores`), which replicates it
+    verbatim; treat it as a score, not a bounded fraction."""
     text = batch.column(col)
     n_chars = pc.utf8_length(text).cast(pa.float64())
     safe = pc.max_element_wise(n_chars, 1.0)

@@ -30,11 +30,14 @@ def extract_host(batch: pa.Table, url_col: str = "url",
     scheme-relative ``//host``, userinfo / port / path / query / fragment
     stripped, host lowercased (DNS names are case-insensitive — a
     skew census must not split one real host across case variants).
-    Values with no ``//`` authority pass through lowercased."""
+    Bracketed IPv6 authorities keep their whole bracket (the host
+    capture previously stopped at the first ':' INSIDE the bracket,
+    splintering every IPv6 host into a junk census token). Values with
+    no ``//`` authority pass through lowercased."""
     host = pc.replace_substring_regex(
         batch.column(url_col),
         pattern=(r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//"
-                 r"(?:[^/?#@]*@)?([^/?#:]*).*$"),
+                 r"(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:]*).*$"),
         replacement=r"\1", max_replacements=1,
     )
     return batch.append_column(out_col, pc.utf8_lower(host))
@@ -92,12 +95,49 @@ def _exact_pandas(t: pa.Table) -> pd.DataFrame:
     return t.to_pandas(types_mapper=_NULLABLE_INT_MAP.get)
 
 
+def _pad_to(all_cols: list):
+    """Batch transform padding a tagged side of an exchange union to the
+    combined column set (missing columns null-filled) — the ONE
+    implementation of the union-padding invariant shared by hash_join
+    and asof_join (it was duplicated with a misleading unused param)."""
+    def fn(b: pa.Table) -> pa.Table:
+        out = {}
+        for c in all_cols:
+            out[c] = (b.column(c) if c in b.column_names
+                      else pa.nulls(len(b)))
+        out["_bucket"] = b.column("_bucket")
+        out["_side"] = b.column("_side")
+        return pa.table(out)
+    return fn
+
+
+def _avalanche64(x: np.ndarray) -> np.ndarray:
+    """Splitmix64 finalizer: every input bit affects every output bit.
+    The previous single Fibonacci multiply left bits 33+ all-zero for
+    keys with ≥ 30 trailing zero bits — integer-VALUED float64 ids
+    (ints stored as float because the column carries nulls) all landed
+    in bucket 0, sending the whole dataset to one reducer."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def key_buckets(col: pa.ChunkedArray | pa.Array,
                 num_partitions: int) -> np.ndarray:
     """Deterministic key → bucket hash shared by every co-partitioning
     operator (hash join, as-of join): both sides of an exchange MUST use
     this exact function or matching keys land in different buckets."""
     t = col.type
+    if pa.types.is_null(t):
+        # Ray emits NULL-typed blocks for all-null slices of a column
+        # other blocks carry as int64/string — such rows must land in
+        # the SAME bucket as typed nulls (see the override below; the
+        # old code co-bucketed them only by the accident that both the
+        # int-null and string-null hashes bucketed to 0)
+        return np.full(len(col),
+                       int(_avalanche64(np.zeros(1, np.uint64))[0]
+                           % np.uint64(num_partitions)), np.int64)
     if pa.types.is_integer(t) or pa.types.is_temporal(t):
         # fill nulls at the Arrow level BEFORE to_numpy: a null key
         # would otherwise force a float64 round-trip that corrupts
@@ -108,25 +148,43 @@ def key_buckets(col: pa.ChunkedArray | pa.Array,
         # of an exchange wrap identically
         filled = pc.fill_null(pc.cast(col, pa.int64(), safe=False), 0)
         a = filled.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        h = a * np.uint64(0x9E3779B97F4A7C15)
+        h = _avalanche64(a)
     elif pa.types.is_floating(t):
-        # hash float keys by their canonical BIT PATTERN, not a value
-        # cast to uint64: casting NaN/negative floats to uint64 is
-        # C-undefined (x86 and ARM disagree), so a mixed-architecture
-        # cluster would bucket the same key differently per side.
-        # Canonicalize -0.0 → +0.0 (they compare equal and must
-        # co-bucket) and all NaN payloads → one quiet NaN first.
+        # Float keys: INTEGER-valued floats hash by VALUE through the
+        # same path as int keys, so a join of an int64 column against
+        # its float64 twin (ints + nulls) co-buckets 5 with 5.0 — the
+        # per-bucket pandas merge matches them, so the exchange must
+        # too. Non-integral floats hash by canonical BIT PATTERN, never
+        # a value cast: casting NaN/negative floats to uint64 is
+        # C-undefined (x86 and ARM disagree). Canonicalize -0.0 → +0.0
+        # (they compare equal and must co-bucket) and all NaN payloads
+        # → one quiet NaN first.
         filled = pc.fill_null(col, 0.0)
         a = filled.to_numpy(zero_copy_only=False).astype(np.float64,
                                                          copy=False)
         a = np.where(a == 0.0, 0.0, a)
         a = np.where(np.isnan(a), np.float64("nan"), a)
-        h = np.ascontiguousarray(a).view(np.uint64) \
-            * np.uint64(0x9E3779B97F4A7C15)
+        a = np.ascontiguousarray(a)
+        with np.errstate(invalid="ignore"):
+            integral = (np.isfinite(a) & (np.floor(a) == a)
+                        & (np.abs(a) < float(1 << 63)))
+        iv = np.zeros(len(a), np.int64)
+        iv[integral] = a[integral].astype(np.int64)
+        bits = np.where(integral, iv.view(np.uint64), a.view(np.uint64))
+        h = _avalanche64(bits)
     else:  # strings/binary: vectorized C hash via pandas (siphash)
         h = pd.util.hash_array(
             np.asarray(col.to_pandas(), dtype=object), categorize=False)
-    return ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int64)
+        if col.null_count:
+            # ONE null convention across all type paths (int/float fill
+            # nulls with 0 pre-hash): a null in a string-typed block
+            # must co-bucket with the same row arriving in a NULL-typed
+            # block, or null-key pandas-merge matches silently vanish
+            valid = (col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col).is_valid() \
+                .to_numpy(zero_copy_only=False)
+            h = np.where(valid, h, _avalanche64(np.zeros(1, np.uint64))[0])
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 def keyed_window(ds, key: str, bucket_fn, num_buckets: int = 64,
@@ -175,6 +233,20 @@ def asof_join(left, right, by: str, on: str, right_by: str | None = None,
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
 
+    def drop_null_on(key: str):
+        # a null ORDERING value can never match under as-of semantics,
+        # and pd.merge_asof refuses it outright ('Merge keys contain
+        # null values') — drop such rows on both sides instead of
+        # crashing the job three frames deep inside a bucket task
+        def fn(b: pa.Table) -> pa.Table:
+            col = b.column(key)
+            return b.filter(col.is_valid()) if col.null_count else b
+        return fn
+
+    left = left.map_batches(drop_null_on(on), batch_format="pyarrow")
+    right = right.map_batches(drop_null_on(right_on),
+                              batch_format="pyarrow")
+
     def tag(side: int, key: str):
         def fn(b: pa.Table) -> pa.Table:
             return (b.append_column("_bucket", pa.array(
@@ -189,17 +261,7 @@ def asof_join(left, right, by: str, on: str, right_by: str | None = None,
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     all_cols = lcols + [c for c in rcols if c not in lcols]
-
-    def pad():
-        def fn(b: pa.Table) -> pa.Table:
-            out = {}
-            for c in all_cols:
-                out[c] = (b.column(c) if c in b.column_names
-                          else pa.nulls(len(b)))
-            out["_bucket"] = b.column("_bucket")
-            out["_side"] = b.column("_side")
-            return pa.table(out)
-        return fn
+    pad = _pad_to(all_cols)
 
     # typed empty frames, computed ONCE on the driver: a one-sided bucket
     # produces null-typed padding columns whose to_pandas comes out as
@@ -229,8 +291,8 @@ def asof_join(left, right, by: str, on: str, right_by: str | None = None,
                              left_by=by, right_by=right_by,
                              direction=direction)
 
-    u = lt.map_batches(pad(), batch_format="pyarrow").union(
-        rt.map_batches(pad(), batch_format="pyarrow"))
+    u = lt.map_batches(pad, batch_format="pyarrow").union(
+        rt.map_batches(pad, batch_format="pyarrow"))
     return u.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
@@ -259,7 +321,6 @@ def hash_join(left, right, on: str, right_on: str | None = None,
     2.49), which is why this exists. Column-name collisions aside from
     the key get pandas' _x/_y suffixes."""
     import ray
-    from ray.data.aggregate import Count  # noqa: F401  (parity with callers)
 
     right_on = right_on or on
     if num_partitions is None:
@@ -381,20 +442,10 @@ def hash_join(left, right, on: str, right_on: str | None = None,
 
     # union of differently-schemed sides: pad each with the other's columns
     all_cols = lcols + [c for c in rcols if c not in lcols]
+    pad = _pad_to(all_cols)
 
-    def pad(cols):
-        def fn(b: pa.Table) -> pa.Table:
-            out = {}
-            for c in all_cols:
-                out[c] = (b.column(c) if c in b.column_names
-                          else pa.nulls(len(b)))
-            out["_bucket"] = b.column("_bucket")
-            out["_side"] = b.column("_side")
-            return pa.table(out)
-        return fn
-
-    u = lt.map_batches(pad(lcols), batch_format="pyarrow").union(
-        rt.map_batches(pad(rcols), batch_format="pyarrow"))
+    u = lt.map_batches(pad, batch_format="pyarrow").union(
+        rt.map_batches(pad, batch_format="pyarrow"))
     if _return_tagged:  # test hook: expose per-bucket row placement
         return u
     return u.groupby("_bucket").map_groups(merge, batch_format="pyarrow")

@@ -539,3 +539,53 @@ def test_keyed_manifest_is_consolidated(ray_session, tmp_path):
         f.write(b"garbage")
     with pytest.raises(ValueError, match="cannot be read"):
         keyed_manifest(out)
+
+
+def test_key_buckets_integer_floats_distribute_and_cobucket(ray_session):
+    """Integer-valued float64 keys (int ids stored as float because the
+    column carries nulls) must spread across buckets — the old single
+    multiply left bits 33+ zero and sent 100% of them to bucket 0 —
+    and must co-bucket with their int64 twins so mixed-type joins keep
+    their matches."""
+    from collections import Counter
+
+    import numpy as np
+
+    from json_to_parquet_ray.shuffle import key_buckets
+
+    b = key_buckets(pa.array(np.arange(20_000).astype(float)), 8)
+    counts = Counter(b.tolist())
+    assert len(counts) == 8
+    assert max(counts.values()) < 20_000 * 0.25  # no collapsed bucket
+    ints = pa.array([5, 17, 2**40 + 3], pa.int64())
+    floats = pa.array([5.0, 17.0, float(2**40 + 3)], pa.float64())
+    assert (key_buckets(ints, 16) == key_buckets(floats, 16)).all()
+
+
+def test_asof_join_null_ordering_rows_dropped(ray_session):
+    """A null ordering value can never match as-of; such rows drop
+    instead of crashing pd.merge_asof inside a bucket task."""
+    import ray
+
+    from json_to_parquet_ray.shuffle import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([10, None, 20], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2], pa.int64()),
+        "rts": pa.array([5, None, 15], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string())}))
+    out = asof_join(left, right, on="ts", right_on="rts", by="k",
+                    right_by="k").to_pandas().sort_values("k")
+    assert out["ts"].tolist() == [10, 20]
+    assert out["v"].tolist() == ["a", "c"]
+
+
+def test_extract_host_ipv6_brackets():
+    t = pa.table({"url": pa.array([
+        "https://[2001:db8::1]:443/p",
+        "http://[::1]/x",
+    ])})
+    out = extract_host(t)
+    assert out.column("host").to_pylist() == ["[2001:db8::1]", "[::1]"]
