@@ -359,7 +359,6 @@ def _collision_rows(rows_ds, col: str):
     Returns (hot_counts_df, filtered_ds); ``filtered_ds`` is None when no
     bucket has two members. Per-group Python downstream is then paid only
     for buckets that can actually produce a pair."""
-    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
 
@@ -383,7 +382,6 @@ def _collect_candidate_texts(ds, cand_ids: list, col: str,
     candidate rows (provably small after LSH banding) on the driver. The
     result is re-broadcast SHARDED so extreme duplication (all docs
     candidates) can't create one giant object."""
-    import pyarrow.compute as pc
     import ray
 
     if not cand_ids:
@@ -420,6 +418,11 @@ def _verify_pairs_ds(pairs_ds, texts, threshold: float):
     lookup = texts.get
 
     _cache: dict = {}
+    _CACHE_CAP = 65_536  # shingle sets are doc-sized: an UNBOUNDED cache
+    # in a task that sees every batch of a pathological-duplication pair
+    # block would hold millions of them — the very load _ShardedBroadcast
+    # keeps off the workers. FIFO eviction: pair blocks are sorted-ish by
+    # id, so recent entries are the ones the next batch reuses.
 
     def _sh(k):
         s = _cache.get(k)
@@ -428,6 +431,8 @@ def _verify_pairs_ds(pairs_ds, texts, threshold: float):
             if t is None:  # collect stores '' for null texts, so None = bug
                 raise KeyError(f"candidate text missing for id {k}")
             s = _shingle_set(t)
+            if len(_cache) >= _CACHE_CAP:
+                _cache.pop(next(iter(_cache)))
             _cache[k] = s
         return s
 
@@ -447,22 +452,6 @@ def _verify_pairs_ds(pairs_ds, texts, threshold: float):
                              "jaccard": pd.Series(out_j, dtype="float64")})
 
     return pairs_ds.map_batches(check, batch_format="pandas", batch_size=8192)
-
-
-def _verify_pairs_distributed(pairs: pd.DataFrame, texts: dict,
-                              threshold: float) -> pd.DataFrame:
-    """Driver-side wrapper over ``_verify_pairs_ds`` (bounded outputs)."""
-    import ray
-
-    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                          "b": pd.Series([], dtype="int64"),
-                          "jaccard": pd.Series([], dtype="float64")})
-    if not len(pairs):
-        return empty
-    verified = _verify_pairs_ds(
-        ray.data.from_pandas(pairs.reset_index(drop=True)), texts,
-        threshold).to_pandas()
-    return verified if len(verified) else empty
 
 
 def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
@@ -527,11 +516,23 @@ def _lsh_candidate_pairs_ds(bands, key: str, oversize: str = "star"):
             return _empty_df({"a": "int64", "b": "int64"})
         if len(ids) > 64 and oversize == "star":
             # pathological bucket (e.g. a massive duplicate cluster): emit
-            # STAR pairs (min-id, other) — O(n) candidate volume instead of
-            # O(n^2), and exactly the connectivity label propagation needs
-            return pd.DataFrame({"a": pd.Series([ids[0]] * (len(ids) - 1),
-                                                dtype="int64"),
-                                 "b": pd.Series(ids[1:], dtype="int64")})
+            # TWO stars (around the min id and the max id) plus the
+            # anchor-anchor pair — still O(n) candidate volume instead of
+            # O(n^2). Two anchors because a star only carries the
+            # connectivity label propagation needs when its hub VERIFIES
+            # against the members: a single borderline-similarity hub
+            # (below the Jaccard threshold) would zero out the whole
+            # bucket's verified edges; with two, both must be borderline
+            # for the bucket to lose connectivity. Deterministic under
+            # retries (ids are sorted).
+            lo, hi = ids[0], ids[-1]
+            mids = ids[1:-1]
+            # canonical a < b everywhere (pair-listing consumers rely on
+            # it): lo-star pairs are (lo, x); hi-star pairs are (x, hi)
+            return pd.DataFrame({
+                "a": pd.Series([lo] * (len(ids) - 1) + mids,
+                               dtype="int64"),
+                "b": pd.Series(ids[1:] + [hi] * len(mids), dtype="int64")})
         iu, ju = np.triu_indices(len(ids), k=1)
         arr = np.asarray(ids, np.int64)
         return pd.DataFrame({"a": pd.Series(arr[iu], dtype="int64"),
@@ -642,6 +643,19 @@ def cluster_min_label(edges_ds, max_iters: int = 50):
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # exiting by iteration count, not convergence: a component whose
+        # diameter exceeds max_iters still holds several 'roots', so a
+        # dedup built on these labels RETAINS some duplicates. Loud, not
+        # silent — the safe direction (extra docs kept, none lost), but
+        # the caller should raise max_iters for chain-shaped components
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cluster_min_label stopped at max_iters=%d WITHOUT converging "
+            "— components wider than %d hops keep multiple labels and a "
+            "dedup on them retains some duplicates; raise max_iters",
+            max_iters, max_iters)
     return labels
 
 
@@ -658,7 +672,6 @@ def minhash_dedup(ds, col: str = "text", key: str = "doc_id",
     only the DROPPED ids (bounded by the duplicate count), never the
     pairs. ``cluster_mode``: "auto" | "driver" | "distributed".
     """
-    import pyarrow.compute as pc
     import ray
 
     bands = ds.map_batches(
@@ -758,7 +771,6 @@ class SimHash:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
 
         from .text import token_stream
 
@@ -918,7 +930,6 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
     around the min id; both events are counted and logged."""
     import logging
 
-    import pyarrow.compute as pc
     import ray
 
     from .ann import embedding_matrix
