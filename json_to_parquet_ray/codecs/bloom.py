@@ -84,16 +84,27 @@ def _hash64_bytes(arr: pa.Array) -> np.ndarray:
         if maxlen > 1:
             pw[1:] = _POLY_P
             np.cumprod(pw, out=pw)
-        reps = lens[nz]
-        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
-        # per-byte segment position, all vectorized: global position
-        # minus its segment's start; weights align the LAST byte of each
-        # value with P^0
-        pos = np.arange(int(reps.sum())) - np.repeat(starts, reps)
-        w = pw[np.repeat(reps, reps) - 1 - pos]
-        gather = np.repeat(offs[nz], reps) + pos
-        vals = (data[gather].astype(np.uint64) + np.uint64(1)) * w
-        h[nz] = np.add.reduceat(vals, starts)
+        # value-aligned byte chunks bound the transient (the unchunked
+        # gather holds ~24 B of index/weight arrays per input byte —
+        # GBs on a chunk of millions of multi-KB distinct strings); same
+        # shape as stats.poly_hash_binary. Weights align the LAST byte
+        # of each value with P^0.
+        chunk = 1 << 22
+        csum = np.concatenate([[0], np.cumsum(lens[nz])])
+        pos = 0
+        while pos < len(nz):
+            end = int(np.searchsorted(csum, csum[pos] + chunk,
+                                      side="right")) - 1
+            end = min(max(end, pos + 1), len(nz))
+            vals_idx = nz[pos:end]
+            reps = lens[vals_idx]
+            starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+            within = np.arange(int(reps.sum())) - np.repeat(starts, reps)
+            w = pw[np.repeat(reps, reps) - 1 - within]
+            gather = np.repeat(offs[vals_idx], reps) + within
+            vals = (data[gather].astype(np.uint64) + np.uint64(1)) * w
+            h[vals_idx] = np.add.reduceat(vals, starts)
+            pos = end
     # finalize: the polynomial sum alone has poor high-bit diffusion for
     # short values; splitmix64 spreads it over all 64 bits (the block
     # index uses the TOP 32)
@@ -156,6 +167,13 @@ def build_bloom(arr: pa.Array | pa.ChunkedArray,
             return None
     try:
         distinct = pc.unique(arr.drop_null())
+        # size the filter BEFORE hashing: nblocks needs only the distinct
+        # count, and hashing millions of multi-KB strings only to discard
+        # the result at the cap would transiently burn GBs in the encode
+        # task (bloom_columns='auto' hits this on content columns)
+        nblocks = max(1, -(-len(distinct) * bits_per_value // 256))
+        if nblocks * _BLOCK_BYTES > MAX_FILTER_BYTES:
+            return None
         h = hash64_column(distinct)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         # an unhashable representation is just another form of
@@ -163,9 +181,6 @@ def build_bloom(arr: pa.Array | pa.ChunkedArray,
         # encode job
         return None
     if h is None:
-        return None
-    nblocks = max(1, -(-len(distinct) * bits_per_value // 256))
-    if nblocks * _BLOCK_BYTES > MAX_FILTER_BYTES:
         return None
     words = np.zeros(nblocks * _WORDS_PER_BLOCK, np.uint32)
     blk = (((h >> np.uint64(32)) * np.uint64(nblocks))
@@ -208,7 +223,14 @@ def bloom_might_contain(filt: bytes, value, typ: pa.DataType) -> bool:
             TypeError, ValueError, OverflowError):
         # a value the column type can't represent cannot be present
         return False
-    h = hash64_column(arr)
+    try:
+        h = hash64_column(arr)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        # e.g. a date outside the ±~292k-year us-timestamp range: the
+        # BUILD side degrades the same cast failure to "no filter", so
+        # the query side must likewise never claim absence — and never
+        # kill the read task
+        return True
     if h is None:
         return True  # ineligible type: never claim absence
     words = np.frombuffer(filt, "<u4")

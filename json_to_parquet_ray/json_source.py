@@ -142,6 +142,16 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
     # same call mixed stale rows or replaced them depending on whether
     # the schema happened to need widening
     if os.path.isdir(out_dir):
+        # REPLACE only what a previous run wrote: a typo'd out_dir
+        # pointing at an unrelated existing directory must fail loudly
+        # (same policy as require_store), not be silently deleted
+        stray = [f for f in os.listdir(out_dir)
+                 if not f.endswith(".parquet")]
+        if stray:
+            raise ValueError(
+                f"out_dir {out_dir!r} exists and holds non-parquet entries "
+                f"{stray[:5]!r} — refusing to delete; point at an empty or "
+                "previous-output directory")
         shutil.rmtree(out_dir)
 
     if mode == "engine":

@@ -847,9 +847,12 @@ def cluster_job(input_paths: list[str] | str, out_dir: str,
                          if f.endswith(".parquet"))
         else:
             files.append(p)
+    # fingerprint includes mtime_ns: a same-size in-place rewrite of an
+    # input must invalidate the staged sort, not silently reuse stale data
     fp = hashlib.sha1(json.dumps(
         {"by": list(by),
-         "inputs": sorted((f, os.path.getsize(f)) for f in files)},
+         "inputs": sorted((f, os.path.getsize(f), os.stat(f).st_mtime_ns)
+                          for f in files)},
         sort_keys=True).encode()).hexdigest()
 
     staged = staging_dir or (out_dir.rstrip("/") + "_staged")

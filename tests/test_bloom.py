@@ -304,3 +304,50 @@ def test_dict_shared_dictionary_type_mismatch_roundtrips():
     back = DictCodec.decode(payload, meta)
     assert back.type == pa.large_string()
     assert back.equals(col)
+
+
+def test_bloom_byte_hash_chunked_gather_matches_unchunked():
+    """_hash64_bytes gathers in value-aligned ~4 MiB chunks; the chunked
+    loop must produce the same hashes as the hash-family lock (which
+    runs the same math single-chunk on small inputs) on an input big
+    enough to span several chunks."""
+    import pyarrow as pa
+
+    from json_to_parquet_ray.codecs.bloom import _hash64_bytes, _splitmix64
+    from json_to_parquet_ray.stats import poly_hash_binary
+
+    # ~12 MiB total → 3+ chunk iterations at the 4 MiB chunk size
+    vals = [("v%06d-" % i) * 256 for i in range(6000)] + ["", "tail"]
+    arr = pa.array(vals, pa.string())
+    assert (_hash64_bytes(arr) == _splitmix64(poly_hash_binary(arr))).all()
+
+
+def test_bloom_size_cap_checked_before_hashing(monkeypatch):
+    """The MAX_FILTER_BYTES cap needs only len(distinct) — build_bloom
+    must return None WITHOUT hashing when the sized filter exceeds it."""
+    import pyarrow as pa
+
+    from json_to_parquet_ray.codecs import bloom as bl
+
+    def boom(_):
+        raise AssertionError("hash64_column ran before the size cap")
+
+    monkeypatch.setattr(bl, "hash64_column", boom)
+    # 12 bits/value: > MAX_FILTER_BYTES*8/12 distinct values trips the cap
+    n = bl.MAX_FILTER_BYTES * 8 // 12 + 256
+    arr = pa.array(np.arange(n, dtype=np.int64))
+    assert bl.build_bloom(arr) is None
+
+
+def test_bloom_date_out_of_timestamp_range_query_never_crashes():
+    """A queried date32 outside the ±~292k-year us-timestamp range must
+    degrade to 'maybe present' (True), mirroring the build side's
+    degrade-to-no-filter — not raise ArrowInvalid inside the read task."""
+    import pyarrow as pa
+
+    from json_to_parquet_ray.codecs.bloom import bloom_might_contain, build_bloom
+
+    f = build_bloom(pa.array([0, 1, 2], pa.date32()))
+    assert f is not None
+    # 2e9 days ≈ year 5.5M — valid date32, un-castable to timestamp[us]
+    assert bloom_might_contain(f, 2_000_000_000, pa.date32()) is True

@@ -1582,3 +1582,30 @@ def test_keyed_encode_rejects_pkey_collision(ray_session, tmp_path):
     with pytest.raises(ValueError, match="_pkey"):
         keyed_encode(ray.data.from_arrow(t), str(tmp_path / "ks"),
                      key_col="lang", salt_col="doc_id")
+
+
+def test_cluster_job_staging_invalidated_by_mtime(ray_session, tmp_path):
+    """A same-size in-place rewrite of an input (content changed, byte
+    size unchanged) must regenerate the staged sort — the fingerprint
+    includes mtime_ns, so stale staging is never silently reused."""
+    import os
+
+    from json_to_parquet_ray.pipelines.encode_job import (
+        cluster_job,
+        decode_dataset,
+    )
+
+    src = str(tmp_path / "cc.parquet")
+    write_cc_parquet(src, 500, seed=3, row_group_size=250)
+    out = str(tmp_path / "clu")
+    cluster_job(src, out, by=["lang", "url"], max_rows_per_partition=250)
+    assert decode_dataset(out).count() == 500
+    # rewrite the input byte-for-byte-same-SIZE with different content:
+    # simplest deterministic stand-in is the identical bytes with a
+    # bumped mtime — the fingerprint must treat it as changed
+    os.utime(src, ns=(os.stat(src).st_atime_ns,
+                      os.stat(src).st_mtime_ns + 1_000_000_000))
+    s2 = cluster_job(src, out, by=["lang", "url"],
+                     max_rows_per_partition=250)
+    assert s2.get("partitions_skipped_resume", 0) == 0
+    assert decode_dataset(out).count() == 500

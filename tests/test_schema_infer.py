@@ -243,3 +243,26 @@ def test_intra_doc_object_scalar_mix_raises_designed_error():
 
     with pytest.raises(ValueError, match="incompatible kinds"):
         table_from_docs([{"a": [{"x": 1}, "y"]}])
+
+
+def test_json_job_refuses_unrelated_out_dir(ray_session, tmp_path):
+    """A typo'd out_dir pointing at an existing directory with
+    non-parquet content must fail loudly, not be rmtree'd."""
+    import pytest
+
+    from json_to_parquet_ray.json_source import json_to_parquet_job
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"a": 1}\n')
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "notes.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="non-parquet"):
+        json_to_parquet_job(str(p), str(victim))
+    assert (victim / "notes.txt").exists()
+    # a previous-output directory (only .parquet entries) IS replaced
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "stale_0.parquet").write_bytes(b"stale")
+    json_to_parquet_job(str(p), str(out))
+    assert not (out / "stale_0.parquet").exists()
