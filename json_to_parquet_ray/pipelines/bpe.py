@@ -161,42 +161,95 @@ class BpeEncoder:
     # re-encode of the hot head, negligible under Zipf
 
     def __init__(self, merges: list[tuple[bytes, bytes]],
-                 col: str = "text", out: str = "bpe_token_count"):
+                 col: str = "text", out: str = "bpe_token_count",
+                 emit_ids: bool = False):
         self.ranks = {tuple(p): i for i, p in enumerate(merges)}
         self.col = col
         self.out = out
+        self.emit_ids = emit_ids
+        # vocabulary ids: bytes 0-255 are themselves; merge i is 256+i.
+        # Two different merges can concatenate to the same byte string
+        # (e.g. (a,bc) and (ab,c)); first rank wins, matching the id the
+        # encoder can actually produce first.
+        self.sym_id = {bytes([b]): b for b in range(256)}
+        for i, (a, b) in enumerate(merges):
+            self.sym_id.setdefault(a + b, 256 + i)
         self._word_len: dict[str, int] = {}
+        self._word_ids: dict[str, str] = {}
 
-    def _count_word(self, w: str) -> int:
+    def _encode_word(self, w: str) -> tuple[int, str]:
         n = self._word_len.get(w)
-        if n is None:
-            n = len(bpe_encode_word(w.encode("utf-8"), self.ranks))
-            if len(self._word_len) >= self.CACHE_CAP:
-                self._word_len.clear()
-            self._word_len[w] = n
-        return n
+        if n is not None and (not self.emit_ids or w in self._word_ids):
+            return n, self._word_ids.get(w, "")
+        syms = bpe_encode_word(w.encode("utf-8"), self.ranks)
+        n = len(syms)
+        ids = ",".join(str(self.sym_id[s]) for s in syms) if self.emit_ids else ""
+        if len(self._word_len) >= self.CACHE_CAP:
+            self._word_len.clear()
+            self._word_ids.clear()
+        self._word_len[w] = n
+        if self.emit_ids:
+            self._word_ids[w] = ids
+        return n, ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = batch.column(self.col).fill_null("").to_pandas()
         words = s.str.findall(_WORD_RE)
         exploded = words.explode().dropna()
         uniq = pd.unique(exploded.to_numpy()) if len(exploded) else []
-        lens = {w: self._count_word(w) for w in uniq}  # per TYPE, memoized
+        enc = {w: self._encode_word(w) for w in uniq}  # per TYPE, memoized
         counts = np.zeros(len(batch), np.int64)
+        id_strs = np.full(len(batch), "", object)
         if len(exploded):
-            per_tok = exploded.map(lens).astype("int64")
+            per_tok = exploded.map(lambda w: enc[w][0]).astype("int64")
             sums = per_tok.groupby(level=0).sum()
             counts[sums.index.to_numpy()] = sums.to_numpy()
-        return batch.append_column(self.out, pa.array(counts))
+            if self.emit_ids:
+                per_ids = exploded.map(lambda w: enc[w][1])
+                joined = per_ids.groupby(level=0).agg(",".join)
+                id_strs[joined.index.to_numpy()] = joined.to_numpy()
+        out = batch.append_column(self.out, pa.array(counts))
+        if self.emit_ids:
+            out = out.append_column("bpe_token_ids",
+                                    pa.array(id_strs, pa.string()))
+        return out
 
 
 def bpe_tokenize(ds, col: str = "text", vocab_size: int = 512,
-                 max_words: int = 50_000, concurrency: int | None = None):
+                 max_words: int = 50_000, concurrency: int | None = None,
+                 emit_ids: bool = False):
     """End-to-end: distributed word census → driver merge training →
     actor-pool encode. Returns (dataset with ``bpe_token_count``, merges)."""
     census = word_census(ds, col, max_words)
     merges = train_bpe(census, vocab_size)
     out = ds.map_batches(
-        BpeEncoder, fn_constructor_args=(merges, col),
+        BpeEncoder,
+        fn_constructor_args=(merges, col, "bpe_token_count", emit_ids),
         batch_format="pyarrow", concurrency=concurrency or 4)
     return out, merges
+
+
+# Fixed conformance corpus for the driver's hash oracle: scale-invariant
+# (independent of sf_dir's tables, like schema_infer_conformance), small
+# enough to train deterministically, and chosen to exercise the encoder's
+# edge surface — leading-space convention, contractions, digit and
+# punctuation runs, multi-byte UTF-8, repeated types (so merges fire),
+# pair-frequency ties (determinism), and an empty document.
+BPE_CONFORMANCE_CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "don't stop, we're testing don't-stop logic",
+    "low lower lowest newer newest wider widest",
+    "1234567890 12345 999 007",
+    "hello, hello... HELLO?! (hello)",
+    "café résumé naïve déjà vu",
+    "中文分词 中文 分词 中文",
+    "aaaa aaaaaaaa aa aaaa",
+    "abab abab baba abab",
+    "the the the the the the",
+    "mixed 42 tokens: don't count on it!",
+    "",
+    "    leading and   multiple   spaces    ",
+    "tail",
+]
+BPE_CONFORMANCE_VOCAB = 280  # 256 bytes + 24 merges

@@ -873,17 +873,34 @@ def q_top_bigrams(sf_dir: str):
 
 def q_bpe_tokenize(sf_dir: str):
     """From-scratch distributed BPE (SURVEY §2.2 tokenizer family):
-    distributed word census (bounded at top-50k types) → merge-pair
-    training → actor-pool encode with per-actor merge ranks and word
-    memoization. Iterative merge rules are not SQL-expressible, so the
-    driver records the rows-only check; exact parity with a naive
-    single-process trainer is pytest-verified
-    (test_ops::test_bpe_tokenize_distributed)."""
-    from .pipelines.bpe import bpe_tokenize
+    distributed word census → merge-pair training → actor-pool encode
+    emitting exact token ids. Iterative merges are not SQL-expressible
+    over an arbitrary corpus, so the hash oracle runs the pipeline on a
+    FIXED conformance corpus (scale-invariant, like
+    schema_infer_conformance) against a golden computed by an
+    INDEPENDENT naive implementation (tools/naive_bpe_reference.py:
+    from-scratch pair recount per round + sequential in-order merge
+    application, vs the engine's incremental trainer + rank-greedy
+    encode). Documents-scale BPE stays covered by bench.py and the
+    pytest parity test (test_ops::test_bpe_tokenize_distributed)."""
+    import ray
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out, _merges = bpe_tokenize(ds, vocab_size=512, concurrency=4)
-    df = out.select_columns(["doc_id", "bpe_token_count"]).to_pandas()
+    from .pipelines.bpe import (
+        BPE_CONFORMANCE_CORPUS,
+        BPE_CONFORMANCE_VOCAB,
+        bpe_tokenize,
+    )
+
+    items = [{"doc_id": i, "text": t}
+             for i, t in enumerate(BPE_CONFORMANCE_CORPUS)]
+    # multi-block so the census groupby and actor-pool encode really run
+    # distributed, not as a single-block degenerate case
+    ds = ray.data.from_items(items).repartition(4)
+    out, _merges = bpe_tokenize(ds, vocab_size=BPE_CONFORMANCE_VOCAB,
+                                concurrency=2, emit_ids=True)
+    df = out.select_columns(
+        ["doc_id", "bpe_token_count", "bpe_token_ids"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
     df["bpe_token_count"] = df["bpe_token_count"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -1261,9 +1278,42 @@ ORACLE_SQL = {
         "      '[^a-z0-9_]+'), x -> x <> '') AS t FROM documents)"
         ") GROUP BY bg ORDER BY count DESC, bigram ASC LIMIT 20"
     ),
-    # bpe_tokenize is registered with NO oracle entry on purpose:
-    # iterative BPE merges are not SQL-expressible (driver records the
-    # rows-only check; trainer parity is pytest-verified)
+    # bpe_tokenize: golden computed by the INDEPENDENT naive reference
+    # (tools/naive_bpe_reference.py — rerun it to regenerate after any
+    # deliberate corpus/vocab change). Scale-invariant: the query runs
+    # the distributed pipeline on the fixed conformance corpus.
+    "bpe_tokenize": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(bpe_token_count AS BIGINT) AS bpe_token_count, "
+        "bpe_token_ids FROM (VALUES "
+        "(0, 12, '258,32,99,267,279,267,32,263,261,32,109,267'), "
+        "(1, 11, '258,269,111,103,279,267,32,263,261,268,103'), "
+        "(2, 31, '100,263,278,32,262,111,112,44,32,264,39,114,101,32,"
+        "116,101,262,105,110,103,269,263,278,45,262,111,112,268,103,"
+        "105,99'), "
+        "(3, 30, '259,119,268,264,114,268,264,262,32,110,101,264,114,"
+        "32,110,101,264,262,32,119,105,100,101,114,32,119,105,100,101,"
+        "262'), "
+        "(4, 24, '49,50,51,52,53,54,55,56,57,48,32,49,50,51,52,53,32,"
+        "57,57,57,32,48,48,55'), "
+        "(5, 19, '276,44,32,276,46,46,46,32,72,69,76,76,79,63,33,32,"
+        "40,276,41'), "
+        "(6, 26, '99,97,102,266,32,114,266,115,117,109,266,32,110,97,"
+        "195,175,118,101,269,266,106,195,160,32,118,117'), "
+        "(7, 18, '274,229,136,134,232,175,141,32,274,32,229,136,134,"
+        "232,175,141,32,274'), "
+        "(8, 8, '265,32,265,265,32,256,32,265'), "
+        "(9, 9, '277,32,277,32,98,260,97,32,277'), "
+        "(10, 6, '258,261,261,261,261,261'), "
+        "(11, 31, '109,105,120,101,100,32,52,50,32,116,111,107,101,"
+        "110,115,58,269,263,278,32,99,111,117,110,116,32,263,32,105,"
+        "116,33'), "
+        "(12, 0, ''), "
+        "(13, 27, '32,108,101,97,100,105,110,103,32,97,110,100,32,109,"
+        "117,108,116,105,112,108,101,279,112,97,99,101,115'), "
+        "(14, 4, '116,97,105,108')"
+        ") AS t(doc_id, bpe_token_count, bpe_token_ids)"
+    ),
     "stats_documents": (
         "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT lang) AS lang_card, "
         "COUNT(DISTINCT source) AS source_card, MIN(n_chars) AS min_n_chars, "

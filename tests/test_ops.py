@@ -449,6 +449,45 @@ def test_bpe_tokenize_distributed(ray_session):
         assert d1.loc[i, "bpe_token_count"] == want
 
 
+def test_bpe_conformance_matches_independent_naive(ray_session):
+    """The distributed pipeline (incremental trainer + rank-greedy
+    encoder + actor-pool id emission) must agree exactly with the
+    independent naive reference (from-scratch pair recount, sequential
+    in-order merge application) on the conformance corpus — this is the
+    invariant the driver's golden `bpe_tokenize` oracle is generated
+    from (tools/naive_bpe_reference.py)."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.bpe import (
+        BPE_CONFORMANCE_CORPUS,
+        BPE_CONFORMANCE_VOCAB,
+        bpe_tokenize,
+    )
+    from tools.naive_bpe_reference import naive_tokenize
+
+    items = [{"doc_id": i, "text": t}
+             for i, t in enumerate(BPE_CONFORMANCE_CORPUS)]
+    out, merges = bpe_tokenize(
+        ray.data.from_items(items).repartition(4),
+        vocab_size=BPE_CONFORMANCE_VOCAB, concurrency=2, emit_ids=True)
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    rows, naive_merges = naive_tokenize(BPE_CONFORMANCE_CORPUS,
+                                        BPE_CONFORMANCE_VOCAB)
+    assert merges == naive_merges
+    for di, n, ids in rows:
+        assert int(got.loc[di, "bpe_token_count"]) == n
+        assert got.loc[di, "bpe_token_ids"] == ids
+    # ids decode losslessly: every id is a valid vocab entry
+    vocab = {b: bytes([b]) for b in range(256)}
+    for i, (a, b) in enumerate(merges):
+        vocab.setdefault(256 + i, a + b)
+    joined = b"".join(vocab[int(x)]
+                      for x in rows[0][2].split(",")).decode()
+    assert joined.replace(" ", "") == \
+        BPE_CONFORMANCE_CORPUS[0].replace(" ", "")
+
+
 def test_multimodal_resize_stub():
     payloads = [bytes(range(256)) * 40, b"ab", b"", None]
     t = pa.table({"media_id": pa.array(range(4), pa.int64()),
