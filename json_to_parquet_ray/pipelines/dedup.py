@@ -407,18 +407,43 @@ def ngram_jaccard(a: str, b: str, k: int = SHINGLE) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
 
 
+def _shingle_hash_array(t: str, k: int = SHINGLE) -> np.ndarray:
+    """Sorted unique uint64 polynomial hashes of the CHARACTER k-shingles
+    of ``t``, matching ``_shingle_set``'s windowing exactly (the
+    max(len-k+1, 1) rule: short/empty docs yield one whole-string
+    shingle). Hash equality stands in for string equality — 64-bit
+    collisions between distinct shingles (~2^-64 per pair) are the only
+    deviation from exact set semantics. Construction is one vectorized
+    rolling hash over the codepoint array instead of len(t) Python string
+    slices."""
+    cp = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    n = len(cp)
+    if n < k:  # one whole-string shingle (same scheme, fewer chars)
+        h = 0xCBF29CE484222325
+        for c in cp.tolist():
+            h = (h * 0x100000001B3 + c) & 0xFFFFFFFFFFFFFFFF
+        return np.array([h], np.uint64)
+    m = n - k + 1
+    h = np.full(m, 0xCBF29CE484222325, np.uint64)
+    p = np.uint64(0x100000001B3)
+    for j in range(k):
+        h = h * p + cp[j:m + j]
+    return np.unique(h)
+
+
 def _verify_pairs_ds(pairs_ds, texts, threshold: float):
     """Distributed exact-Jaccard verification of a candidate-pair Dataset.
 
     ``texts`` is a ``_ShardedBroadcast`` (or plain dict for tests): raw
-    candidate texts live in the object store sharded; shingle sets are
-    built lazily per task and cached across its batches; pair batches
-    stream through ``map_batches`` — 127k pairs verify in well under a
-    second instead of a driver-side loop."""
+    candidate texts live in the object store sharded; per-doc sorted
+    shingle-hash arrays are built lazily per task (one vectorized rolling
+    hash per doc, cached across batches) and each pair's intersection is
+    ONE ``searchsorted`` kernel — no per-pair Python set ops; pair
+    batches stream through ``map_batches``."""
     lookup = texts.get
 
     _cache: dict = {}
-    _CACHE_CAP = 65_536  # shingle sets are doc-sized: an UNBOUNDED cache
+    _CACHE_CAP = 65_536  # hash arrays are doc-sized: an UNBOUNDED cache
     # in a task that sees every batch of a pathological-duplication pair
     # block would hold millions of them — the very load _ShardedBroadcast
     # keeps off the workers. FIFO eviction: pair blocks are sorted-ish by
@@ -430,39 +455,48 @@ def _verify_pairs_ds(pairs_ds, texts, threshold: float):
             t = lookup(k)
             if t is None:  # collect stores '' for null texts, so None = bug
                 raise KeyError(f"candidate text missing for id {k}")
-            s = _shingle_set(t)
+            s = _shingle_hash_array(t)
             if len(_cache) >= _CACHE_CAP:
                 _cache.pop(next(iter(_cache)))
             _cache[k] = s
         return s
 
     def check(batch: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["a"].tolist(), batch["b"].tolist()):
-            sa, sb = _sh(a), _sh(b)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 1.0
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(out_j, dtype="float64")})
+        a_ids = batch["a"].to_numpy()
+        b_ids = batch["b"].to_numpy()
+        jac = np.empty(len(a_ids), np.float64)
+        for i in range(len(a_ids)):
+            sa, sb = _sh(a_ids[i]), _sh(b_ids[i])
+            if len(sa) > len(sb):  # binary-search the smaller set
+                sa, sb = sb, sa
+            pos = np.searchsorted(sb, sa)
+            ok = pos < len(sb)
+            inter = int(np.count_nonzero(sb[pos[ok]] == sa[ok]))
+            jac[i] = inter / (len(sa) + len(sb) - inter)  # union ≥ 1
+        hit = jac >= threshold
+        return pd.DataFrame({"a": pd.Series(a_ids[hit], dtype="int64"),
+                             "b": pd.Series(b_ids[hit], dtype="int64"),
+                             "jaccard": pd.Series(jac[hit],
+                                                  dtype="float64")})
 
     return pairs_ds.map_batches(check, batch_format="pandas", batch_size=8192)
 
 
 def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
-                        threshold: float = 0.5) -> pd.DataFrame:
+                        threshold: float = 0.5):
     """Verified (a, b, jaccard) pairs: MinHash-LSH candidates → exact
     n-gram Jaccard ≥ threshold. The standalone n-gram-Jaccard operator.
 
-    Candidates stay in the OBJECT STORE through verification — the driver
-    only ever materializes the verified output (bounded by true pairs),
-    never the raw candidate set."""
-    import math
+    Returns a DATASET — candidates stay in the object store through
+    verification, and the verified pair list itself never lands on the
+    driver either (on a mirror-heavy crawl even the TRUE pair list can
+    exceed driver heap). Cross-band duplicate pairs are dropped by a
+    bucketed shuffle on ``a`` (one vectorized ``drop_duplicates`` per
+    hash bucket, never per pair); ``jaccard`` is floored to 6 decimals
+    for stable cross-engine comparison."""
+    import ray
+
+    from ..shuffle import keyed_window
 
     bands = ds.map_batches(
         lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
@@ -472,18 +506,18 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
                           "b": pd.Series([], dtype="int64"),
                           "jaccard": pd.Series([], dtype="float64")})
     if pairs_ds.count() == 0:
-        return empty
+        return ray.data.from_pandas(empty)
 
     cand_ids = _candidate_ids(pairs_ds, key)
     texts = _collect_candidate_texts(ds, cand_ids, col, key)
-    df = _verify_pairs_ds(pairs_ds, texts, threshold).to_pandas()
-    if not len(df):
-        return empty
-    df = df.drop_duplicates(subset=["a", "b"])
-    df["a"] = df["a"].astype("int64")
-    df["b"] = df["b"].astype("int64")
-    df["jaccard"] = df["jaccard"].map(lambda j: math.floor(j * 1e6) / 1e6)
-    return df.sort_values(["a", "b"]).reset_index(drop=True)
+    verified = _verify_pairs_ds(pairs_ds, texts, threshold)
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(subset=["a", "b"]).copy()
+        out["jaccard"] = np.floor(out["jaccard"].to_numpy() * 1e6) / 1e6
+        return out
+
+    return keyed_window(verified, "a", bucket_dedup)
 
 
 def _lsh_candidate_pairs_ds(bands, key: str, oversize: str = "star"):
@@ -910,9 +944,10 @@ def _empty_df(cols: dict[str, str]) -> pd.DataFrame:
 def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id",
                              threshold: float = 0.95, planes: int = 8,
                              tables: int = 16, seed: int = 7,
-                             bucket_cap: int = 1024) -> pd.DataFrame:
+                             bucket_cap: int = 1024):
     """Cosine ≥ threshold candidate pairs via MULTI-TABLE random-hyperplane
-    LSH, verified exactly inside each bucket.
+    LSH, verified exactly inside each bucket. Returns a DATASET of
+    (a, b, cosine) — the pair list never lands on the driver.
 
     A single hyperplane table misses pairs whose vectors straddle one
     plane; ``tables`` independent sign-hash tables push recall to ~1
@@ -959,7 +994,7 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
     # collision-bucket prefilter (shared _collision_rows helper)
     hot, hot_rows = _collision_rows(buckets, "bucket")
     if hot_rows is None:
-        return empty
+        return ray.data.from_pandas(empty)
     n_over = int((hot["n"] > bucket_cap).sum())
     if n_over:
         logging.getLogger(__name__).warning(
@@ -974,7 +1009,7 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
     cand_ids = sorted({r[key] for r in hot_rows.map_batches(
         members, batch_format="pyarrow").take_all()})
     if not cand_ids:
-        return empty
+        return ray.data.from_pandas(empty)
     ids_ref = ray.put(pa.array(cand_ids))
 
     def fetch(b: pa.Table) -> pa.Table:
@@ -1038,7 +1073,7 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
                     .map_groups(build_shard, batch_format="pandas")
                     .take_all())
     if not shard_rows:
-        return empty
+        return ray.data.from_pandas(empty)
     vecs = _ShardedVectors.from_refs(
         n_shards, ray.get(owner.refs.remote()), owner=owner)
 
@@ -1091,8 +1126,15 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
         return pd.concat(blocks, ignore_index=True) if blocks else empty
 
     pairs = hot_rows.groupby("bucket").map_groups(
-        emit, batch_format="pandas").to_pandas()
-    if len(pairs) == 0 or "a" not in pairs.columns:
-        return empty
-    return (pairs.drop_duplicates(subset=["a", "b"])
-            .sort_values(["a", "b"]).reset_index(drop=True))
+        emit, batch_format="pandas")
+
+    # cross-table duplicate pairs dropped by a bucketed shuffle on ``a``
+    # (one vectorized drop_duplicates per hash bucket) — the pair list
+    # never lands on the driver (a mirror-heavy corpus can make even the
+    # TRUE near-dup pair list exceed driver heap)
+    from ..shuffle import keyed_window
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])
+
+    return keyed_window(pairs, "a", bucket_dedup)

@@ -273,13 +273,11 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_jaccard_pairs(sf_dir: str):
+    """Verified pairs stay a Dataset end to end — only the driver's
+    result comparison materializes them (gate scale)."""
     pairs = dedup.ngram_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
-    if len(pairs) == 0:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    return pairs
+    return pairs.sort(["a", "b"])
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -307,10 +305,9 @@ def q_embedding_near_dup(sf_dir: str):
 
     aug = ds.map_batches(augment, batch_format="pyarrow")
     pairs = dedup.embedding_near_dup_pairs(aug, threshold=0.9)
-    if len(pairs) == 0:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
-    return pairs[["a", "b"]].astype("int64").sort_values(["a", "b"]).reset_index(drop=True)
+    # pair list stays a Dataset — select/sort distributed, driver only
+    # materializes for the gate's result comparison
+    return pairs.select_columns(["a", "b"]).sort(["a", "b"])
 
 
 # ---------------------------------------------------------------------- ann

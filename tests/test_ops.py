@@ -78,6 +78,29 @@ def test_ngram_jaccard():
     assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
 
 
+def test_shingle_hash_array_matches_shingle_set():
+    """The vectorized verify path (sorted uint64 shingle hashes +
+    searchsorted intersection) must reproduce _shingle_set's exact
+    Jaccard on unicode / short / empty / repetitive strings."""
+    texts = ["the quick brown fox", "the quick brown fix", "", "ab", "abcd",
+             "abcde", "aaaaaaaaaa", "中文分词测试文本", "中文分词测试文字",
+             "café résumé déjà", "x" * 4 + "y", "  spaces   inside  "]
+    for a in texts:
+        ha = dedup._shingle_hash_array(a)
+        assert len(ha) == len(dedup._shingle_set(a))
+        for b in texts:
+            sa, sb = dedup._shingle_set(a), dedup._shingle_set(b)
+            inter = len(sa & sb)
+            want = inter / (len(sa) + len(sb) - inter)
+            hb = dedup._shingle_hash_array(b)
+            small, big = (ha, hb) if len(ha) <= len(hb) else (hb, ha)
+            pos = np.searchsorted(big, small)
+            ok = pos < len(big)
+            got_i = int(np.count_nonzero(big[pos[ok]] == small[ok]))
+            got = got_i / (len(ha) + len(hb) - got_i)
+            assert got == pytest.approx(want), (a, b)
+
+
 def test_exact_dedup_ray(ray_session):
     import ray
 
@@ -156,7 +179,8 @@ def test_embedding_near_dup(ray_session):
         "vec_id": pa.array(range(3), pa.int64()),
         "embedding": pa.array(list(emb.astype(float)), pa.list_(pa.float64())),
     })
-    pairs = dedup.embedding_near_dup_pairs(ray.data.from_arrow(tbl), threshold=0.99)
+    pairs = dedup.embedding_near_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.99).to_pandas()
     assert {(0, 1)} == {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
 
 
@@ -301,7 +325,7 @@ def test_embedding_near_dup_oversized_bucket_not_dropped(ray_session):
         "embedding": pa.array(list(emb.astype(float)), pa.list_(pa.float64())),
     })
     pairs = dedup.embedding_near_dup_pairs(
-        ray.data.from_arrow(tbl), threshold=0.99, bucket_cap=16)
+        ray.data.from_arrow(tbl), threshold=0.99, bucket_cap=16).to_pandas()
     got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
     # every cluster member must be connected (star pairs at minimum: the
     # anchor 0 reaches all 39 others); the outlier stays out
@@ -522,7 +546,8 @@ def test_embedding_near_dup_batch_layout_invariant(ray_session):
     outs = []
     for parts in (1, 7, 13):
         pairs = dedup.embedding_near_dup_pairs(
-            ray.data.from_arrow(tbl).repartition(parts), threshold=0.999)
+            ray.data.from_arrow(tbl).repartition(parts),
+            threshold=0.999).to_pandas()
         outs.append(sorted(zip(pairs["a"], pairs["b"])))
     assert outs[0] == outs[1] == outs[2]
     assert (7, 100) in outs[0] and (7, 550) in outs[0]
