@@ -262,6 +262,24 @@ def test_cluster_min_label_chain_and_components(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_cluster_min_label_pointer_doubling_rounds(ray_session):
+    """A 64-hop chain must converge in O(log d) rounds (pointer doubling),
+    not O(d): ≤ ceil(log2(64)) + 2 = 8 label-propagation rounds (one
+    extra round is the fixpoint detection itself)."""
+    import math
+
+    import ray
+
+    d = 64
+    edges = pd.DataFrame({"a": np.arange(d, dtype=np.int64),
+                          "b": np.arange(1, d + 1, dtype=np.int64)})
+    stats: dict = {}
+    labels = dedup.cluster_min_label(
+        ray.data.from_pandas(edges), stats_out=stats).to_pandas()
+    assert (labels["label"] == 0).all() and len(labels) == d + 1
+    assert stats["iters"] <= math.ceil(math.log2(d)) + 2, stats
+
+
 def test_ivf_partition_pruned_index(ray_session, tmp_path):
     """ivf_build writes one parquet partition per bucket; probes open only
     the probed buckets' directories and still find the true neighbors."""
