@@ -248,14 +248,94 @@ def stream_eligible(out_dir: str, force: bool | None = None) -> bool:
     return n > 0 and (force is True or n >= STREAM_INDEX_MIN_ROWS)
 
 
-def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
-    """All records: the consolidated index (one parquet file) plus any
-    newer per-partition JSON deltas, which win on partition-id collision.
-    Without consolidation this is the original all-JSON layout."""
+def stream_eligible_overlay(out_dir: str, force: bool | None = None) -> bool:
+    """True iff readers may stream work items off a SEALED index that JSON
+    delta records have overlaid (appends / compactions landed after
+    consolidation — the steady state of a huge evolving store). The bulk
+    of the store streams off the index's row groups exactly like the
+    sealed fast path; only the (small) delta set plus the index records
+    it interacts with are reconciled on the driver (``overlay_plan``).
+    Same ``force`` semantics as ``stream_eligible``; the two gates are
+    mutually exclusive (deltas present vs absent). An index written
+    UNSEALED (consolidate found unresolved overlap) stays on the full
+    reconciliation path — re-running ``consolidate`` is the remedy."""
+    if force is False:
+        return False
+    if not (_index_sealed(out_dir) and _has_delta_records(out_dir)):
+        return False
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(index_path(out_dir)).num_rows
+    return n > 0 and (force is True or n >= STREAM_INDEX_MIN_ROWS)
+
+
+def overlay_plan(out_dir: str) -> tuple[set, list]:
+    """Driver half of the streamed read of a sealed-index-plus-deltas
+    store. Loads ONLY the JSON deltas, finds the index records they
+    interact with — same partition_id (delta wins, per ``load_manifest``)
+    or a shared ``(path, row_group)`` fragment key (interval claims) —
+    via a DISTRIBUTED index scan whose output is bounded by the
+    interacting set, runs the exact ``effective_records`` reconciliation
+    on that small set, and returns ``(skip_ids, extra_records)``:
+
+    - ``skip_ids``: index partition_ids the stream must drop (overridden
+      by a delta or participating in the driver-side reconciliation);
+    - ``extra_records``: the reconciliation's chosen records, to be
+      unioned with the streamed survivors.
+
+    Exactness: a sealed index reconciles to itself (consolidate's seal
+    condition), so an index record sharing no fragment key with any delta
+    can never be rejected by interval claims — all such records are
+    chosen — and the global two-pass outcome over index ∪ deltas equals
+    ``effective_records(interacting set) ∪ (clean index records)``. One
+    deliberate divergence from the non-streamed slow path: merged index
+    records OUTSIDE the interacting set are not ``is_complete``-checked
+    (that would be one driver ``stat()`` per record — 10^7 of them); a
+    chunk damaged after sealing fails loudly at decode (CRC/size), the
+    same policy the sealed fast path documents. Pathology: a delta set
+    touching most of the index degrades the interacting set to the full
+    store — at that shape run ``consolidate`` and take the sealed path.
+    """
+    import ray
+
+    deltas = load_delta_records(out_dir)
+    delta_ids = set(deltas)
+    delta_keys = {(f["path"], f["row_group"])
+                  for r in deltas.values() for f in r.source_fragments}
+
+    def interacting(b) -> "pa.Table":
+        import pyarrow as pa
+
+        keep = []
+        for raw in b.column("json").to_pylist():
+            rec = json.loads(raw)
+            frag = rec["fragment"]
+            frags = frag["merged"] if "merged" in frag else [frag]
+            if rec["partition_id"] in delta_ids or any(
+                    (f["path"], f["row_group"]) in delta_keys
+                    for f in frags):
+                keep.append(raw)
+        return pa.table({"json": pa.array(keep, "string")})
+
+    inter: dict[str, PartitionRecord] = {}
+    for row in (ray.data.read_parquet(index_path(out_dir))
+                .map_batches(interacting, batch_format="pyarrow")
+                .take_all()):
+        rec = PartitionRecord(**json.loads(row["json"]))
+        inter[rec.partition_id] = rec
+    skip_ids = set(inter) | delta_ids
+    merged = {**inter, **deltas}  # delta wins on partition_id collision
+    extra = effective_records(out_dir, manifest=merged)
+    return skip_ids, extra
+
+
+def load_delta_records(out_dir: str) -> dict[str, PartitionRecord]:
+    """Only the per-partition JSON records (the post-consolidation
+    deltas; the whole store on a never-consolidated layout)."""
     mdir = manifest_dir(out_dir)
+    out: dict[str, PartitionRecord] = {}
     if not os.path.isdir(mdir):
-        return {}
-    out = _load_index(out_dir)
+        return out
     shard_dirs = [os.path.join(mdir, d) for d in sorted(os.listdir(mdir))
                   if d.startswith("shard-")]
     for sd in shard_dirs or [mdir]:
@@ -271,6 +351,17 @@ def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
             except (json.JSONDecodeError, TypeError):
                 continue  # torn record → partition will be re-encoded
             out[rec.partition_id] = rec
+    return out
+
+
+def load_manifest(out_dir: str) -> dict[str, PartitionRecord]:
+    """All records: the consolidated index (one parquet file) plus any
+    newer per-partition JSON deltas, which win on partition-id collision.
+    Without consolidation this is the original all-JSON layout."""
+    if not os.path.isdir(manifest_dir(out_dir)):
+        return {}
+    out = _load_index(out_dir)
+    out.update(load_delta_records(out_dir))
     return out
 
 

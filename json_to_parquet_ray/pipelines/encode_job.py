@@ -612,10 +612,12 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     schema gains columns or widens types."""
     import ray
 
-    from ..manifest import index_path, stream_eligible
+    from ..manifest import (index_path, overlay_plan, stream_eligible,
+                            stream_eligible_overlay)
 
     require_store(out_dir)
     items: list[dict] | None
+    overlay: tuple | None = None
     if zone_filter:
         all_recs = effective_records(out_dir)
         validate_zone_bounds(all_recs, zone_filter)
@@ -629,6 +631,15 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         # is GBs of driver heap). Index rows are stored in input order,
         # so decode order is identical to the reconciliation path's.
         items = None
+    elif stream_eligible_overlay(out_dir, stream_index):
+        # sealed index WITH newer JSON deltas (the steady state of a huge
+        # evolving store): stream the index like the sealed path, dropping
+        # rows the small driver-reconciled delta overlay supersedes, then
+        # merge the overlay's chosen records back by input-order sort key
+        # — a distributed sort of tiny (path, key) work items, never a
+        # driver from_items of the full store
+        items = None
+        overlay = overlay_plan(out_dir)
     else:
         # input order is recomputed from the recorded fragment identity
         # (path, row_group, row_start) — stable under appends, unlike ids;
@@ -794,6 +805,46 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
             [os.path.join(out_dir, json.loads(r)["chunk_file"])
              for r in b.column("json").to_pylist()], pa.string())})
 
+    def _keyed(path: str, frag: dict) -> dict:
+        # input-order sort key recomputed from fragment identity, same
+        # rule as PartitionRecord.sort_key (first source fragment)
+        f = frag["merged"][0] if "merged" in frag else frag
+        return {"path": path, "sk_path": f["path"],
+                "sk_rg": int(f["row_group"]),
+                "sk_rs": int(f.get("row_start", 0))}
+
+    _KEYED_SCHEMA = pa.schema([("path", pa.string()),
+                               ("sk_path", pa.string()),
+                               ("sk_rg", pa.int64()),
+                               ("sk_rs", pa.int64())])
+
+    def _overlay_paths():
+        skip_ids, extra = overlay
+
+        def index_survivors(b: pa.Table) -> pa.Table:
+            rows = []
+            for raw in b.column("json").to_pylist():
+                rec = json.loads(raw)
+                if rec["partition_id"] in skip_ids:
+                    continue
+                rows.append(_keyed(os.path.join(out_dir, rec["chunk_file"]),
+                                   rec["fragment"]))
+            return pa.Table.from_pylist(rows, schema=_KEYED_SCHEMA)
+
+        ds = (ray.data.read_parquet(index_path(out_dir))
+              .map_batches(index_survivors, batch_format="pyarrow"))
+        if extra:
+            ex = pa.Table.from_pylist(
+                [_keyed(os.path.join(out_dir, r.chunk_file), r.fragment)
+                 for r in extra], schema=_KEYED_SCHEMA)
+            ds = ds.union(ray.data.from_arrow(ex))
+        # global input order restored by a distributed sort of the tiny
+        # work items (path + key ≈ 100 B/partition) — the rows themselves
+        # never leave the downstream streaming decode
+        return (ds.sort(["sk_path", "sk_rg", "sk_rs"])
+                .map_batches(lambda b: b.select(["path"]),
+                             batch_format="pyarrow"))
+
     # decode is the ordering-sensitive pipeline (bit-identical round-trip
     # preserves input row order); Ray's streaming executor reorders output
     # blocks unless preserve_order is set. Datasets SNAPSHOT the
@@ -803,9 +854,13 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
-        paths = (ray.data.read_parquet(index_path(out_dir))
-                 .map_batches(index_to_paths, batch_format="pyarrow")
-                 if items is None else ray.data.from_items(items))
+        if items is not None:
+            paths = ray.data.from_items(items)
+        elif overlay is not None:
+            paths = _overlay_paths()
+        else:
+            paths = (ray.data.read_parquet(index_path(out_dir))
+                     .map_batches(index_to_paths, batch_format="pyarrow"))
         return paths.map_batches(
             decode_item, batch_size=1, batch_format="pyarrow"
         )
@@ -1203,10 +1258,20 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
     """
     import ray
 
-    from ..manifest import index_path, stream_eligible
+    from ..manifest import (index_path, overlay_plan, stream_eligible,
+                            stream_eligible_overlay)
 
     require_store(out_dir)
     use_index = stream_eligible(out_dir, stream_index)
+    skip_ids: set = set()
+    extra: list = []
+    if not use_index and stream_eligible_overlay(out_dir, stream_index):
+        # sealed index + JSON deltas: stream the index, drop the rows the
+        # driver-reconciled delta overlay supersedes, and append the
+        # overlay's chosen records as extra items (verification is
+        # order-insensitive, so no merge-sort is needed here)
+        use_index = True
+        skip_ids, extra = overlay_plan(out_dir)
     items = None if use_index else [
         {"partition_id": rec.partition_id,
          "chunk": os.path.join(out_dir, rec.chunk_file),
@@ -1219,6 +1284,8 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
         rows = []
         for raw in b.column("json").to_pylist():
             rec = json.loads(raw)
+            if rec["partition_id"] in skip_ids:
+                continue
             frag = rec["fragment"]
             rows.append({
                 "partition_id": rec["partition_id"],
@@ -1226,7 +1293,9 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
                 "sources": json.dumps(frag["merged"] if "merged" in frag
                                       else [frag]),
                 "num_rows": rec["num_rows"]})
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("partition_id", pa.string()), ("chunk", pa.string()),
+            ("sources", pa.string()), ("num_rows", pa.int64())]))
 
     def check(batch: pa.Table) -> pa.Table:
         out = []
@@ -1270,6 +1339,15 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
     src = (ray.data.read_parquet(index_path(out_dir))
            .map_batches(index_to_items, batch_format="pyarrow")
            if items is None else ray.data.from_items(items))
+    if items is None and extra:
+        src = src.union(ray.data.from_arrow(pa.Table.from_pylist(
+            [{"partition_id": r.partition_id,
+              "chunk": os.path.join(out_dir, r.chunk_file),
+              "sources": json.dumps(r.source_fragments),
+              "num_rows": r.num_rows} for r in extra],
+            schema=pa.schema([
+                ("partition_id", pa.string()), ("chunk", pa.string()),
+                ("sources", pa.string()), ("num_rows", pa.int64())]))))
     # materialize pins only the TINY verdict rows; the driver then pulls
     # failures alone (at 10^7 partitions a take_all of every verdict is
     # GBs of driver heap for a normally-empty answer)

@@ -1302,6 +1302,75 @@ def test_sealed_index_streamed_decode_order_identical(ray_session,
     assert verify_job(out, stream_index=True)["failed"] == []
 
 
+def test_unsealed_overlay_streamed_decode_and_verify(ray_session, tmp_path):
+    """A sealed index OVERLAID by JSON deltas decodes/verifies via the
+    streamed overlay path — index rows stream off the parquet row groups,
+    only the small delta set reconciles on the driver — with rows AND
+    order identical to the full reconciliation path. Covers both delta
+    shapes: (A) plain append deltas, (B) a crashed compaction's merged
+    delta superseding index-resident plain records."""
+    from json_to_parquet_ray.manifest import (
+        consolidate,
+        index_path,
+        stream_eligible,
+        stream_eligible_overlay,
+    )
+    from json_to_parquet_ray.pipelines.encode_job import compact_job
+
+    d = tmp_path / "src"
+    d.mkdir()
+    write_cc_parquet(str(d / "a.parquet"), 1000, seed=5, row_group_size=250)
+    out = str(tmp_path / "enc_ovl")
+    encode_job(str(d), out, shared_dict_columns=None)
+    assert consolidate(out)["sealed"] is True
+
+    # (A) append: two JSON deltas over the sealed 4-record index
+    write_cc_parquet(str(d / "b.parquet"), 500, seed=6, row_group_size=250)
+    encode_job(str(d), out, shared_dict_columns=None)
+    assert stream_eligible_overlay(out, True)
+    assert not stream_eligible(out, True)  # deltas exclude the sealed gate
+
+    slow = pa.concat_tables(
+        decode_dataset(out, stream_index=False).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    fast = pa.concat_tables(
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    assert fast.equals(slow)             # values AND row order
+    assert slow.num_rows == 1500
+    v = verify_job(out, stream_index=True)
+    assert v == {"partitions": 6, "ok": 6, "failed": []}
+
+    # (B) crashed compaction: fold the deltas in, compact (merged record
+    # lands as a JSON delta, retirement rewrites the index), then restore
+    # the pre-compaction index and chunks — the crash window where the
+    # merged delta and its covered index-resident plains coexist
+    assert consolidate(out)["records_indexed"] == 6
+    idx_bytes = open(index_path(out), "rb").read()
+    chunks = {os.path.join(out, r.chunk_file): None
+              for r in load_manifest(out).values()}
+    for p in chunks:
+        chunks[p] = open(p, "rb").read()
+    c = compact_job(out, min_rows=10_000)
+    assert c["groups"] == 1
+    open(index_path(out), "wb").write(idx_bytes)
+    for p, blob in chunks.items():
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "wb").write(blob)
+    assert stream_eligible_overlay(out, True)
+
+    slow_b = pa.concat_tables(
+        decode_dataset(out, stream_index=False).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    fast_b = pa.concat_tables(
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    assert fast_b.equals(slow_b)         # merged wins, no duplication
+    assert fast_b.num_rows == 1500
+    v = verify_job(out, stream_index=True)
+    assert v["failed"] == [] and v["partitions"] == 1  # the merged record
+
+
 def test_sealed_store_verify_reports_corruption(ray_session, cc_parquet,
                                                 tmp_path):
     """verify on a sealed store (streamed items, failures-only driver
