@@ -24,42 +24,62 @@ _C_SRC = r"""
 
 #define ESCAPE 255
 
-/* per-first-byte candidate lists, built per call (tiny) */
-typedef struct { int count; int codes[255]; } Bucket;
+/* Two-level candidate lookup (the standard FSST trick): symbols of
+   length >= 2 chain off a 64K first-TWO-byte prefix table, so the per-
+   position scan touches only codes that already match two bytes (usually
+   0-2 candidates) instead of every code sharing one first byte; 1-byte
+   symbols sit in a direct 256-entry code table consulted only when no
+   longer symbol matched. Chains preserve the caller's length-desc code
+   order (greedy longest-match is unchanged — output streams are byte-
+   identical to the single-byte-bucket loop this replaces). */
 
 long long fsst_encode(const uint8_t* in, long long n, uint8_t* out,
                       const uint8_t* sym_bytes, const uint8_t* sym_lens,
                       int n_sym) {
-    Bucket buckets[256];
+    static _Thread_local int16_t head[65536];
+    int16_t nxt[256];
+    int16_t short_code[256];
     int offs[256];
-    memset(buckets, 0, sizeof(buckets));
+    memset(head, 0xFF, sizeof(head));        /* all -1 */
+    memset(short_code, 0xFF, sizeof(short_code));
     int off = 0;
     for (int c = 0; c < n_sym; c++) {
         offs[c] = off;
         off += sym_lens[c];
     }
-    /* insert codes per first byte; keep insertion order = caller sorts by
-       length desc so the first match is the longest */
-    for (int c = 0; c < n_sym; c++) {
-        uint8_t fb = sym_bytes[offs[c]];
-        Bucket* b = &buckets[fb];
-        if (b->count < 255) b->codes[b->count++] = c;
+    /* reverse iteration + prepend = chains in original (length-desc)
+       order, so the first chain hit is the longest match */
+    for (int c = n_sym - 1; c >= 0; c--) {
+        if (sym_lens[c] >= 2) {
+            int pfx = (sym_bytes[offs[c]] << 8) | sym_bytes[offs[c] + 1];
+            nxt[c] = head[pfx];
+            head[pfx] = (int16_t)c;
+        } else {
+            short_code[sym_bytes[offs[c]]] = (int16_t)c;
+        }
     }
     long long i = 0, o = 0;
     while (i < n) {
-        Bucket* b = &buckets[in[i]];
-        int emitted = 0;
-        for (int k = 0; k < b->count; k++) {
-            int c = b->codes[k];
-            int L = sym_lens[c];
-            if (i + L <= n && memcmp(in + i, sym_bytes + offs[c], L) == 0) {
-                out[o++] = (uint8_t)c;
-                i += L;
-                emitted = 1;
-                break;
+        if (i + 1 < n) {
+            int pfx = (in[i] << 8) | in[i + 1];
+            int emitted = 0;
+            for (int c = head[pfx]; c >= 0; c = nxt[c]) {
+                int L = sym_lens[c];
+                if (i + L <= n &&
+                    memcmp(in + i + 2, sym_bytes + offs[c] + 2, L - 2) == 0) {
+                    out[o++] = (uint8_t)c;
+                    i += L;
+                    emitted = 1;
+                    break;
+                }
             }
+            if (emitted) continue;
         }
-        if (!emitted) {
+        int sc = short_code[in[i]];
+        if (sc >= 0) {
+            out[o++] = (uint8_t)sc;
+            i++;
+        } else {
             out[o++] = ESCAPE;
             out[o++] = in[i++];
         }

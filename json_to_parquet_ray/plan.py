@@ -48,8 +48,14 @@ _weights_resolved = False
 
 
 def _resolve_weights() -> None:
-    """With the native C FSST hot loop available (~15 MB/s/core vs ~1.5
-    pure-Python), the cost penalty shrinks accordingly."""
+    """With the native C FSST hot loop available, the cost penalty
+    shrinks accordingly. Weights are re-derived from measured end-to-end
+    encode throughput (train + encode, 60k-row CC columns, round 5 —
+    table in BASELINE.md): fitting ``weight = 1 + k/MBps`` to the
+    existing anchors (zstd9 1.12 @ ~30 MB/s → k ≈ 3.6; cross-checks:
+    zstd ~250 MB/s → 1.014 ≈ its 1.02, lz4 ~270 → 1.013 ≈ its 1.01)
+    puts native FSST — 71 MB/s on text after the 2-byte-prefix hot-loop
+    rewrite, 2.2-2.4× the single-byte-bucket loop — at ~1.05."""
     global _weights_resolved
     if _weights_resolved:
         return
@@ -58,8 +64,8 @@ def _resolve_weights() -> None:
         from .codecs._fsst_native import get_lib
 
         if get_lib() is not None:
-            COST_WEIGHT["fsst"] = 1.15
-            COST_WEIGHT["fsst+z"] = 1.18
+            COST_WEIGHT["fsst"] = 1.05
+            COST_WEIGHT["fsst+z"] = 1.08
     except Exception:
         pass
 
@@ -192,7 +198,7 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
             # skip the expensive trial only when zstd's score already
             # beats the best PLAUSIBLE fsst score. Weight-aware: with the
             # pure-Python encoder (weight 1.35) the cutoff is ~0.50, with
-            # the native kernel (1.15 after _resolve_weights) ~0.43 — a
+            # the native kernel (1.05 after _resolve_weights) ~0.39 — a
             # fixed 0.5 skipped trials native FSST would win
             continue
         try:
