@@ -123,6 +123,15 @@ def read_json_arrow(paths: list[str] | str, schema: pa.Schema | None = None):
                               file_extensions=None)
 
 
+_OUTPUT_MARKER = "_JTPR_JSON2PARQUET"
+
+
+def _mark_output(out_dir: str) -> None:
+    """Stamp out_dir as this job's output so a later run may replace it."""
+    with open(os.path.join(out_dir, _OUTPUT_MARKER), "w") as f:
+        f.write(json.dumps({"writer": "json_to_parquet_job"}))
+
+
 def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
                         mode: str = "engine") -> pa.Schema:
     """The reference's whole CLI as a streaming two-pass Ray pipeline.
@@ -142,16 +151,25 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
     # same call mixed stale rows or replaced them depending on whether
     # the schema happened to need widening
     if os.path.isdir(out_dir):
-        # REPLACE only what a previous run wrote: a typo'd out_dir
-        # pointing at an unrelated existing directory must fail loudly
-        # (same policy as require_store), not be silently deleted
-        stray = [f for f in os.listdir(out_dir)
-                 if not f.endswith(".parquet")]
-        if stray:
+        # REPLACE only what a previous run of THIS job wrote: a typo'd
+        # out_dir pointing at an unrelated existing directory must fail
+        # loudly (same policy as require_store), not be silently deleted.
+        # "Only parquet entries" is not provenance — a user's parquet
+        # lake directory looks exactly like that — so previous runs leave
+        # a marker file and only marked (or empty) directories are
+        # replaced. The marker is '_'-prefixed, which pyarrow/Ray parquet
+        # dataset discovery ignores (the _SUCCESS convention).
+        entries = os.listdir(out_dir)
+        marked = _OUTPUT_MARKER in entries
+        stray = [f for f in entries
+                 if f != _OUTPUT_MARKER and not f.endswith(".parquet")]
+        if entries and (not marked or stray):
             raise ValueError(
-                f"out_dir {out_dir!r} exists and holds non-parquet entries "
-                f"{stray[:5]!r} — refusing to delete; point at an empty or "
-                "previous-output directory")
+                f"out_dir {out_dir!r} exists and is not a previous "
+                f"json_to_parquet_job output (marker "
+                f"{'present' if marked else 'missing'}; stray entries "
+                f"{stray[:5]!r}) — refusing to delete; point at an empty "
+                "directory or a previous run's output")
         shutil.rmtree(out_dir)
 
     if mode == "engine":
@@ -229,6 +247,7 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
                 if target is staged:
                     shutil.rmtree(out_dir, ignore_errors=True)
                     os.rename(staged, out_dir)
+                _mark_output(out_dir)
                 return schema
 
     docs_ds = read_json_docs(input_paths)
@@ -243,6 +262,7 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
         return align_table(table_from_docs(docs), schema)
 
     docs_ds2.map_batches(to_arrow, batch_format="pyarrow").write_parquet(out_dir)
+    _mark_output(out_dir)
     return schema
 
 

@@ -269,64 +269,46 @@ def stream_eligible_overlay(out_dir: str, force: bool | None = None) -> bool:
     return n > 0 and (force is True or n >= STREAM_INDEX_MIN_ROWS)
 
 
-def overlay_plan(out_dir: str) -> tuple[set, list]:
-    """Driver half of the streamed read of a sealed-index-plus-deltas
-    store. Loads ONLY the JSON deltas, finds the index records they
-    interact with — same partition_id (delta wins, per ``load_manifest``)
-    or a shared ``(path, row_group)`` fragment key (interval claims) —
-    via a DISTRIBUTED index scan whose output is bounded by the
-    interacting set, runs the exact ``effective_records`` reconciliation
-    on that small set, and returns ``(skip_ids, extra_records)``:
-
-    - ``skip_ids``: index partition_ids the stream must drop (overridden
-      by a delta or participating in the driver-side reconciliation);
-    - ``extra_records``: the reconciliation's chosen records, to be
-      unioned with the streamed survivors.
-
-    Exactness: a sealed index reconciles to itself (consolidate's seal
-    condition), so an index record sharing no fragment key with any delta
-    can never be rejected by interval claims — all such records are
-    chosen — and the global two-pass outcome over index ∪ deltas equals
-    ``effective_records(interacting set) ∪ (clean index records)``. One
-    deliberate divergence from the non-streamed slow path: merged index
-    records OUTSIDE the interacting set are not ``is_complete``-checked
-    (that would be one driver ``stat()`` per record — 10^7 of them); a
-    chunk damaged after sealing fails loudly at decode (CRC/size), the
-    same policy the sealed fast path documents. Pathology: a delta set
-    touching most of the index degrades the interacting set to the full
-    store — at that shape run ``consolidate`` and take the sealed path.
-    """
-    import ray
-
+def delta_keysets(out_dir: str) -> tuple[dict, set, set]:
+    """The JSON delta records plus the two key sets an index record is
+    classified against: ``delta_ids`` (partition_id collisions — delta
+    wins, per ``load_manifest``) and ``delta_keys`` (shared
+    ``(path, row_group)`` fragment keys — interval claims). An index
+    record matching NEITHER is "clean": it can never be rejected by the
+    reconciliation (a sealed index reconciles to itself — consolidate's
+    seal condition), so readers may stream it without consulting the
+    driver."""
     deltas = load_delta_records(out_dir)
     delta_ids = set(deltas)
     delta_keys = {(f["path"], f["row_group"])
                   for r in deltas.values() for f in r.source_fragments}
+    return deltas, delta_ids, delta_keys
 
-    def interacting(b) -> "pa.Table":
-        import pyarrow as pa
 
-        keep = []
-        for raw in b.column("json").to_pylist():
-            rec = json.loads(raw)
-            frag = rec["fragment"]
-            frags = frag["merged"] if "merged" in frag else [frag]
-            if rec["partition_id"] in delta_ids or any(
-                    (f["path"], f["row_group"]) in delta_keys
-                    for f in frags):
-                keep.append(raw)
-        return pa.table({"json": pa.array(keep, "string")})
+def overlay_reconcile(out_dir: str, deltas: dict,
+                      inter_raw: list[str]) -> list:
+    """Driver half of the streamed read of a sealed-index-plus-deltas
+    store: the exact ``effective_records`` reconciliation over the JSON
+    deltas plus the (small) interacting index records the distributed
+    scan pulled back, returning the chosen ``extra_records`` to union
+    with the streamed clean survivors.
 
+    Exactness: the global two-pass outcome over index ∪ deltas equals
+    ``effective_records(deltas ∪ interacting) ∪ (clean index records)``
+    — see ``delta_keysets`` for why clean records are always chosen. One
+    deliberate divergence from the non-streamed slow path: clean index
+    records are not ``is_complete``-checked (that would be one driver
+    ``stat()`` per record — 10^7 of them); a chunk damaged after sealing
+    fails loudly at decode (CRC/size), the same policy the sealed fast
+    path documents. Pathology: a delta set touching most of the index
+    degrades the interacting set to the full store — at that shape run
+    ``consolidate`` and take the sealed path."""
     inter: dict[str, PartitionRecord] = {}
-    for row in (ray.data.read_parquet(index_path(out_dir))
-                .map_batches(interacting, batch_format="pyarrow")
-                .take_all()):
-        rec = PartitionRecord(**json.loads(row["json"]))
+    for raw in inter_raw:
+        rec = PartitionRecord(**json.loads(raw))
         inter[rec.partition_id] = rec
-    skip_ids = set(inter) | delta_ids
     merged = {**inter, **deltas}  # delta wins on partition_id collision
-    extra = effective_records(out_dir, manifest=merged)
-    return skip_ids, extra
+    return effective_records(out_dir, manifest=merged)
 
 
 def load_delta_records(out_dir: str) -> dict[str, PartitionRecord]:

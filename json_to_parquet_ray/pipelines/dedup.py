@@ -496,8 +496,6 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
     for stable cross-engine comparison."""
     import ray
 
-    from ..shuffle import keyed_window
-
     bands = ds.map_batches(
         lambda b: minhash_band_rows(b, col, key), batch_format="pyarrow"
     )
@@ -511,13 +509,26 @@ def ngram_jaccard_pairs(ds, col: str = "text", key: str = "doc_id",
     cand_ids = _candidate_ids(pairs_ds, key)
     texts = _collect_candidate_texts(ds, cand_ids, col, key)
     verified = _verify_pairs_ds(pairs_ds, texts, threshold)
+    return _dedup_pairs_ds(verified, floor_col="jaccard")
+
+
+def _dedup_pairs_ds(pairs, floor_col: str | None = None):
+    """Cross-band/table duplicate (a, b) pairs dropped by a bucketed
+    shuffle on ``a`` (ONE vectorized ``drop_duplicates`` per hash bucket,
+    never per pair) — the pair list never lands on the driver (a
+    mirror-heavy corpus can make even the TRUE near-dup pair list exceed
+    driver heap). ``floor_col`` floors that column to 6 decimals for
+    stable cross-engine comparison."""
+    from ..shuffle import keyed_window
 
     def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop_duplicates(subset=["a", "b"]).copy()
-        out["jaccard"] = np.floor(out["jaccard"].to_numpy() * 1e6) / 1e6
+        out = g.drop_duplicates(subset=["a", "b"])
+        if floor_col is not None:
+            out = out.copy()
+            out[floor_col] = np.floor(out[floor_col].to_numpy() * 1e6) / 1e6
         return out
 
-    return keyed_window(verified, "a", bucket_dedup)
+    return keyed_window(pairs, "a", bucket_dedup)
 
 
 def _lsh_candidate_pairs_ds(bands, key: str, oversize: str = "star"):
@@ -1168,13 +1179,4 @@ def embedding_near_dup_pairs(ds, vec_col: str = "embedding", key: str = "vec_id"
     pairs = hot_rows.groupby("bucket").map_groups(
         emit, batch_format="pandas")
 
-    # cross-table duplicate pairs dropped by a bucketed shuffle on ``a``
-    # (one vectorized drop_duplicates per hash bucket) — the pair list
-    # never lands on the driver (a mirror-heavy corpus can make even the
-    # TRUE near-dup pair list exceed driver heap)
-    from ..shuffle import keyed_window
-
-    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["a", "b"])
-
-    return keyed_window(pairs, "a", bucket_dedup)
+    return _dedup_pairs_ds(pairs)

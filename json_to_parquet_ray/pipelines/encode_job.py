@@ -592,6 +592,95 @@ def require_store(out_dir: str) -> None:
             f"refusing to treat it as empty")
 
 
+# work-item schemas of the streamed index read, shared by decode (keyed:
+# input-order sort restored from fragment identity) and verify — ONE
+# definition each so the streamed and overlay-extra sides can never drift
+# into a union schema mismatch
+_KEYED_SCHEMA = pa.schema([("path", pa.string()),
+                           ("sk_path", pa.string()),
+                           ("sk_rg", pa.int64()),
+                           ("sk_rs", pa.int64())])
+_VERIFY_ITEM_SCHEMA = pa.schema([
+    ("partition_id", pa.string()), ("chunk", pa.string()),
+    ("sources", pa.string()), ("num_rows", pa.int64())])
+_OVERLAY_SCAN_SCHEMA = pa.schema([
+    ("partition_id", pa.string()), ("path", pa.string()),
+    ("sources", pa.string()), ("num_rows", pa.int64()),
+    ("sk_path", pa.string()), ("sk_rg", pa.int64()), ("sk_rs", pa.int64()),
+    ("interacting", pa.bool_()), ("json", pa.string())])
+
+
+def _overlay_scan(out_dir: str):
+    """ONE distributed scan of a sealed index overlaid by JSON deltas,
+    shared by decode and verify. (Previously ``overlay_plan`` read and
+    json-parsed the full index once to find interacting records and the
+    consumer's streamed pass read + parsed it all over again — double
+    index I/O and parse CPU on the 10^7-record stores this path exists
+    for.) Every index record is classified clean/interacting LOCALLY
+    against the delta key sets — interacting iff it shares a
+    partition_id or a ``(path, row_group)`` fragment key with a delta,
+    which is exactly the old skip set — and the scan emits the parsed
+    work-item fields per record plus the raw json of interacting records
+    only. The materialized scan (~100 B/record, object store) then
+    serves both the driver reconciliation (filter interacting →
+    take_all, bounded by the interacting set) and the streamed clean
+    work items (filter NOT interacting) without re-reading the index.
+
+    Returns ``(clean_items, extra_records)``: a Dataset of
+    ``_OVERLAY_SCAN_SCHEMA`` work items minus the classification columns
+    for every non-superseded index record, and the driver
+    reconciliation's chosen ``PartitionRecord``s to union back.
+    """
+    import ray
+
+    from ..manifest import delta_keysets, index_path, overlay_reconcile
+
+    deltas, delta_ids, delta_keys = delta_keysets(out_dir)
+
+    def classify(b: pa.Table) -> pa.Table:
+        rows = []
+        for raw in b.column("json").to_pylist():
+            rec = json.loads(raw)
+            frag = rec["fragment"]
+            frags = frag["merged"] if "merged" in frag else [frag]
+            inter = rec["partition_id"] in delta_ids or any(
+                (f["path"], f["row_group"]) in delta_keys for f in frags)
+            f0 = frags[0]
+            rows.append({
+                "partition_id": rec["partition_id"],
+                "path": os.path.join(out_dir, rec["chunk_file"]),
+                "sources": json.dumps(frags),
+                "num_rows": int(rec["num_rows"]),
+                # input-order sort key recomputed from fragment identity,
+                # same rule as PartitionRecord.sort_key (first fragment)
+                "sk_path": f0["path"], "sk_rg": int(f0["row_group"]),
+                "sk_rs": int(f0.get("row_start", 0)),
+                "interacting": inter, "json": raw if inter else None})
+        return pa.Table.from_pylist(rows, schema=_OVERLAY_SCAN_SCHEMA)
+
+    scan = (ray.data.read_parquet(index_path(out_dir))
+            .map_batches(classify, batch_format="pyarrow")
+            .materialize())
+
+    def inter_json(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("interacting").combine_chunks()
+                        ).select(["json"])
+
+    inter_raw = [r["json"] for r in
+                 scan.map_batches(inter_json,
+                                  batch_format="pyarrow").take_all()]
+    extra = overlay_reconcile(out_dir, deltas, inter_raw)
+
+    def clean_items(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return (b.filter(pc.invert(b.column("interacting")
+                                   .combine_chunks()))
+                .drop_columns(["interacting", "json"]))
+
+    return scan.map_batches(clean_items, batch_format="pyarrow"), extra
+
+
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    zone_filter: dict | None = None,
                    schema: pa.Schema | None = None,
@@ -612,7 +701,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     schema gains columns or widens types."""
     import ray
 
-    from ..manifest import (index_path, overlay_plan, stream_eligible,
+    from ..manifest import (index_path, stream_eligible,
                             stream_eligible_overlay)
 
     require_store(out_dir)
@@ -639,7 +728,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         # — a distributed sort of tiny (path, key) work items, never a
         # driver from_items of the full store
         items = None
-        overlay = overlay_plan(out_dir)
+        overlay = _overlay_scan(out_dir)
     else:
         # input order is recomputed from the recorded fragment identity
         # (path, row_group, row_start) — stable under appends, unlike ids;
@@ -813,26 +902,13 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
                 "sk_rg": int(f["row_group"]),
                 "sk_rs": int(f.get("row_start", 0))}
 
-    _KEYED_SCHEMA = pa.schema([("path", pa.string()),
-                               ("sk_path", pa.string()),
-                               ("sk_rg", pa.int64()),
-                               ("sk_rs", pa.int64())])
-
     def _overlay_paths():
-        skip_ids, extra = overlay
+        clean, extra = overlay
 
-        def index_survivors(b: pa.Table) -> pa.Table:
-            rows = []
-            for raw in b.column("json").to_pylist():
-                rec = json.loads(raw)
-                if rec["partition_id"] in skip_ids:
-                    continue
-                rows.append(_keyed(os.path.join(out_dir, rec["chunk_file"]),
-                                   rec["fragment"]))
-            return pa.Table.from_pylist(rows, schema=_KEYED_SCHEMA)
+        def keyed_only(b: pa.Table) -> pa.Table:
+            return b.select(["path", "sk_path", "sk_rg", "sk_rs"])
 
-        ds = (ray.data.read_parquet(index_path(out_dir))
-              .map_batches(index_survivors, batch_format="pyarrow"))
+        ds = clean.map_batches(keyed_only, batch_format="pyarrow")
         if extra:
             ex = pa.Table.from_pylist(
                 [_keyed(os.path.join(out_dir, r.chunk_file), r.fragment)
@@ -1258,20 +1334,19 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
     """
     import ray
 
-    from ..manifest import (index_path, overlay_plan, stream_eligible,
+    from ..manifest import (index_path, stream_eligible,
                             stream_eligible_overlay)
 
     require_store(out_dir)
     use_index = stream_eligible(out_dir, stream_index)
-    skip_ids: set = set()
-    extra: list = []
+    overlay: tuple | None = None
     if not use_index and stream_eligible_overlay(out_dir, stream_index):
-        # sealed index + JSON deltas: stream the index, drop the rows the
-        # driver-reconciled delta overlay supersedes, and append the
-        # overlay's chosen records as extra items (verification is
-        # order-insensitive, so no merge-sort is needed here)
+        # sealed index + JSON deltas: ONE shared index scan streams the
+        # clean rows and hands the driver-reconciled overlay's chosen
+        # records back as extra items (verification is order-insensitive,
+        # so no merge-sort is needed here)
         use_index = True
-        skip_ids, extra = overlay_plan(out_dir)
+        overlay = _overlay_scan(out_dir)
     items = None if use_index else [
         {"partition_id": rec.partition_id,
          "chunk": os.path.join(out_dir, rec.chunk_file),
@@ -1284,8 +1359,6 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
         rows = []
         for raw in b.column("json").to_pylist():
             rec = json.loads(raw)
-            if rec["partition_id"] in skip_ids:
-                continue
             frag = rec["fragment"]
             rows.append({
                 "partition_id": rec["partition_id"],
@@ -1293,9 +1366,7 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
                 "sources": json.dumps(frag["merged"] if "merged" in frag
                                       else [frag]),
                 "num_rows": rec["num_rows"]})
-        return pa.Table.from_pylist(rows, schema=pa.schema([
-            ("partition_id", pa.string()), ("chunk", pa.string()),
-            ("sources", pa.string()), ("num_rows", pa.int64())]))
+        return pa.Table.from_pylist(rows, schema=_VERIFY_ITEM_SCHEMA)
 
     def check(batch: pa.Table) -> pa.Table:
         out = []
@@ -1336,18 +1407,27 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
 
     if items is not None and not items:
         return {"partitions": 0, "ok": 0, "failed": []}
-    src = (ray.data.read_parquet(index_path(out_dir))
-           .map_batches(index_to_items, batch_format="pyarrow")
-           if items is None else ray.data.from_items(items))
-    if items is None and extra:
-        src = src.union(ray.data.from_arrow(pa.Table.from_pylist(
-            [{"partition_id": r.partition_id,
-              "chunk": os.path.join(out_dir, r.chunk_file),
-              "sources": json.dumps(r.source_fragments),
-              "num_rows": r.num_rows} for r in extra],
-            schema=pa.schema([
-                ("partition_id", pa.string()), ("chunk", pa.string()),
-                ("sources", pa.string()), ("num_rows", pa.int64())]))))
+    if overlay is not None:
+        clean, extra = overlay
+
+        def overlay_items(b: pa.Table) -> pa.Table:
+            return (b.select(["partition_id", "path", "sources",
+                              "num_rows"])
+                    .rename_columns([f.name for f in _VERIFY_ITEM_SCHEMA]))
+
+        src = clean.map_batches(overlay_items, batch_format="pyarrow")
+        if extra:
+            src = src.union(ray.data.from_arrow(pa.Table.from_pylist(
+                [{"partition_id": r.partition_id,
+                  "chunk": os.path.join(out_dir, r.chunk_file),
+                  "sources": json.dumps(r.source_fragments),
+                  "num_rows": r.num_rows} for r in extra],
+                schema=_VERIFY_ITEM_SCHEMA)))
+    elif items is None:
+        src = (ray.data.read_parquet(index_path(out_dir))
+               .map_batches(index_to_items, batch_format="pyarrow"))
+    else:
+        src = ray.data.from_items(items)
     # materialize pins only the TINY verdict rows; the driver then pulls
     # failures alone (at 10^7 partitions a take_all of every verdict is
     # GBs of driver heap for a normally-empty answer)

@@ -164,7 +164,7 @@ def q_stats_documents(sf_dir: str):
 _CODEC_FAMILY = {
     "delta": "int-light", "forbp": "int-light", "rle": "int-light",
     "constant": "int-light", "alp": "float", "bss": "float",
-    "dict": "dict", "fsst": "fsst",
+    "dict": "dict", "fsst": "fsst", "fsst+z": "fsst",
     "zstd": "general", "zstd9": "general", "lz4": "general",
     "plain": "plain",
 }
@@ -294,12 +294,25 @@ def q_simhash_pairs(sf_dir: str):
     return pairs.astype({"a": "int64", "b": "int64", "hamming": "int64"})
 
 
+def _sorted_pairs(pairs, keys: list[str], cols: dict[str, str]):
+    """Sort a (possibly empty) pair Dataset for the gate. Ray's sort drops
+    the schema of a 0-row dataset (``from_pandas(typed_empty).sort(...)``
+    comes back with NO columns), so the empty case short-circuits to a
+    typed empty DataFrame; ``materialize()`` holds blocks in the object
+    store (bounded by TRUE pairs) so count + sort don't re-execute."""
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return pairs.sort(keys)
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Verified pairs stay a Dataset end to end — only the driver's
     result comparison materializes them (gate scale)."""
     pairs = dedup.ngram_jaccard_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
-    return pairs.sort(["a", "b"])
+    return _sorted_pairs(pairs, ["a", "b"],
+                         {"a": "int64", "b": "int64", "jaccard": "float64"})
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -329,7 +342,8 @@ def q_embedding_near_dup(sf_dir: str):
     pairs = dedup.embedding_near_dup_pairs(aug, threshold=0.9)
     # pair list stays a Dataset — select/sort distributed, driver only
     # materializes for the gate's result comparison
-    return pairs.select_columns(["a", "b"]).sort(["a", "b"])
+    return _sorted_pairs(pairs.select_columns(["a", "b"]), ["a", "b"],
+                         {"a": "int64", "b": "int64"})
 
 
 # ---------------------------------------------------------------------- ann

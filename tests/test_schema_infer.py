@@ -257,12 +257,28 @@ def test_json_job_refuses_unrelated_out_dir(ray_session, tmp_path):
     victim = tmp_path / "precious"
     victim.mkdir()
     (victim / "notes.txt").write_text("do not delete")
-    with pytest.raises(ValueError, match="non-parquet"):
+    with pytest.raises(ValueError, match="refusing"):
         json_to_parquet_job(str(p), str(victim))
     assert (victim / "notes.txt").exists()
-    # a previous-output directory (only .parquet entries) IS replaced
+    # a parquet-only directory WITHOUT the output marker is someone
+    # else's data lake, not a previous run — refused too
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (lake / "data_0.parquet").write_bytes(b"user data")
+    with pytest.raises(ValueError, match="refusing"):
+        json_to_parquet_job(str(p), str(lake))
+    assert (lake / "data_0.parquet").exists()
+    # a MARKED previous-output directory IS replaced
+    from json_to_parquet_ray.json_source import _OUTPUT_MARKER
+
     out = tmp_path / "out"
     out.mkdir()
     (out / "stale_0.parquet").write_bytes(b"stale")
+    (out / _OUTPUT_MARKER).write_text("{}")
     json_to_parquet_job(str(p), str(out))
     assert not (out / "stale_0.parquet").exists()
+    assert (out / _OUTPUT_MARKER).exists()  # re-stamped by the new run
+    # and an empty directory is fine
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    json_to_parquet_job(str(p), str(empty))
