@@ -269,6 +269,45 @@ def stream_eligible_overlay(out_dir: str, force: bool | None = None) -> bool:
     return n > 0 and (force is True or n >= STREAM_INDEX_MIN_ROWS)
 
 
+def stream_eligible_unsealed(out_dir: str, force: bool | None = None) -> bool:
+    """True iff readers may stream work items off a NEVER-consolidated
+    store (sharded per-partition JSON records, no index) — the shape a
+    fresh 10^7-partition encode leaves behind, where ``load_manifest``
+    would open every record file on the driver. Only the sharded layout
+    qualifies (the flat legacy layout has no parallel read unit); a store
+    with an index — sealed or not — takes the index-based paths instead.
+    Same ``force`` semantics as ``stream_eligible``. The record-count
+    threshold is ESTIMATED from shard-dir file counts (dirent listings,
+    no file opens): exact when few shards exist, sampled at scale — a
+    threshold gate needs no precision."""
+    if force is False:
+        return False
+    mdir = manifest_dir(out_dir)
+    if os.path.exists(index_path(out_dir)) or not os.path.isdir(mdir):
+        return False
+    shards = [os.path.join(mdir, d) for d in os.listdir(mdir)
+              if d.startswith("shard-")]
+    if not shards:
+        return False
+    if force is True:
+        return True
+
+    def _count(sd: str) -> int:
+        try:
+            return sum(1 for e in os.scandir(sd)
+                       if e.name.startswith("part-")
+                       and e.name.endswith(".json"))
+        except OSError:
+            return 0
+
+    if len(shards) <= 64:
+        est = sum(_count(sd) for sd in shards)
+    else:
+        sample = shards[::max(1, len(shards) // 64)][:64]
+        est = sum(_count(sd) for sd in sample) * len(shards) // len(sample)
+    return est >= STREAM_INDEX_MIN_ROWS
+
+
 def delta_keysets(out_dir: str) -> tuple[dict, set, set]:
     """The JSON delta records plus the two key sets an index record is
     classified against: ``delta_ids`` (partition_id collisions — delta

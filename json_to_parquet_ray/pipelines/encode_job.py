@@ -681,6 +681,146 @@ def _overlay_scan(out_dir: str):
     return scan.map_batches(clean_items, batch_format="pyarrow"), extra
 
 
+_UNSEALED_SCAN_SCHEMA = pa.schema([
+    ("fkey", pa.string()), ("first", pa.bool_()), ("merged", pa.int8()),
+    ("partition_id", pa.string()), ("path", pa.string()),
+    ("sources", pa.string()), ("num_rows", pa.int64()),
+    ("sk_path", pa.string()), ("sk_rg", pa.int64()), ("sk_rs", pa.int64()),
+    ("json", pa.string())])
+
+
+def _unsealed_scan(out_dir: str):
+    """Streamed work items for a NEVER-consolidated store (sharded
+    per-partition JSON records, no index) — same ``(clean_items,
+    extra_records)`` contract as ``_overlay_scan``. The driver holds only
+    the shard-dir list (≤4096 paths); record files are opened and parsed
+    inside read tasks, one row per (record, source fragment).
+
+    Exactness vs ``effective_records``: overlap resolution only ever
+    interacts records sharing a ``(path, row_group)`` fragment key, so a
+    key claimed by exactly ONE record that is NOT merged is conflict-free
+    — a record all of whose keys are such is always chosen by the global
+    two-pass algorithm (plain, conflicts with nothing, and ``is_complete``
+    is only checked for merged records). Those stream straight through.
+    Records touching a CONTESTED key (≥2 claimants, or a merged claimant
+    — compaction in flight / crashed) reconcile on the driver via the
+    exact algorithm; the contested set is bounded by true conflicts.
+    Torn JSON records are skipped in-task (same re-encode policy as
+    ``load_delta_records``). Pathology: a store mid-way through a huge
+    compaction degrades the contested set toward the full store — run
+    ``consolidate`` and take the sealed path at that shape."""
+    import ray
+
+    from ..manifest import PartitionRecord, manifest_dir, overlay_reconcile
+
+    mdir = manifest_dir(out_dir)
+    shards = sorted(os.path.join(mdir, d) for d in os.listdir(mdir)
+                    if d.startswith("shard-"))
+
+    def read_shard(b: pa.Table) -> pa.Table:
+        rows = []
+        for sd in b.column("shard").to_pylist():
+            try:
+                names = sorted(os.listdir(sd))
+            except OSError:
+                continue
+            for name in names:
+                if not (name.startswith("part-")
+                        and name.endswith(".json")):
+                    continue
+                try:
+                    with open(os.path.join(sd, name)) as f:
+                        raw = f.read()
+                    rec = PartitionRecord(**json.loads(raw))
+                except (json.JSONDecodeError, TypeError, OSError):
+                    continue  # torn record → partition re-encodes
+                frags = rec.source_fragments
+                merged = 1 if "merged" in rec.fragment else 0
+                f0 = frags[0]
+                base = {
+                    "merged": merged,
+                    "partition_id": rec.partition_id,
+                    "path": os.path.join(out_dir, rec.chunk_file),
+                    "sources": json.dumps(frags),
+                    "num_rows": int(rec.num_rows),
+                    "sk_path": f0["path"], "sk_rg": int(f0["row_group"]),
+                    "sk_rs": int(f0.get("row_start", 0))}
+                for i, fr in enumerate(frags):
+                    rows.append({
+                        "fkey": f"{fr['path']}\x00{fr['row_group']}",
+                        "first": i == 0,
+                        # raw json once per record, not per fragment
+                        "json": raw if i == 0 else None, **base})
+        return pa.Table.from_pylist(rows, schema=_UNSEALED_SCAN_SCHEMA)
+
+    scan = (ray.data.from_items([{"shard": sd} for sd in shards])
+            .map_batches(read_shard, batch_format="pyarrow",
+                         batch_size=16)
+            .materialize())
+
+    # contested fragment keys via a distributed groupby — the pulled
+    # RESULT is bounded by true conflicts, not by store size
+    from ray.data.aggregate import Count, Max
+
+    agg = scan.groupby("fkey").aggregate(Count(), Max("merged"))
+
+    def contested_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.or_(pc.greater(b.column("count()").combine_chunks(), 1),
+                      pc.greater(b.column("max(merged)").combine_chunks(),
+                                 0))
+        return b.filter(mask).select(["fkey"])
+
+    contested_keys = {r["fkey"] for r in
+                      agg.map_batches(contested_only,
+                                      batch_format="pyarrow").take_all()}
+
+    extra: list = []
+    contested_pids: set = set()
+    if contested_keys:
+        def pids_of_contested(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(b.column("fkey").combine_chunks(),
+                            value_set=pa.array(sorted(contested_keys)))
+            return b.filter(mask).select(["partition_id"])
+
+        contested_pids = {r["partition_id"] for r in
+                          scan.map_batches(pids_of_contested,
+                                           batch_format="pyarrow")
+                          .take_all()}
+
+        def contested_json(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.and_(
+                b.column("first").combine_chunks(),
+                pc.is_in(b.column("partition_id").combine_chunks(),
+                         value_set=pa.array(sorted(contested_pids))))
+            return b.filter(mask).select(["json"])
+
+        inter_raw = [r["json"] for r in
+                     scan.map_batches(contested_json,
+                                      batch_format="pyarrow").take_all()]
+        # no deltas here — the whole store IS the json layout; the exact
+        # reconciliation runs over the contested records alone
+        extra = overlay_reconcile(out_dir, {}, inter_raw)
+
+    def clean_items(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = b.column("first").combine_chunks()
+        if contested_pids:
+            mask = pc.and_(mask, pc.invert(pc.is_in(
+                b.column("partition_id").combine_chunks(),
+                value_set=pa.array(sorted(contested_pids)))))
+        return b.filter(mask).drop_columns(
+            ["fkey", "first", "merged", "json"])
+
+    return scan.map_batches(clean_items, batch_format="pyarrow"), extra
+
+
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
                    zone_filter: dict | None = None,
                    schema: pa.Schema | None = None,
@@ -702,7 +842,8 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     import ray
 
     from ..manifest import (index_path, stream_eligible,
-                            stream_eligible_overlay)
+                            stream_eligible_overlay,
+                            stream_eligible_unsealed)
 
     require_store(out_dir)
     items: list[dict] | None
@@ -729,6 +870,14 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         # driver from_items of the full store
         items = None
         overlay = _overlay_scan(out_dir)
+    elif stream_eligible_unsealed(out_dir, stream_index):
+        # never-consolidated store big enough to stream: shard JSON
+        # records are read and classified inside tasks; only contested
+        # records (a compaction in flight / crashed) reconcile on the
+        # driver — a fresh 10^7-partition encode decodes with no driver
+        # record list at all
+        items = None
+        overlay = _unsealed_scan(out_dir)
     else:
         # input order is recomputed from the recorded fragment identity
         # (path, row_group, row_start) — stable under appends, unlike ids;
@@ -1335,7 +1484,8 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
     import ray
 
     from ..manifest import (index_path, stream_eligible,
-                            stream_eligible_overlay)
+                            stream_eligible_overlay,
+                            stream_eligible_unsealed)
 
     require_store(out_dir)
     use_index = stream_eligible(out_dir, stream_index)
@@ -1347,6 +1497,11 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
         # so no merge-sort is needed here)
         use_index = True
         overlay = _overlay_scan(out_dir)
+    elif not use_index and stream_eligible_unsealed(out_dir, stream_index):
+        # never-consolidated store: shard JSON records stream off read
+        # tasks, only contested records reconcile on the driver
+        use_index = True
+        overlay = _unsealed_scan(out_dir)
     items = None if use_index else [
         {"partition_id": rec.partition_id,
          "chunk": os.path.join(out_dir, rec.chunk_file),

@@ -1371,6 +1371,94 @@ def test_unsealed_overlay_streamed_decode_and_verify(ray_session, tmp_path):
     assert v["failed"] == [] and v["partitions"] == 1  # the merged record
 
 
+def test_unsealed_store_streamed_decode_and_verify(ray_session, tmp_path):
+    """A NEVER-consolidated store (sharded JSON records, no index)
+    decodes/verifies via the streamed unsealed path — record files are
+    read and classified inside tasks, only contested records reconcile
+    on the driver — with rows AND order identical to the full driver
+    reconciliation. Covers: (A) the clean fresh-encode shape, (B) a
+    crashed compaction (merged record + its covered plain records
+    coexisting — every one of them contested), (C) a torn JSON record
+    skipped identically by both paths."""
+    import shutil
+
+    from json_to_parquet_ray.manifest import (
+        manifest_dir,
+        stream_eligible,
+        stream_eligible_overlay,
+        stream_eligible_unsealed,
+    )
+    from json_to_parquet_ray.pipelines.encode_job import compact_job
+
+    d = tmp_path / "src"
+    d.mkdir()
+    write_cc_parquet(str(d / "a.parquet"), 1000, seed=11, row_group_size=250)
+    out = str(tmp_path / "enc_uns")
+    encode_job(str(d), out, shared_dict_columns=None)
+
+    assert stream_eligible_unsealed(out, True)
+    assert not stream_eligible_unsealed(out, None)  # 4 records < threshold
+    assert not stream_eligible(out, True)           # no index at all
+    assert not stream_eligible_overlay(out, True)
+
+    # (A) clean store: parity of rows AND order, verify all-ok
+    slow = pa.concat_tables(
+        decode_dataset(out, stream_index=False).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    fast = pa.concat_tables(
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    assert fast.equals(slow)
+    assert slow.num_rows == 1000
+    assert verify_job(out, stream_index=True) == {
+        "partitions": 4, "ok": 4, "failed": []}
+
+    # (B) crashed compaction: snapshot records+chunks, compact (merged
+    # record lands, old records/chunks retired), then restore the old
+    # plain records and chunks — merged + covered plains coexist
+    mdir = manifest_dir(out)
+    snap = str(tmp_path / "msnap")
+    shutil.copytree(mdir, snap)
+    chunks = {os.path.join(out, r.chunk_file): None
+              for r in load_manifest(out).values()}
+    for p in chunks:
+        chunks[p] = open(p, "rb").read()
+    c = compact_job(out, min_rows=10_000)
+    assert c["groups"] == 1
+    for root, _, names in os.walk(snap):
+        for name in names:
+            src_p = os.path.join(root, name)
+            dst_p = os.path.join(mdir, os.path.relpath(src_p, snap))
+            if not os.path.exists(dst_p):
+                os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+                shutil.copyfile(src_p, dst_p)
+    for p, blob in chunks.items():
+        if not os.path.exists(p):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            open(p, "wb").write(blob)
+    assert stream_eligible_unsealed(out, True)
+
+    slow_b = pa.concat_tables(
+        decode_dataset(out, stream_index=False).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    fast_b = pa.concat_tables(
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    assert fast_b.equals(slow_b)        # merged wins, no duplication
+    assert fast_b.num_rows == 1000
+    v = verify_job(out, stream_index=True)
+    assert v["failed"] == [] and v["partitions"] == 1  # the merged record
+
+    # (C) a torn record is skipped in-task, same policy as the driver path
+    shard = sorted(p for p in os.listdir(mdir) if p.startswith("shard-"))[0]
+    torn = os.path.join(mdir, shard, "part-deadbeef.json")
+    open(torn, "w").write('{"partition_id": "deadbeef", "trunca')
+    fast_c = pa.concat_tables(
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    assert fast_c.equals(slow_b)
+
+
 def test_sealed_store_verify_reports_corruption(ray_session, cc_parquet,
                                                 tmp_path):
     """verify on a sealed store (streamed items, failures-only driver
