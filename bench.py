@@ -340,7 +340,28 @@ def stage_stats() -> None:
     ray.shutdown()
 
 
+def wait_quiet(max_wait_s: float = 90.0, load_bar: float = 2.0) -> None:
+    """Wait (bounded) for co-tenant load to decay before timing anything:
+    BASELINE.md documents a 1.3-2x variance band when an external tenant
+    holds loadavg 4-8, which round 4's recorded bench was judged through.
+    Skipped via GRAFT_NO_QUIET_WAIT=1."""
+    if os.environ.get("GRAFT_NO_QUIET_WAIT"):
+        return
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return
+        if load1 < load_bar:
+            return
+        print(f"[bench] waiting for quiet host: loadavg {load1:.1f} "
+              f">= {load_bar}", file=sys.stderr)
+        time.sleep(10)
+
+
 if __name__ == "__main__":
+    wait_quiet()
     if "--scaling" in sys.argv:
         scaling()
     elif "--stats" in sys.argv:
