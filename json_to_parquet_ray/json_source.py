@@ -171,6 +171,11 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
                 f"{stray[:5]!r}) — refusing to delete; point at an empty "
                 "directory or a previous run's output")
         shutil.rmtree(out_dir)
+    # stamp provenance UP FRONT (not only on success): a run killed
+    # mid-write must not leave an unmarked parquet-only directory that
+    # every retry then refuses to replace
+    os.makedirs(out_dir, exist_ok=True)
+    _mark_output(out_dir)
 
     if mode == "engine":
         try:
@@ -245,6 +250,9 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
                         continue
                     raise
                 if target is staged:
+                    # marker travels with the staged dir so no swap
+                    # window leaves an unmarked output
+                    _mark_output(staged)
                     shutil.rmtree(out_dir, ignore_errors=True)
                     os.rename(staged, out_dir)
                 _mark_output(out_dir)
@@ -261,8 +269,14 @@ def json_to_parquet_job(input_paths: list[str] | str, out_dir: str,
                 for d in parse_documents(batch.column("doc").to_pylist())]
         return align_table(table_from_docs(docs), schema)
 
-    docs_ds2.map_batches(to_arrow, batch_format="pyarrow").write_parquet(out_dir)
+    # a failed engine attempt may have left partial parquet behind — this
+    # run owns out_dir (marker stamped at entry), so clear and re-stamp
+    # before the fallback write instead of mixing generations
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     _mark_output(out_dir)
+    docs_ds2.map_batches(to_arrow, batch_format="pyarrow").write_parquet(out_dir)
     return schema
 
 

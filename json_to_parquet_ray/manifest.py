@@ -254,7 +254,8 @@ def stream_eligible_overlay(out_dir: str, force: bool | None = None) -> bool:
     consolidation — the steady state of a huge evolving store). The bulk
     of the store streams off the index's row groups exactly like the
     sealed fast path; only the (small) delta set plus the index records
-    it interacts with are reconciled on the driver (``overlay_plan``).
+    it interacts with are reconciled on the driver (the classified scan
+    in ``encode_job._overlay_scan`` + ``overlay_reconcile`` here).
     Same ``force`` semantics as ``stream_eligible``; the two gates are
     mutually exclusive (deltas present vs absent). An index written
     UNSEALED (consolidate found unresolved overlap) stays on the full

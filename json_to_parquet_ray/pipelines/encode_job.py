@@ -630,7 +630,27 @@ def _overlay_scan(out_dir: str):
     ``_OVERLAY_SCAN_SCHEMA`` work items minus the classification columns
     for every non-superseded index record, and the driver
     reconciliation's chosen ``PartitionRecord``s to union back.
-    """
+
+    Datasets snapshot the DataContext at CREATION (see decode_dataset's
+    preserve_order note), so the scan — and with it the returned
+    clean_items, whatever the caller's window — is built order-preserving
+    here: decode's bit-identical row-order contract must survive the
+    streaming executor even though this helper also serves the
+    order-insensitive verify."""
+    import ray
+
+    from ..manifest import delta_keysets, index_path, overlay_reconcile
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        return _overlay_scan_inner(out_dir)
+    finally:
+        ctx.execution_options.preserve_order = prev
+
+
+def _overlay_scan_inner(out_dir: str):
     import ray
 
     from ..manifest import delta_keysets, index_path, overlay_reconcile
@@ -683,10 +703,10 @@ def _overlay_scan(out_dir: str):
 
 _UNSEALED_SCAN_SCHEMA = pa.schema([
     ("fkey", pa.string()), ("first", pa.bool_()), ("merged", pa.int8()),
+    ("f_rs", pa.int64()), ("f_end", pa.int64()),
     ("partition_id", pa.string()), ("path", pa.string()),
     ("sources", pa.string()), ("num_rows", pa.int64()),
-    ("sk_path", pa.string()), ("sk_rg", pa.int64()), ("sk_rs", pa.int64()),
-    ("json", pa.string())])
+    ("sk_path", pa.string()), ("sk_rg", pa.int64()), ("sk_rs", pa.int64())])
 
 
 def _unsealed_scan(out_dir: str):
@@ -697,21 +717,48 @@ def _unsealed_scan(out_dir: str):
     inside read tasks, one row per (record, source fragment).
 
     Exactness vs ``effective_records``: overlap resolution only ever
-    interacts records sharing a ``(path, row_group)`` fragment key, so a
-    key claimed by exactly ONE record that is NOT merged is conflict-free
-    — a record all of whose keys are such is always chosen by the global
-    two-pass algorithm (plain, conflicts with nothing, and ``is_complete``
-    is only checked for merged records). Those stream straight through.
-    Records touching a CONTESTED key (≥2 claimants, or a merged claimant
-    — compaction in flight / crashed) reconcile on the driver via the
-    exact algorithm; the contested set is bounded by true conflicts.
-    Torn JSON records are skipped in-task (same re-encode policy as
-    ``load_delta_records``). Pathology: a store mid-way through a huge
-    compaction degrades the contested set toward the full store — run
-    ``consolidate`` and take the sealed path at that shape."""
+    rejects a record whose claimed ROW INTERVAL overlaps another claim on
+    the same ``(path, row_group)`` key, so a record is CONTESTED iff some
+    key it claims has a merged claimant (compaction in flight / crashed)
+    or two claims with overlapping intervals. Everything else streams:
+    a clean record is plain, conflicts with nothing, and ``is_complete``
+    is only checked for merged records — the global two-pass algorithm
+    always chooses it. Interval-DISJOINT multi-claimant keys (a store
+    encoded with ``max_rows_per_partition`` slices every row group) stay
+    clean. Overlaps are found with no per-group Python: a distributed
+    sort by (fkey, f_rs), a vectorized adjacent check per block
+    (``start[i] < segment-cummax(end)[i-1]``), and 2 summary rows per
+    block stitched on the driver (a key continuing into the next block
+    can only overlap through the block's FIRST row, since starts are
+    sorted). Contested records re-read from their shard files on the
+    driver (``record_path`` is derivable from the partition id), so the
+    scan never pins raw JSON. Torn records are skipped in-task (same
+    re-encode policy as ``load_delta_records``). Pathology: a store
+    mid-way through a huge compaction degrades the contested set toward
+    the full store — run ``consolidate`` and take the sealed path.
+
+    Like ``_overlay_scan``, built under preserve_order=True (Datasets
+    snapshot the DataContext at creation): decode needs the returned
+    clean_items order-preserving, and the block-boundary stitching below
+    needs ``take_all`` to yield blocks in dataset order."""
     import ray
 
-    from ..manifest import PartitionRecord, manifest_dir, overlay_reconcile
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        return _unsealed_scan_inner(out_dir)
+    finally:
+        ctx.execution_options.preserve_order = prev
+
+
+def _unsealed_scan_inner(out_dir: str):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..manifest import (PartitionRecord, manifest_dir,
+                            overlay_reconcile, record_path)
 
     mdir = manifest_dir(out_dir)
     shards = sorted(os.path.join(mdir, d) for d in os.listdir(mdir)
@@ -746,11 +793,15 @@ def _unsealed_scan(out_dir: str):
                     "sk_path": f0["path"], "sk_rg": int(f0["row_group"]),
                     "sk_rs": int(f0.get("row_start", 0))}
                 for i, fr in enumerate(frags):
+                    rs = int(fr.get("row_start", 0))
+                    # a legacy fragment without num_rows claims its whole
+                    # row group — same default as effective_records
                     rows.append({
                         "fkey": f"{fr['path']}\x00{fr['row_group']}",
                         "first": i == 0,
-                        # raw json once per record, not per fragment
-                        "json": raw if i == 0 else None, **base})
+                        "f_rs": rs,
+                        "f_end": rs + int(fr.get("num_rows", 1 << 62)),
+                        **base})
         return pa.Table.from_pylist(rows, schema=_UNSEALED_SCAN_SCHEMA)
 
     scan = (ray.data.from_items([{"shard": sd} for sd in shards])
@@ -758,32 +809,76 @@ def _unsealed_scan(out_dir: str):
                          batch_size=16)
             .materialize())
 
-    # contested fragment keys via a distributed groupby — the pulled
-    # RESULT is bounded by true conflicts, not by store size
-    from ray.data.aggregate import Count, Max
-
-    agg = scan.groupby("fkey").aggregate(Count(), Max("merged"))
-
-    def contested_only(b: pa.Table) -> pa.Table:
+    # contested keys, part 1: any key a merged record claims — pulled
+    # set bounded by in-flight/crashed compactions
+    def merged_keys(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        mask = pc.or_(pc.greater(b.column("count()").combine_chunks(), 1),
-                      pc.greater(b.column("max(merged)").combine_chunks(),
-                                 0))
-        return b.filter(mask).select(["fkey"])
+        return b.filter(pc.greater(b.column("merged").combine_chunks(),
+                                   0)).select(["fkey"])
 
     contested_keys = {r["fkey"] for r in
-                      agg.map_batches(contested_only,
-                                      batch_format="pyarrow").take_all()}
+                      scan.map_batches(merged_keys,
+                                       batch_format="pyarrow").take_all()}
+
+    # part 2: keys whose plain claims overlap — distributed sort, then a
+    # vectorized per-block check; only true overlaps and 2 boundary rows
+    # per block reach the driver (take_all preserves block order)
+    _B_SCHEMA = pa.schema([("kind", pa.string()), ("fkey", pa.string()),
+                           ("f_rs", pa.int64()), ("cm_end", pa.int64())])
+
+    def block_overlaps(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.Table.from_pylist([], schema=_B_SCHEMA)
+        ks = b.column("fkey").to_pandas()
+        rs = b.column("f_rs").to_numpy(zero_copy_only=False)
+        en = b.column("f_end").to_numpy(zero_copy_only=False)
+        new = np.empty(n, bool)
+        new[0] = True
+        kv = ks.to_numpy()
+        new[1:] = kv[1:] != kv[:-1]
+        seg = np.cumsum(new) - 1
+        segcm = pd.Series(en).groupby(seg).cummax().to_numpy()
+        hit = np.zeros(n, bool)
+        hit[1:] = (~new[1:]) & (rs[1:] < segcm[:-1])
+        rows = [{"kind": "first", "fkey": kv[0], "f_rs": int(rs[0]),
+                 "cm_end": 0}]
+        for i in np.flatnonzero(hit):  # true overlaps only — tiny
+            rows.append({"kind": "overlap", "fkey": kv[i], "f_rs": 0,
+                         "cm_end": 0})
+        rows.append({"kind": "last", "fkey": kv[-1], "f_rs": 0,
+                     "cm_end": int(segcm[-1])})
+        return pa.Table.from_pylist(rows, schema=_B_SCHEMA)
+
+    summary = (scan.sort(["fkey", "f_rs"])
+               .map_batches(block_overlaps, batch_format="pyarrow")
+               .take_all())
+    last: tuple | None = None  # (fkey, running cummax end) across blocks
+    for r in summary:
+        k = r["fkey"]
+        if r["kind"] == "overlap":
+            contested_keys.add(k)
+        elif r["kind"] == "first":
+            if last is not None and last[0] == k and r["f_rs"] < last[1]:
+                contested_keys.add(k)
+        else:  # "last"
+            if last is not None and last[0] == k:
+                last = (k, max(last[1], r["cm_end"]))
+            else:
+                last = (k, r["cm_end"])
 
     extra: list = []
     contested_pids: set = set()
     if contested_keys:
+        key_arr = pa.array(sorted(contested_keys))  # built ONCE, not
+        # per batch — ships with the closure
+
         def pids_of_contested(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
             mask = pc.is_in(b.column("fkey").combine_chunks(),
-                            value_set=pa.array(sorted(contested_keys)))
+                            value_set=key_arr)
             return b.filter(mask).select(["partition_id"])
 
         contested_pids = {r["partition_id"] for r in
@@ -791,32 +886,32 @@ def _unsealed_scan(out_dir: str):
                                            batch_format="pyarrow")
                           .take_all()}
 
-        def contested_json(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            mask = pc.and_(
-                b.column("first").combine_chunks(),
-                pc.is_in(b.column("partition_id").combine_chunks(),
-                         value_set=pa.array(sorted(contested_pids))))
-            return b.filter(mask).select(["json"])
-
-        inter_raw = [r["json"] for r in
-                     scan.map_batches(contested_json,
-                                      batch_format="pyarrow").take_all()]
+        # contested record JSON re-read directly (record_path is a pure
+        # function of the partition id) — bounded by true conflicts
+        inter_raw = []
+        for pid in sorted(contested_pids):
+            try:
+                with open(record_path(out_dir, pid)) as f:
+                    inter_raw.append(f.read())
+            except OSError:
+                continue  # record vanished since the scan → re-encodes
         # no deltas here — the whole store IS the json layout; the exact
         # reconciliation runs over the contested records alone
         extra = overlay_reconcile(out_dir, {}, inter_raw)
+
+    pid_arr = (pa.array(sorted(contested_pids))
+               if contested_pids else None)
 
     def clean_items(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         mask = b.column("first").combine_chunks()
-        if contested_pids:
+        if pid_arr is not None:
             mask = pc.and_(mask, pc.invert(pc.is_in(
                 b.column("partition_id").combine_chunks(),
-                value_set=pa.array(sorted(contested_pids)))))
+                value_set=pid_arr)))
         return b.filter(mask).drop_columns(
-            ["fkey", "first", "merged", "json"])
+            ["fkey", "first", "merged", "f_rs", "f_end"])
 
     return scan.map_batches(clean_items, batch_format="pyarrow"), extra
 

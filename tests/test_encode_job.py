@@ -1459,6 +1459,59 @@ def test_unsealed_store_streamed_decode_and_verify(ray_session, tmp_path):
     assert fast_c.equals(slow_b)
 
 
+def test_unsealed_sliced_store_streams_clean(ray_session, tmp_path):
+    """max_rows_per_partition slices every row group into several
+    interval-DISJOINT records sharing a (path, row_group) key — claim
+    counting would call the whole store contested and pull every record
+    to the driver. The interval-exact contest detection must keep such a
+    store fully streamed (zero driver-reconciled records) and parity must
+    hold; a genuinely OVERLAPPING pair (re-encode with a different slice
+    size — whole-group record vs slices) must still be contested."""
+    from json_to_parquet_ray.manifest import stream_eligible_unsealed
+    from json_to_parquet_ray.pipelines.encode_job import (
+        _unsealed_scan,
+        encode_job,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    write_cc_parquet(str(d / "a.parquet"), 1000, seed=13, row_group_size=500)
+    out = str(tmp_path / "enc_sliced")
+    # 2 row groups × 5 slices each = 10 interval-disjoint records
+    encode_job(str(d), out, shared_dict_columns=None,
+               max_rows_per_partition=100)
+    assert stream_eligible_unsealed(out, True)
+
+    clean, extra = _unsealed_scan(out)
+    assert extra == []                      # disjoint slices: all clean
+    assert clean.count() == 10
+
+    slow = pa.concat_tables(
+        decode_dataset(out, stream_index=False).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    fast = pa.concat_tables(
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    assert fast.equals(slow) and fast.num_rows == 1000
+
+    # true overlap: re-encode the same input UNSLICED without resume —
+    # whole-row-group records land alongside the slice records
+    encode_job(str(d), out, shared_dict_columns=None, resume=False)
+    clean2, extra2 = _unsealed_scan(out)
+    assert len(extra2) == 2                 # reconciliation picked one
+    # generation: 2 whole-group records (larger coverage wins the tie)
+    assert all(len(r.source_fragments) == 1
+               and r.num_rows == 500 for r in extra2)
+    assert clean2.count() == 0
+    slow2 = pa.concat_tables(
+        decode_dataset(out, stream_index=False).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    fast2 = pa.concat_tables(
+        decode_dataset(out, stream_index=True).iter_batches(
+            batch_format="pyarrow", batch_size=4096))
+    assert fast2.equals(slow2) and fast2.num_rows == 1000
+
+
 def test_sealed_store_verify_reports_corruption(ray_session, cc_parquet,
                                                 tmp_path):
     """verify on a sealed store (streamed items, failures-only driver
