@@ -709,6 +709,70 @@ _UNSEALED_SCAN_SCHEMA = pa.schema([
     ("sk_path", pa.string()), ("sk_rg", pa.int64()), ("sk_rs", pa.int64())])
 
 
+_B_SCHEMA = pa.schema([("kind", pa.string()), ("fkey", pa.string()),
+                       ("f_rs", pa.int64()), ("cm_end", pa.int64())])
+
+
+def _overlap_keys(items) -> set:
+    """The ``fkey`` values whose ``[f_rs, f_end)`` claims OVERLAP, over a
+    Dataset with those three columns — found with no per-group Python: a
+    distributed sort by (fkey, f_rs), a vectorized adjacent check per
+    batch (``start[i] < segment-cummax(end)[i-1]`` within a key), and 2
+    summary rows per batch stitched on the driver, so only true overlaps
+    plus O(batches) boundary rows ever leave the cluster.
+
+    Boundary exactness: batches are consecutive in-order slices of the
+    sorted dataset (the caller must execute under preserve_order=True —
+    ``_unsealed_scan`` sets it), and a key continuing into a new batch
+    can only overlap through that batch's FIRST row: starts are sorted,
+    so if the first row clears the running cross-batch cummax(end),
+    every later row of that key does too."""
+    import numpy as np
+    import pandas as pd
+
+    def block_overlaps(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.Table.from_pylist([], schema=_B_SCHEMA)
+        kv = b.column("fkey").to_pandas().to_numpy()
+        rs = b.column("f_rs").to_numpy(zero_copy_only=False)
+        en = b.column("f_end").to_numpy(zero_copy_only=False)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = kv[1:] != kv[:-1]
+        seg = np.cumsum(new) - 1
+        segcm = pd.Series(en).groupby(seg).cummax().to_numpy()
+        hit = np.zeros(n, bool)
+        hit[1:] = (~new[1:]) & (rs[1:] < segcm[:-1])
+        rows = [{"kind": "first", "fkey": kv[0], "f_rs": int(rs[0]),
+                 "cm_end": 0}]
+        for i in np.flatnonzero(hit):  # true overlaps only — tiny
+            rows.append({"kind": "overlap", "fkey": kv[i], "f_rs": 0,
+                         "cm_end": 0})
+        rows.append({"kind": "last", "fkey": kv[-1], "f_rs": 0,
+                     "cm_end": int(segcm[-1])})
+        return pa.Table.from_pylist(rows, schema=_B_SCHEMA)
+
+    summary = (items.sort(["fkey", "f_rs"])
+               .map_batches(block_overlaps, batch_format="pyarrow")
+               .take_all())
+    out: set = set()
+    last: tuple | None = None  # (fkey, running cummax end) across batches
+    for r in summary:
+        k = r["fkey"]
+        if r["kind"] == "overlap":
+            out.add(k)
+        elif r["kind"] == "first":
+            if last is not None and last[0] == k and r["f_rs"] < last[1]:
+                out.add(k)
+        else:  # "last"
+            if last is not None and last[0] == k:
+                last = (k, max(last[1], r["cm_end"]))
+            else:
+                last = (k, r["cm_end"])
+    return out
+
+
 def _unsealed_scan(out_dir: str):
     """Streamed work items for a NEVER-consolidated store (sharded
     per-partition JSON records, no index) — same ``(clean_items,
@@ -753,8 +817,6 @@ def _unsealed_scan(out_dir: str):
 
 
 def _unsealed_scan_inner(out_dir: str):
-    import numpy as np
-    import pandas as pd
     import ray
 
     from ..manifest import (PartitionRecord, manifest_dir,
@@ -821,52 +883,8 @@ def _unsealed_scan_inner(out_dir: str):
                       scan.map_batches(merged_keys,
                                        batch_format="pyarrow").take_all()}
 
-    # part 2: keys whose plain claims overlap — distributed sort, then a
-    # vectorized per-block check; only true overlaps and 2 boundary rows
-    # per block reach the driver (take_all preserves block order)
-    _B_SCHEMA = pa.schema([("kind", pa.string()), ("fkey", pa.string()),
-                           ("f_rs", pa.int64()), ("cm_end", pa.int64())])
-
-    def block_overlaps(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        if n == 0:
-            return pa.Table.from_pylist([], schema=_B_SCHEMA)
-        ks = b.column("fkey").to_pandas()
-        rs = b.column("f_rs").to_numpy(zero_copy_only=False)
-        en = b.column("f_end").to_numpy(zero_copy_only=False)
-        new = np.empty(n, bool)
-        new[0] = True
-        kv = ks.to_numpy()
-        new[1:] = kv[1:] != kv[:-1]
-        seg = np.cumsum(new) - 1
-        segcm = pd.Series(en).groupby(seg).cummax().to_numpy()
-        hit = np.zeros(n, bool)
-        hit[1:] = (~new[1:]) & (rs[1:] < segcm[:-1])
-        rows = [{"kind": "first", "fkey": kv[0], "f_rs": int(rs[0]),
-                 "cm_end": 0}]
-        for i in np.flatnonzero(hit):  # true overlaps only — tiny
-            rows.append({"kind": "overlap", "fkey": kv[i], "f_rs": 0,
-                         "cm_end": 0})
-        rows.append({"kind": "last", "fkey": kv[-1], "f_rs": 0,
-                     "cm_end": int(segcm[-1])})
-        return pa.Table.from_pylist(rows, schema=_B_SCHEMA)
-
-    summary = (scan.sort(["fkey", "f_rs"])
-               .map_batches(block_overlaps, batch_format="pyarrow")
-               .take_all())
-    last: tuple | None = None  # (fkey, running cummax end) across blocks
-    for r in summary:
-        k = r["fkey"]
-        if r["kind"] == "overlap":
-            contested_keys.add(k)
-        elif r["kind"] == "first":
-            if last is not None and last[0] == k and r["f_rs"] < last[1]:
-                contested_keys.add(k)
-        else:  # "last"
-            if last is not None and last[0] == k:
-                last = (k, max(last[1], r["cm_end"]))
-            else:
-                last = (k, r["cm_end"])
+    # part 2: keys whose plain claims genuinely overlap
+    contested_keys |= _overlap_keys(scan)
 
     extra: list = []
     contested_pids: set = set()
