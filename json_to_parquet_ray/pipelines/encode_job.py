@@ -592,6 +592,30 @@ def require_store(out_dir: str) -> None:
             f"refusing to treat it as empty")
 
 
+def _preserve_order():
+    """Scoped preserve_order=True: Datasets SNAPSHOT the DataContext at
+    creation, so every Dataset built inside this context keeps its block
+    order through the streaming executor, while later pipelines in the
+    process are untouched (a leaked True degrades every subsequent
+    pipeline's throughput — the reason this is a try/finally scope, now
+    single-sourced instead of hand-rolled per call site)."""
+    import contextlib
+
+    import ray
+
+    @contextlib.contextmanager
+    def cm():
+        ctx = ray.data.DataContext.get_current()
+        prev = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
+        try:
+            yield
+        finally:
+            ctx.execution_options.preserve_order = prev
+
+    return cm()
+
+
 # work-item schemas of the streamed index read, shared by decode (keyed:
 # input-order sort restored from fragment identity) and verify — ONE
 # definition each so the streamed and overlay-extra sides can never drift
@@ -637,17 +661,8 @@ def _overlay_scan(out_dir: str):
     here: decode's bit-identical row-order contract must survive the
     streaming executor even though this helper also serves the
     order-insensitive verify."""
-    import ray
-
-    from ..manifest import delta_keysets, index_path, overlay_reconcile
-
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
+    with _preserve_order():
         return _overlay_scan_inner(out_dir)
-    finally:
-        ctx.execution_options.preserve_order = prev
 
 
 def _overlay_scan_inner(out_dir: str):
@@ -709,24 +724,30 @@ _UNSEALED_SCAN_SCHEMA = pa.schema([
     ("sk_path", pa.string()), ("sk_rg", pa.int64()), ("sk_rs", pa.int64())])
 
 
-_B_SCHEMA = pa.schema([("kind", pa.string()), ("fkey", pa.string()),
-                       ("f_rs", pa.int64()), ("cm_end", pa.int64())])
+_B_SCHEMA = pa.schema([
+    ("f0_key", pa.string()), ("f0_rs", pa.int64()),
+    ("last_key", pa.string()), ("cm_end", pa.int64()),
+    ("overlaps", pa.list_(pa.string()))])
 
 
 def _overlap_keys(items) -> set:
     """The ``fkey`` values whose ``[f_rs, f_end)`` claims OVERLAP, over a
     Dataset with those three columns — found with no per-group Python: a
     distributed sort by (fkey, f_rs), a vectorized adjacent check per
-    batch (``start[i] < segment-cummax(end)[i-1]`` within a key), and 2
-    summary rows per batch stitched on the driver, so only true overlaps
-    plus O(batches) boundary rows ever leave the cluster.
+    block (``start[i] < segment-cummax(end)[i-1]`` within a key), and ONE
+    summary row per block stitched on the driver, so only true overlaps
+    plus O(blocks) boundary facts ever leave the cluster.
 
-    Boundary exactness: batches are consecutive in-order slices of the
-    sorted dataset (the caller must execute under preserve_order=True —
-    ``_unsealed_scan`` sets it), and a key continuing into a new batch
-    can only overlap through that batch's FIRST row: starts are sorted,
-    so if the first row clears the running cross-batch cummax(end),
-    every later row of that key does too."""
+    Boundary exactness without any execution-order assumption:
+    ``batch_size=None`` makes each batch exactly one block (intra-block
+    row order is intrinsic to the block, not to the streaming executor),
+    blocks of a sorted dataset are disjoint consecutive ranges, and each
+    summary row carries its block's own first (fkey, f_rs) — the driver
+    re-sorts the summaries by that key, so arrival order is irrelevant.
+    A key continuing into the next block can only overlap through that
+    block's FIRST row: starts are sorted, so if the first row clears the
+    running cross-block cummax(end), every later row of the key does
+    too."""
     import numpy as np
     import pandas as pd
 
@@ -744,32 +765,31 @@ def _overlap_keys(items) -> set:
         segcm = pd.Series(en).groupby(seg).cummax().to_numpy()
         hit = np.zeros(n, bool)
         hit[1:] = (~new[1:]) & (rs[1:] < segcm[:-1])
-        rows = [{"kind": "first", "fkey": kv[0], "f_rs": int(rs[0]),
-                 "cm_end": 0}]
-        for i in np.flatnonzero(hit):  # true overlaps only — tiny
-            rows.append({"kind": "overlap", "fkey": kv[i], "f_rs": 0,
-                         "cm_end": 0})
-        rows.append({"kind": "last", "fkey": kv[-1], "f_rs": 0,
-                     "cm_end": int(segcm[-1])})
-        return pa.Table.from_pylist(rows, schema=_B_SCHEMA)
+        return pa.Table.from_pylist([{
+            "f0_key": kv[0], "f0_rs": int(rs[0]),
+            "last_key": kv[-1], "cm_end": int(segcm[-1]),
+            # true overlaps only — tiny
+            "overlaps": sorted({str(k) for k in kv[hit]}),
+        }], schema=_B_SCHEMA)
 
     summary = (items.sort(["fkey", "f_rs"])
-               .map_batches(block_overlaps, batch_format="pyarrow")
+               .map_batches(block_overlaps, batch_format="pyarrow",
+                            batch_size=None)
                .take_all())
     out: set = set()
-    last: tuple | None = None  # (fkey, running cummax end) across batches
-    for r in summary:
-        k = r["fkey"]
-        if r["kind"] == "overlap":
-            out.add(k)
-        elif r["kind"] == "first":
-            if last is not None and last[0] == k and r["f_rs"] < last[1]:
-                out.add(k)
-        else:  # "last"
-            if last is not None and last[0] == k:
-                last = (k, max(last[1], r["cm_end"]))
-            else:
-                last = (k, r["cm_end"])
+    last: tuple | None = None  # (key, running cummax end) across blocks
+    # driver-side reorder by each block's own first sort key — blocks of
+    # a sorted dataset are disjoint ranges, so this reconstructs dataset
+    # order no matter how the executor emitted them
+    for r in sorted(summary, key=lambda r: (r["f0_key"], r["f0_rs"])):
+        out.update(r["overlaps"])
+        if (last is not None and last[0] == r["f0_key"]
+                and r["f0_rs"] < last[1]):
+            out.add(r["f0_key"])
+        if last is not None and last[0] == r["last_key"]:
+            last = (r["last_key"], max(last[1], r["cm_end"]))
+        else:
+            last = (r["last_key"], r["cm_end"])
     return out
 
 
@@ -803,17 +823,10 @@ def _unsealed_scan(out_dir: str):
 
     Like ``_overlay_scan``, built under preserve_order=True (Datasets
     snapshot the DataContext at creation): decode needs the returned
-    clean_items order-preserving, and the block-boundary stitching below
-    needs ``take_all`` to yield blocks in dataset order."""
-    import ray
-
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
+    clean_items order-preserving. (The overlap detector itself no longer
+    cares — its block stitching is order-independent by construction.)"""
+    with _preserve_order():
         return _unsealed_scan_inner(out_dir)
-    finally:
-        ctx.execution_options.preserve_order = prev
 
 
 def _unsealed_scan_inner(out_dir: str):
@@ -911,8 +924,16 @@ def _unsealed_scan_inner(out_dir: str):
             try:
                 with open(record_path(out_dir, pid)) as f:
                     inter_raw.append(f.read())
-            except OSError:
-                continue  # record vanished since the scan → re-encodes
+            except OSError as ex:
+                # the record parsed fine inside the scan seconds ago — a
+                # vanished file means a concurrent consolidate/compact/gc
+                # mutated the store mid-read; silently dropping it would
+                # lose rows from decode and vacuously pass verify
+                raise RuntimeError(
+                    f"manifest record for contested partition {pid!r} "
+                    f"disappeared during the streamed read ({ex}); the "
+                    "store was mutated concurrently — re-run the read "
+                    "(or consolidate first)") from ex
         # no deltas here — the whole store IS the json layout; the exact
         # reconciliation runs over the contested records alone
         extra = overlay_reconcile(out_dir, {}, inter_raw)
@@ -1185,13 +1206,8 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
 
     # decode is the ordering-sensitive pipeline (bit-identical round-trip
     # preserves input row order); Ray's streaming executor reorders output
-    # blocks unless preserve_order is set. Datasets SNAPSHOT the
-    # DataContext at creation, so set → build → restore scopes the flag to
-    # this dataset instead of degrading every later pipeline in-process.
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
+    # blocks unless preserve_order is set — see _preserve_order
+    with _preserve_order():
         if items is not None:
             paths = ray.data.from_items(items)
         elif overlay is not None:
@@ -1202,8 +1218,6 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         return paths.map_batches(
             decode_item, batch_size=1, batch_format="pyarrow"
         )
-    finally:
-        ctx.execution_options.preserve_order = prev
 
 
 def cluster_job(input_paths: list[str] | str, out_dir: str,

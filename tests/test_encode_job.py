@@ -1461,36 +1461,33 @@ def test_unsealed_store_streamed_decode_and_verify(ray_session, tmp_path):
 
 def test_overlap_keys_boundary_stitching(ray_session):
     """_overlap_keys must find overlaps wherever the sorted blocks split
-    a key — including ones visible only through the cross-batch running
-    cummax — and report none for fully disjoint claims."""
+    a key — including ones visible only through the cross-block running
+    cummax — and report none for fully disjoint claims. Deliberately run
+    WITHOUT preserve_order: the stitching reorders block summaries by
+    their own first sort key, so executor emission order must not
+    matter."""
     import pandas as pd
     import ray
 
     from json_to_parquet_ray.pipelines.encode_job import _overlap_keys
 
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
-        # A: 64 disjoint tiles + one hidden mid-key overlap; B: disjoint;
-        # C: a wide early interval that swallows every later C row (only
-        # the running cummax sees it across block boundaries)
-        rows = []
-        for i in range(64):
-            for k in ("A", "B", "C"):
-                rows.append({"fkey": k, "f_rs": i * 10,
-                             "f_end": i * 10 + 10})
-        rows.append({"fkey": "A", "f_rs": 315, "f_end": 316})
-        rows.append({"fkey": "C", "f_rs": 0, "f_end": 1000})
-        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(37)
-        assert _overlap_keys(ds) == {"A", "C"}
+    # A: 64 disjoint tiles + one hidden mid-key overlap; B: disjoint;
+    # C: a wide early interval that swallows every later C row (only
+    # the running cummax sees it across block boundaries)
+    rows = []
+    for i in range(64):
+        for k in ("A", "B", "C"):
+            rows.append({"fkey": k, "f_rs": i * 10,
+                         "f_end": i * 10 + 10})
+    rows.append({"fkey": "A", "f_rs": 315, "f_end": 316})
+    rows.append({"fkey": "C", "f_rs": 0, "f_end": 1000})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(37)
+    assert _overlap_keys(ds) == {"A", "C"}
 
-        clean = ray.data.from_pandas(pd.DataFrame(
-            [{"fkey": "K", "f_rs": i * 10, "f_end": i * 10 + 10}
-             for i in range(64)])).repartition(19)
-        assert _overlap_keys(clean) == set()
-    finally:
-        ctx.execution_options.preserve_order = prev
+    clean = ray.data.from_pandas(pd.DataFrame(
+        [{"fkey": "K", "f_rs": i * 10, "f_end": i * 10 + 10}
+         for i in range(64)])).repartition(19)
+    assert _overlap_keys(clean) == set()
 
 
 def test_unsealed_sliced_store_streams_clean(ray_session, tmp_path):
