@@ -154,50 +154,56 @@ def zone_prune(out_dir: str, zone_filter: dict,
     zone map for the column conservatively survive)."""
     if recs is None:
         recs = effective_records(out_dir)
-
-    def _zone_hits(z: dict, lo, hi) -> bool:
-        # a string zone may lack "max" (upper bound not representable
-        # after truncation) — that side then conservatively survives
-        zmin, zmax = z.get("min"), z.get("max")
-        if z.get("ts"):
-            # zones store str(datetime) ('YYYY-MM-DD HH:MM:SS');
-            # normalize ISO 'T' separators so lexical order holds
-            lo = None if lo is None else str(lo).replace("T", " ")
-            hi = None if hi is None else str(hi).replace("T", " ")
-        try:
-            return not ((hi is not None and zmin is not None and zmin > hi)
-                        or (lo is not None and zmax is not None
-                            and zmax < lo))
-        except TypeError:
-            raise ValueError(
-                f"zone-filter bound ({lo!r}, {hi!r}) is not comparable "
-                f"with the column's {type(zmin).__name__} zone "
-                f"values") from None
-
     keep, skipped = [], 0
     for rec in recs:
-        zones = {c["name"]: c for c in rec.columns}
-        alive = True
-        for col, bound in zone_filter.items():
-            z = zones.get(col)
-            if z is None or "min" not in z:
-                continue
-            try:
-                if isinstance(bound, list):
-                    alive = any(_zone_hits(z, v, v) for v in bound
-                                if v is not None)
-                else:
-                    lo, hi = bound
-                    alive = _zone_hits(z, lo, hi)
-            except ValueError as e:
-                raise ValueError(f"column {col!r}: {e}") from None
-            if not alive:
-                break
-        if alive:
+        if _zones_alive(rec.columns, zone_filter):
             keep.append(rec)
         else:
             skipped += 1
     return keep, skipped
+
+
+def _zone_hits(z: dict, lo, hi) -> bool:
+    # a string zone may lack "max" (upper bound not representable
+    # after truncation) — that side then conservatively survives
+    zmin, zmax = z.get("min"), z.get("max")
+    if z.get("ts"):
+        # zones store str(datetime) ('YYYY-MM-DD HH:MM:SS');
+        # normalize ISO 'T' separators so lexical order holds
+        lo = None if lo is None else str(lo).replace("T", " ")
+        hi = None if hi is None else str(hi).replace("T", " ")
+    try:
+        return not ((hi is not None and zmin is not None and zmin > hi)
+                    or (lo is not None and zmax is not None
+                        and zmax < lo))
+    except TypeError:
+        raise ValueError(
+            f"zone-filter bound ({lo!r}, {hi!r}) is not comparable "
+            f"with the column's {type(zmin).__name__} zone "
+            f"values") from None
+
+
+def _zones_alive(columns: list, zone_filter: dict) -> bool:
+    """One record's zone-map survival check — shared by the driver-side
+    ``zone_prune`` and the streamed zone decode (same logic runs inside
+    index-scan tasks there)."""
+    zones = {c["name"]: c for c in columns}
+    for col, bound in zone_filter.items():
+        z = zones.get(col)
+        if z is None or "min" not in z:
+            continue
+        try:
+            if isinstance(bound, list):
+                alive = any(_zone_hits(z, v, v) for v in bound
+                            if v is not None)
+            else:
+                lo, hi = bound
+                alive = _zone_hits(z, lo, hi)
+        except ValueError as e:
+            raise ValueError(f"column {col!r}: {e}") from None
+        if not alive:
+            return False
+    return True
 
 
 class EncodePartition:
@@ -539,8 +545,39 @@ def validate_zone_bounds(recs: list, zone_filter: dict) -> None:
     raising inside a Ray task would surface as an opaque RayTaskError.
     Shared by decode_dataset and the CLI scan-stats explain path (the
     explain must error exactly where the decode would)."""
-    ts_cols = {c["name"] for rec in recs for c in rec.columns
-               if c.get("ts")}
+    validate_zone_bounds_cols(
+        {c["name"] for rec in recs for c in rec.columns if c.get("ts")},
+        zone_filter)
+
+
+def _validate_zone_bounds_streamed(out_dir: str,
+                                   zone_filter: dict) -> None:
+    """``validate_zone_bounds`` for the streamed zone decode: the
+    timestamp column-name set comes from a distributed index scan whose
+    pulled result is O(distinct ts columns), never a driver record
+    list."""
+    import ray
+
+    from ..manifest import index_path
+
+    def ts_cols(b: pa.Table) -> pa.Table:
+        cols = set()
+        for r in b.column("json").to_pylist():
+            for c in json.loads(r)["columns"]:
+                if c.get("ts"):
+                    cols.add(c["name"])
+        return pa.table({"col": pa.array(sorted(cols), pa.string())})
+
+    found = {r["col"] for r in
+             ray.data.read_parquet(index_path(out_dir))
+             .map_batches(ts_cols, batch_format="pyarrow").take_all()}
+    validate_zone_bounds_cols(found, zone_filter)
+
+
+def validate_zone_bounds_cols(ts_cols: set, zone_filter: dict) -> None:
+    """Core of ``validate_zone_bounds`` over a pre-computed timestamp
+    column-name set (the streamed zone decode discovers it with a tiny
+    distributed aggregate instead of a driver record list)."""
     for col, bound in zone_filter.items():
         if col not in ts_cols:
             continue
@@ -982,7 +1019,16 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     require_store(out_dir)
     items: list[dict] | None
     overlay: tuple | None = None
-    if zone_filter:
+    zone_stream = False
+    if zone_filter and stream_eligible(out_dir, stream_index):
+        # zone-pruned read of a sealed store: the prune itself runs
+        # inside the index-scan tasks (one _zones_alive per record) —
+        # the driver never holds the record list, only the tiny
+        # distributed ts-column aggregate needed to validate bounds
+        items = None
+        zone_stream = True
+        _validate_zone_bounds_streamed(out_dir, zone_filter)
+    elif zone_filter:
         all_recs = effective_records(out_dir)
         validate_zone_bounds(all_recs, zone_filter)
         recs, _ = zone_prune(out_dir, zone_filter, recs=all_recs)
@@ -1173,9 +1219,14 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         return ray.data.from_pandas(pd.DataFrame())
 
     def index_to_paths(b: pa.Table) -> pa.Table:
-        return pa.table({"path": pa.array(
-            [os.path.join(out_dir, json.loads(r)["chunk_file"])
-             for r in b.column("json").to_pylist()], pa.string())})
+        paths = []
+        for r in b.column("json").to_pylist():
+            rec = json.loads(r)
+            if zone_stream and not _zones_alive(rec["columns"],
+                                                zone_filter):
+                continue  # zone-pruned inside the scan task
+            paths.append(os.path.join(out_dir, rec["chunk_file"]))
+        return pa.table({"path": pa.array(paths, pa.string())})
 
     def _keyed(path: str, frag: dict) -> dict:
         # input-order sort key recomputed from fragment identity, same

@@ -1459,6 +1459,35 @@ def test_unsealed_store_streamed_decode_and_verify(ray_session, tmp_path):
     assert fast_c.equals(slow_b)
 
 
+def test_sealed_store_zone_filter_streams(ray_session, tmp_path):
+    """zone_filter on a sealed store prunes INSIDE the streamed index
+    scan — rows and order identical to the driver-side prune, and bad
+    timestamp bounds still fail loudly on the streamed path."""
+    from json_to_parquet_ray.manifest import consolidate, stream_eligible
+
+    d = tmp_path / "src"
+    d.mkdir()
+    write_cc_parquet(str(d / "a.parquet"), 1000, seed=17, row_group_size=125)
+    out = str(tmp_path / "enc_zone")
+    encode_job(str(d), out, shared_dict_columns=None)
+    assert consolidate(out)["sealed"] is True
+    assert stream_eligible(out, True)
+
+    zf = {"lang": ("de", "en")}
+    slow = pa.concat_tables(
+        decode_dataset(out, zone_filter=zf, stream_index=False)
+        .iter_batches(batch_format="pyarrow", batch_size=4096))
+    fast = pa.concat_tables(
+        decode_dataset(out, zone_filter=zf, stream_index=True)
+        .iter_batches(batch_format="pyarrow", batch_size=4096))
+    assert fast.equals(slow)             # values AND row order
+    assert 0 < fast.num_rows <= 1000
+
+    with pytest.raises(ValueError, match="not a full literal"):
+        decode_dataset(out, zone_filter={"warc_ts": ("2024", None)},
+                       stream_index=True)
+
+
 def test_overlap_keys_boundary_stitching(ray_session):
     """_overlap_keys must find overlaps wherever the sorted blocks split
     a key — including ones visible only through the cross-block running
