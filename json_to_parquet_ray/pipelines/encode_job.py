@@ -552,26 +552,62 @@ def validate_zone_bounds(recs: list, zone_filter: dict) -> None:
 
 def _validate_zone_bounds_streamed(out_dir: str,
                                    zone_filter: dict) -> None:
-    """``validate_zone_bounds`` for the streamed zone decode: the
-    timestamp column-name set comes from a distributed index scan whose
-    pulled result is O(distinct ts columns), never a driver record
-    list."""
+    """``validate_zone_bounds`` + bound-comparability for the streamed
+    zone decode, fast and ON THE DRIVER (an in-task raise surfaces as an
+    opaque mid-stream RayTaskError — the exact UX
+    ``validate_zone_bounds`` exists to prevent):
+
+    1. sample one zone per filtered column from the index's FIRST and
+       LAST row groups (two footer-guided row-group reads, O(1) driver
+       I/O at any store size — last covers columns added late by schema
+       evolution);
+    2. dry-run the zone check against the samples so an incomparable
+       bound (``{'n': ('a','z')}`` on an int column) raises the same
+       clean ValueError the driver-side prune raises;
+    3. only a filter column absent from BOTH sampled row groups falls
+       back to a distributed early-exit scan for one record carrying it
+       (``limit(1)`` — the streaming executor stops at the first hit);
+       a column no record carries validates vacuously, matching the
+       driver path's conservative pass."""
     import ray
 
     from ..manifest import index_path
 
-    def ts_cols(b: pa.Table) -> pa.Table:
-        cols = set()
-        for r in b.column("json").to_pylist():
-            for c in json.loads(r)["columns"]:
-                if c.get("ts"):
-                    cols.add(c["name"])
-        return pa.table({"col": pa.array(sorted(cols), pa.string())})
+    def _samples_from(t: pa.Table, want: set, out: dict) -> None:
+        for raw in t.column("json").to_pylist():
+            if not want - set(out):
+                return
+            for c in json.loads(raw)["columns"]:
+                if c["name"] in want and c["name"] not in out:
+                    out[c["name"]] = c
 
-    found = {r["col"] for r in
-             ray.data.read_parquet(index_path(out_dir))
-             .map_batches(ts_cols, batch_format="pyarrow").take_all()}
-    validate_zone_bounds_cols(found, zone_filter)
+    want = set(zone_filter)
+    samples: dict[str, dict] = {}
+    pf = pq.ParquetFile(index_path(out_dir))
+    _samples_from(pf.read_row_group(0), want, samples)
+    if want - set(samples) and pf.num_row_groups > 1:
+        _samples_from(pf.read_row_group(pf.num_row_groups - 1),
+                      want, samples)
+
+    for col in sorted(want - set(samples)):  # rare: mid-store evolution
+        def has_col(b: pa.Table, col=col) -> pa.Table:
+            keep = [r for r in b.column("json").to_pylist()
+                    if any(c["name"] == col
+                           for c in json.loads(r)["columns"])]
+            return pa.table({"json": pa.array(keep, pa.string())})
+
+        hit = (ray.data.read_parquet(index_path(out_dir))
+               .map_batches(has_col, batch_format="pyarrow")
+               .limit(1).take_all())
+        if hit:
+            _samples_from(pa.table({"json": pa.array(
+                [hit[0]["json"]], pa.string())}), {col}, samples)
+
+    validate_zone_bounds_cols(
+        {c for c, z in samples.items() if z.get("ts")}, zone_filter)
+    # comparability dry-run: same code path as the in-task prune, so the
+    # same bad bound raises HERE with the clean driver message
+    _zones_alive(list(samples.values()), zone_filter)
 
 
 def validate_zone_bounds_cols(ts_cols: set, zone_filter: dict) -> None:

@@ -1486,6 +1486,18 @@ def test_sealed_store_zone_filter_streams(ray_session, tmp_path):
     with pytest.raises(ValueError, match="not a full literal"):
         decode_dataset(out, zone_filter={"warc_ts": ("2024", None)},
                        stream_index=True)
+    # an incomparable bound on a non-timestamp column must ALSO raise a
+    # clean driver-side ValueError on the streamed path (not an opaque
+    # RayTaskError mid-stream) — int bounds against lang's string zones
+    with pytest.raises(ValueError, match="not comparable"):
+        decode_dataset(out, zone_filter={"lang": (0, 9)},
+                       stream_index=True)
+    # a column no record carries validates vacuously; the exact filter
+    # then excludes every chunk's rows — identical on both paths
+    assert decode_dataset(out, zone_filter={"nope": (0, 1)},
+                          stream_index=True).count() == 0
+    assert decode_dataset(out, zone_filter={"nope": (0, 1)},
+                          stream_index=False).count() == 0
 
 
 def test_overlap_keys_boundary_stitching(ray_session):
