@@ -573,41 +573,68 @@ def _validate_zone_bounds_streamed(out_dir: str,
 
     from ..manifest import index_path
 
-    def _samples_from(t: pa.Table, want: set, out: dict) -> None:
+    def _informative(c: dict) -> bool:
+        # only entries that CARRY zone info can represent the column: an
+        # all-null slice's entry has neither 'ts' nor 'min' and must not
+        # shadow real zones (a zone-less sample would silently disable
+        # the ts literal check — empty result masquerading as success)
+        return bool(c.get("ts")) or "min" in c
+
+    def _collect(t: pa.Table, want: set) -> dict:
+        found: dict[str, dict] = {}
         for raw in t.column("json").to_pylist():
-            if not want - set(out):
-                return
             for c in json.loads(raw)["columns"]:
-                if c["name"] in want and c["name"] not in out:
-                    out[c["name"]] = c
+                n = c["name"]
+                if n in want and _informative(c):
+                    # prefer a ts-flagged sample — the flag is what the
+                    # literal validation keys on
+                    if n not in found or (c.get("ts")
+                                          and not found[n].get("ts")):
+                        found[n] = c
+        return found
 
     want = set(zone_filter)
-    samples: dict[str, dict] = {}
     pf = pq.ParquetFile(index_path(out_dir))
-    _samples_from(pf.read_row_group(0), want, samples)
-    if want - set(samples) and pf.num_row_groups > 1:
-        _samples_from(pf.read_row_group(pf.num_row_groups - 1),
-                      want, samples)
+    sample_sets = [_collect(pf.read_row_group(0), want)]
+    if pf.num_row_groups > 1:
+        sample_sets.append(
+            _collect(pf.read_row_group(pf.num_row_groups - 1), want))
 
-    for col in sorted(want - set(samples)):  # rare: mid-store evolution
-        def has_col(b: pa.Table, col=col) -> pa.Table:
-            keep = [r for r in b.column("json").to_pylist()
-                    if any(c["name"] == col
-                           for c in json.loads(r)["columns"])]
-            return pa.table({"json": pa.array(keep, pa.string())})
+    missing = want - {n for s in sample_sets for n in s}
+    if missing:  # rare: zones only in mid-store records
+        # ONE distributed scan for every still-missing column, at most
+        # one sample row per (column, batch); limit() early-exits the
+        # stream once enough candidates exist
+        def has_cols(b: pa.Table) -> pa.Table:
+            found = _collect(b, missing)
+            return pa.Table.from_pylist(
+                [{"zone": json.dumps(c)} for c in found.values()],
+                schema=pa.schema([("zone", pa.string())]))
 
-        hit = (ray.data.read_parquet(index_path(out_dir))
-               .map_batches(has_col, batch_format="pyarrow")
-               .limit(1).take_all())
-        if hit:
-            _samples_from(pa.table({"json": pa.array(
-                [hit[0]["json"]], pa.string())}), {col}, samples)
+        hits = (ray.data.read_parquet(index_path(out_dir))
+                .map_batches(has_cols, batch_format="pyarrow")
+                .limit(256).take_all())
+        fb: dict[str, dict] = {}
+        for r in hits:
+            c = json.loads(r["zone"])
+            if c["name"] not in fb or (c.get("ts")
+                                       and not fb[c["name"]].get("ts")):
+                fb[c["name"]] = c
+        sample_sets.append(fb)
+    # a column with NO informative zone anywhere validates vacuously —
+    # exact: the in-task prune skips zone-less columns, so neither a
+    # lexical ts compare nor a type error can occur for it
 
     validate_zone_bounds_cols(
-        {c for c, z in samples.items() if z.get("ts")}, zone_filter)
-    # comparability dry-run: same code path as the in-task prune, so the
-    # same bad bound raises HERE with the clean driver message
-    _zones_alive(list(samples.values()), zone_filter)
+        {n for s in sample_sets for n, z in s.items() if z.get("ts")},
+        zone_filter)
+    # comparability dry-run per sample set (first/last row group may
+    # type a zone differently under schema evolution): same code path
+    # as the in-task prune, so the same bad bound raises HERE with the
+    # clean driver message. A type flip confined to mid-store chunks is
+    # inherent to sampling and still surfaces via the in-task backstop.
+    for s in sample_sets:
+        _zones_alive(list(s.values()), zone_filter)
 
 
 def validate_zone_bounds_cols(ts_cols: set, zone_filter: dict) -> None:

@@ -1500,6 +1500,39 @@ def test_sealed_store_zone_filter_streams(ray_session, tmp_path):
                           stream_index=False).count() == 0
 
 
+def test_streamed_zone_validation_skips_null_slice_sample(ray_session,
+                                                          tmp_path):
+    """A first chunk whose timestamp column is ALL NULL carries no zone
+    info for it — the streamed validation must not let that zone-less
+    entry shadow real ts zones, or a partial literal would slip through
+    and lexically prune every chunk (empty result masquerading as
+    success)."""
+    from json_to_parquet_ray.fixtures import make_cc_table
+    from json_to_parquet_ray.manifest import consolidate, stream_eligible
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t = make_cc_table(300, seed=19)
+    nullts = t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts",
+                          pa.nulls(300, t.schema.field("warc_ts").type))
+    pq.write_table(nullts, str(d / "a.parquet"), row_group_size=300)
+    pq.write_table(make_cc_table(300, seed=23), str(d / "b.parquet"),
+                   row_group_size=300)
+    out = str(tmp_path / "enc_nullts")
+    encode_job(str(d), out, shared_dict_columns=None)
+    assert consolidate(out)["sealed"] is True
+    assert stream_eligible(out, True)
+
+    # record 0 (a.parquet) has NO warc_ts zone; the partial literal must
+    # still be rejected on the driver, exactly like the driver-side path
+    with pytest.raises(ValueError, match="not a full literal"):
+        decode_dataset(out, zone_filter={"warc_ts": ("2024", None)},
+                       stream_index=True)
+    with pytest.raises(ValueError, match="not a full literal"):
+        decode_dataset(out, zone_filter={"warc_ts": ("2024", None)},
+                       stream_index=False)
+
+
 def test_overlap_keys_boundary_stitching(ray_session):
     """_overlap_keys must find overlaps wherever the sorted blocks split
     a key — including ones visible only through the cross-block running
