@@ -1564,6 +1564,82 @@ def test_overlap_keys_boundary_stitching(ray_session):
     assert _overlap_keys(clean) == set()
 
 
+def test_unsealed_streamed_parity_fuzz(ray_session, tmp_path):
+    """Randomized unsealed stores — random partition slicing, plus a
+    second generation re-encoded with DIFFERENT slicing over the same
+    input (whole-group vs slice claims on every row group) — must decode
+    identically (rows AND order, no duplication) through the streamed
+    and the driver reconciliation paths."""
+    import random
+
+    rng = random.Random(20260819)
+    for trial in range(3):
+        d = tmp_path / f"src{trial}"
+        d.mkdir()
+        nrows = rng.choice([400, 600, 1000])
+        write_cc_parquet(str(d / "a.parquet"), nrows,
+                         seed=100 + trial,
+                         row_group_size=rng.choice([100, 200, 250]))
+        out = str(tmp_path / f"enc{trial}")
+        slicings = rng.sample([None, 40, 60, 100, 170], 2)
+        encode_job(str(d), out, shared_dict_columns=None,
+                   max_rows_per_partition=slicings[0])
+        # second generation: same input, different slicing, no resume —
+        # every row group now has overlapping claims from two
+        # generations; exactly one generation must decode
+        encode_job(str(d), out, shared_dict_columns=None,
+                   max_rows_per_partition=slicings[1], resume=False)
+
+        slow = pa.concat_tables(
+            decode_dataset(out, stream_index=False).iter_batches(
+                batch_format="pyarrow", batch_size=4096))
+        fast = pa.concat_tables(
+            decode_dataset(out, stream_index=True).iter_batches(
+                batch_format="pyarrow", batch_size=4096))
+        assert fast.equals(slow), (trial, slicings)
+        assert fast.num_rows == nrows, (trial, slicings, fast.num_rows)
+        v = verify_job(out, stream_index=True)
+        assert v["failed"] == [], (trial, slicings, v)
+
+
+def test_overlap_keys_fuzz_vs_bruteforce(ray_session):
+    """Randomized interval sets (zero-length claims, duplicate starts,
+    wide spans, many keys) across randomized block splits must match a
+    brute-force O(n²) overlap oracle exactly."""
+    import random
+
+    import pandas as pd
+    import ray
+
+    from json_to_parquet_ray.pipelines.encode_job import _overlap_keys
+
+    rng = random.Random(20260819)
+    for trial in range(12):
+        rows = []
+        nkeys = rng.randint(1, 6)
+        for ki in range(nkeys):
+            for _ in range(rng.randint(1, 40)):
+                rs = rng.randrange(0, 300)
+                ln = rng.choice([0, 1, rng.randrange(0, 50),
+                                 rng.randrange(0, 500)])
+                rows.append({"fkey": f"k{ki}", "f_rs": rs,
+                             "f_end": rs + ln})
+        expect = set()
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r["fkey"], []).append(
+                (r["f_rs"], r["f_end"]))
+        for k, iv in by_key.items():
+            if any(a != b and s1 < e2 and s2 < e1
+                   for a, (s1, e1) in enumerate(iv)
+                   for b, (s2, e2) in enumerate(iv)):
+                expect.add(k)
+        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(
+            rng.randint(1, len(rows)))
+        got = _overlap_keys(ds)
+        assert got == expect, (trial, sorted(got), sorted(expect))
+
+
 def test_unsealed_sliced_store_streams_clean(ray_session, tmp_path):
     """max_rows_per_partition slices every row group into several
     interval-DISJOINT records sharing a (path, row_group) key — claim
