@@ -1601,6 +1601,34 @@ def test_unsealed_streamed_parity_fuzz(ray_session, tmp_path):
         v = verify_job(out, stream_index=True)
         assert v["failed"] == [], (trial, slicings, v)
 
+        # now the OVERLAY shape with real conflicts: consolidate (seals
+        # the reconciled generation), then a third generation with yet
+        # another slicing lands as JSON deltas whose fragment keys
+        # collide with index records — the streamed overlay must
+        # reconcile them identically to the driver path
+        from json_to_parquet_ray.manifest import (
+            consolidate,
+            stream_eligible_overlay,
+        )
+        from json_to_parquet_ray.pipelines.encode_job import gc_job
+
+        gc_job(out)  # retire the losing generation so consolidate seals
+        assert consolidate(out)["sealed"] is True
+        third = rng.choice([s for s in [None, 40, 60, 100, 170]
+                            if s not in slicings])
+        encode_job(str(d), out, shared_dict_columns=None,
+                   max_rows_per_partition=third, resume=False)
+        assert stream_eligible_overlay(out, True)
+        slow_o = pa.concat_tables(
+            decode_dataset(out, stream_index=False).iter_batches(
+                batch_format="pyarrow", batch_size=4096))
+        fast_o = pa.concat_tables(
+            decode_dataset(out, stream_index=True).iter_batches(
+                batch_format="pyarrow", batch_size=4096))
+        assert fast_o.equals(slow_o), (trial, slicings, third)
+        assert fast_o.num_rows == nrows, (trial, slicings, third)
+        assert verify_job(out, stream_index=True)["failed"] == []
+
 
 def test_overlap_keys_fuzz_vs_bruteforce(ray_session):
     """Randomized interval sets (zero-length claims, duplicate starts,
