@@ -148,6 +148,50 @@ def test_simhash_pairs_ray(ray_session):
     assert not any(2 in p for p in got)
 
 
+def test_simhash_kernel_matches_naive_reference():
+    """The counts-matmul vote kernel must be bit-identical to a naive
+    per-doc Python SimHash (md5-low64 tokens, majority bit vote) on
+    every edge shape, and invariant to batch layout."""
+    import hashlib
+
+    def naive(texts):
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            votes = [0] * 64
+            for tok in toks:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[8:16], "little")
+                for j in range(64):
+                    votes[j] += 1 if (h >> j) & 1 else -1
+            out.append(sum(1 << j for j in range(64) if votes[j] > 0))
+        return out
+
+    texts = [
+        "the quick brown fox the the THE",   # repeated tokens, case fold
+        "",                                   # empty
+        None,                                 # null
+        "   \t  ",                            # whitespace-only → no tokens
+        " ".join(f"w{i}" for i in range(500)),  # high vocab
+        "solo",
+        "a b a b a b a b c",
+    ]
+    want = np.array(naive(texts), np.uint64)
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = dedup.SimHash("text")(tbl).column("simhash") \
+        .to_numpy().astype(np.uint64)
+    assert np.array_equal(got, want)
+    # layout invariance: each slice, processed alone, agrees
+    for lo, hi in [(0, 3), (3, 5), (5, 7), (2, 6)]:
+        part = dedup.SimHash("text")(tbl.slice(lo, hi - lo)) \
+            .column("simhash").to_numpy().astype(np.uint64)
+        assert np.array_equal(part, want[lo:hi])
+
+
 def test_ann_brute_force_and_ivf(ray_session):
     import ray
 
