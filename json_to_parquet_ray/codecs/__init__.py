@@ -19,6 +19,8 @@ from .plain import (
     ConstantCodec,
     Lz4Codec,
     PlainCodec,
+    Zstd3Codec,
+    Zstd6Codec,
     ZstdCodec,
     ZstdHiCodec,
 )
@@ -31,7 +33,8 @@ def register(codec: type[Codec]) -> None:
     _REGISTRY[codec.name] = codec
 
 
-for _c in (PlainCodec, ZstdCodec, ZstdHiCodec, Lz4Codec, ConstantCodec,
+for _c in (PlainCodec, ZstdCodec, ZstdHiCodec, Zstd3Codec, Zstd6Codec,
+           Lz4Codec, ConstantCodec,
            BssCodec, AlpCodec, ForBitPackCodec, DeltaCodec, RleCodec,
            DictCodec, FsstCodec):
     register(_c)

@@ -77,6 +77,20 @@ class ZstdHiCodec(Codec):
         return ipc_read(payload)
 
 
+class Zstd3Codec(ZstdHiCodec):
+    """IPC + zstd level 3 (zstd's own default). Measured on CC text it
+    compresses slightly BETTER than level 1 (larger match window) at
+    ~4x level-9 throughput — the planner's sweet spot for long text."""
+
+    name = "zstd3"
+    _level = 3
+
+
+class Zstd6Codec(ZstdHiCodec):
+    name = "zstd6"
+    _level = 6
+
+
 class Lz4Codec(PlainCodec):
     name = "lz4"
     _compression = "lz4"

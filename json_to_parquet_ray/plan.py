@@ -29,6 +29,8 @@ COST_WEIGHT = {
     "plain": 1.00,
     "zstd": 1.02,
     "zstd9": 1.12,  # level-9 zstd: ~3-5x slower encode than level 1
+    "zstd3": 1.04,  # zstd default level: ~95 MB/s on CC text (w=1+3.6/MBps)
+    "zstd6": 1.07,  # ~54 MB/s on CC text
     "lz4": 1.01,
     "forbp": 0.98,
     "delta": 0.98,
@@ -112,6 +114,10 @@ def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, str, dic
     """(label, codec_name, kwargs) candidate triples."""
     out: list[tuple[str, str, dict]] = [
         ("plain", "plain", {}), ("zstd", "zstd", {}), ("zstd9", "zstd9", {}),
+        ("zstd3", "zstd3", {}), ("zstd6", "zstd6", {}),  # intermediate
+        # levels: measured on CC text, zstd-3 beats BOTH level 1 (better
+        # ratio — bigger match window) and level 9 (4x throughput) on the
+        # weighted score, so the frontier needs the middle points
         ("lz4", "lz4", {}),  # decode-speed point on the frontier
     ]
     string_like = (pa.types.is_string(t) or pa.types.is_large_string(t)

@@ -165,7 +165,8 @@ _CODEC_FAMILY = {
     "delta": "int-light", "forbp": "int-light", "rle": "int-light",
     "constant": "int-light", "alp": "float", "bss": "float",
     "dict": "dict", "fsst": "fsst", "fsst+z": "fsst",
-    "zstd": "general", "zstd9": "general", "lz4": "general",
+    "zstd": "general", "zstd9": "general", "zstd3": "general",
+    "zstd6": "general", "lz4": "general",
     "plain": "plain",
 }
 
