@@ -1295,7 +1295,8 @@ QUERIES = {
 # with the driver. Round 4 swapped roundtrip_orders and
 # roundtrip_documents_pruned out (pruning coverage remains in the
 # registered zonemap_pruned_scan + keyed_store_en) to make room for
-# top_bigrams (hard oracle) and bpe_tokenize (rows-only), the one
+# top_bigrams (hard oracle) and bpe_tokenize (rows-only then; round 5
+# gave it the golden-table oracle below), the one
 # operator family that previously had no CORRECTNESS row.
 RETIRED_QUERIES = {
     # distinct_lang retired round 4 for bloom_pruned_lookup: distinct-set
