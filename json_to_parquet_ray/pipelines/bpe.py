@@ -201,11 +201,16 @@ class BpeEncoder:
         counts = np.zeros(len(batch), np.int64)
         id_strs = np.full(len(batch), "", object)
         if len(exploded):
-            per_tok = exploded.map(lambda w: enc[w][0]).astype("int64")
+            # plain-dict maps keep pandas on its C-speed hashtable path;
+            # a lambda per token occurrence would pay a Python call for
+            # every word of every document
+            lens = {w: e[0] for w, e in enc.items()}
+            per_tok = exploded.map(lens).astype("int64")
             sums = per_tok.groupby(level=0).sum()
             counts[sums.index.to_numpy()] = sums.to_numpy()
             if self.emit_ids:
-                per_ids = exploded.map(lambda w: enc[w][1])
+                ids = {w: e[1] for w, e in enc.items()}
+                per_ids = exploded.map(ids)
                 joined = per_ids.groupby(level=0).agg(",".join)
                 id_strs[joined.index.to_numpy()] = joined.to_numpy()
         out = batch.append_column(self.out, pa.array(counts))

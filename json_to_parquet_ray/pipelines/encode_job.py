@@ -602,23 +602,26 @@ def _validate_zone_bounds_streamed(out_dir: str,
 
     missing = want - {n for s in sample_sets for n in s}
     if missing:  # rare: zones only in mid-store records
-        # ONE distributed scan for every still-missing column, at most
-        # one sample row per (column, batch); limit() early-exits the
-        # stream once enough candidates exist
-        def has_cols(b: pa.Table) -> pa.Table:
-            found = _collect(b, missing)
-            return pa.Table.from_pylist(
-                [{"zone": json.dumps(c)} for c in found.values()],
-                schema=pa.schema([("zone", pa.string())]))
-
-        hits = (ray.data.read_parquet(index_path(out_dir))
-                .map_batches(has_cols, batch_format="pyarrow")
-                .limit(256).take_all())
+        # one early-exit scan PER still-missing column (missing is the
+        # schema-evolution tail of the user's zone_filter — a handful at
+        # most). A single scan with a shared row cap could starve a rare
+        # column behind a common one (256 samples of the common column
+        # arrive before the rare column's first batch), silently
+        # skipping its validation; per-column limit(1) is exact and the
+        # streaming executor stops each scan at its first hit.
         fb: dict[str, dict] = {}
-        for r in hits:
-            c = json.loads(r["zone"])
-            if c["name"] not in fb or (c.get("ts")
-                                       and not fb[c["name"]].get("ts")):
+        for col in sorted(missing):
+            def has_col(b: pa.Table, col=col) -> pa.Table:
+                found = _collect(b, {col})
+                return pa.Table.from_pylist(
+                    [{"zone": json.dumps(c)} for c in found.values()],
+                    schema=pa.schema([("zone", pa.string())]))
+
+            hits = (ray.data.read_parquet(index_path(out_dir))
+                    .map_batches(has_col, batch_format="pyarrow")
+                    .limit(1).take_all())
+            for r in hits:
+                c = json.loads(r["zone"])
                 fb[c["name"]] = c
         sample_sets.append(fb)
     # a column with NO informative zone anywhere validates vacuously —
@@ -944,17 +947,26 @@ def _unsealed_scan_inner(out_dir: str):
         for sd in b.column("shard").to_pylist():
             try:
                 names = sorted(os.listdir(sd))
-            except OSError:
+            except FileNotFoundError:
+                # vanished shard dir (concurrent gc of an emptied shard)
+                # — the driver path's isdir() guard skips exactly this.
+                # Any OTHER OSError (permissions, I/O) propagates and
+                # fails the read task loudly: swallowing it here would
+                # silently drop every partition in the shard from decode
+                # and let verify pass vacuously over the survivors.
                 continue
             for name in names:
                 if not (name.startswith("part-")
                         and name.endswith(".json")):
                     continue
+                # open/read errors propagate (driver parity:
+                # load_delta_records catches only decode/Type errors —
+                # an unreadable-but-present record is NOT "torn")
+                with open(os.path.join(sd, name)) as f:
+                    raw = f.read()
                 try:
-                    with open(os.path.join(sd, name)) as f:
-                        raw = f.read()
                     rec = PartitionRecord(**json.loads(raw))
-                except (json.JSONDecodeError, TypeError, OSError):
+                except (json.JSONDecodeError, TypeError):
                     continue  # torn record → partition re-encodes
                 frags = rec.source_fragments
                 merged = 1 if "merged" in rec.fragment else 0
@@ -1291,13 +1303,14 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
             paths.append(os.path.join(out_dir, rec["chunk_file"]))
         return pa.table({"path": pa.array(paths, pa.string())})
 
-    def _keyed(path: str, frag: dict) -> dict:
-        # input-order sort key recomputed from fragment identity, same
-        # rule as PartitionRecord.sort_key (first source fragment)
-        f = frag["merged"][0] if "merged" in frag else frag
-        return {"path": path, "sk_path": f["path"],
-                "sk_rg": int(f["row_group"]),
-                "sk_rs": int(f.get("row_start", 0))}
+    def _keyed(r) -> dict:
+        # input-order sort key taken from the record itself — ONE rule
+        # (PartitionRecord.sort_key), not a fourth hand-rolled copy that
+        # could drift from the scan paths' keys
+        sk_path, sk_rg, sk_rs = r.sort_key
+        return {"path": os.path.join(out_dir, r.chunk_file),
+                "sk_path": sk_path, "sk_rg": int(sk_rg),
+                "sk_rs": int(sk_rs)}
 
     def _overlay_paths():
         clean, extra = overlay
@@ -1308,8 +1321,7 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         ds = clean.map_batches(keyed_only, batch_format="pyarrow")
         if extra:
             ex = pa.Table.from_pylist(
-                [_keyed(os.path.join(out_dir, r.chunk_file), r.fragment)
-                 for r in extra], schema=_KEYED_SCHEMA)
+                [_keyed(r) for r in extra], schema=_KEYED_SCHEMA)
             ds = ds.union(ray.data.from_arrow(ex))
         # global input order restored by a distributed sort of the tiny
         # work items (path + key ≈ 100 B/partition) — the rows themselves

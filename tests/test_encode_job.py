@@ -1533,6 +1533,54 @@ def test_streamed_zone_validation_skips_null_slice_sample(ray_session,
                        stream_index=False)
 
 
+def test_streamed_zone_validation_finds_mid_store_column(ray_session,
+                                                         tmp_path):
+    """A zone-filter column that exists ONLY in mid-store records (schema
+    evolution) is absent from the index's first AND last row groups, so
+    the streamed validation's fallback scan is its only chance: it must
+    find the column's ts-flagged zone and reject a partial literal with
+    the clean driver ValueError — a starved/vacuous fallback would defer
+    the error to an opaque mid-stream task failure (or prune silently).
+    Layout: 256 base records, 2 evolved records carrying ``crawl_ts``,
+    256 base records → 3 index row groups (256 rows each), evolved rows
+    strictly inside the middle one."""
+    from json_to_parquet_ray.manifest import (consolidate, index_path,
+                                              stream_eligible)
+
+    src = tmp_path / "evo_mid"
+    src.mkdir()
+    pq.write_table(make_cc_table(256, seed=7),
+                   str(src / "a_base.parquet"))
+    mid = make_cc_table(2, seed=8).append_column(
+        "crawl_ts", pa.array([1_700_000_000_000_000,
+                              1_700_000_001_000_000],
+                             pa.timestamp("us")))
+    pq.write_table(mid, str(src / "m_mid.parquet"))
+    pq.write_table(make_cc_table(256, seed=9),
+                   str(src / "z_base.parquet"))
+
+    out = str(tmp_path / "enc_evo_mid")
+    encode_job(str(src), out, shared_dict_columns=None,
+               max_rows_per_partition=1)
+    assert consolidate(out)["sealed"] is True
+    assert stream_eligible(out, True)
+    # 514 records at 256 rows/row-group → first and last row groups are
+    # base-schema only (the precondition that forces the fallback scan)
+    pf = pq.ParquetFile(index_path(out))
+    assert pf.num_row_groups >= 3
+
+    import json as _json
+    for rg in (0, pf.num_row_groups - 1):
+        names = {c["name"]
+                 for raw in pf.read_row_group(rg).column("json").to_pylist()
+                 for c in _json.loads(raw)["columns"]}
+        assert "crawl_ts" not in names
+
+    with pytest.raises(ValueError, match="not a full literal"):
+        decode_dataset(out, zone_filter={"crawl_ts": ("2024", None)},
+                       stream_index=True)
+
+
 def test_overlap_keys_boundary_stitching(ray_session):
     """_overlap_keys must find overlaps wherever the sorted blocks split
     a key — including ones visible only through the cross-block running
