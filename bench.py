@@ -111,15 +111,26 @@ def main() -> None:
     # the same table sliced into ~1k partitions both ways and derive
     # marginal ms/partition against the 16-partition runs above.
     if os.environ.get("GRAFT_BENCH_ONLY") != "encode":  # skip in scaling runs
+        from json_to_parquet_ray.manifest import load_manifest
+
         am: dict[str, float] = {}
-        for label, cols in (("stateless", None), ("shared", ["lang"])):
+        udf_ms: dict[str, float] = {}
+        for label, kw in (("stateless", {}),
+                          ("shared", {"shared_dict_columns": ["lang"]}),
+                          ("shared_plan", {"shared_plan": True})):
             d = os.path.join(CC_BASE, f"enc_amort_{label}_{NUM_CPUS}")
             shutil.rmtree(d, ignore_errors=True)
-            s, summ = timed(lambda cols=cols, d=d: encode_job(
-                cc_dir, d, shared_dict_columns=cols,
-                max_rows_per_partition=40))
+            s, summ = timed(lambda kw=kw, d=d: encode_job(
+                cc_dir, d, max_rows_per_partition=40, **kw))
             am[label] = s
             am[f"{label}_parts"] = summ["partitions_total"]
+            # per-partition UDF time from the manifest: the per-CORE cost
+            # that scales to 10^7 partitions — wall at 1k sandbox
+            # partitions is dominated by task dispatch, which amortizes
+            # at real partition sizes
+            recs = load_manifest(d)
+            udf_ms[label] = round(sum(r.wall_time_s for r in recs.values())
+                                  / max(len(recs), 1) * 1000, 1)
         parts_1k = am["stateless_parts"]
         parts_16 = extra["cc_partitions"]
         marg_stateless = (am["stateless"] - queries["encode_cc"]) / max(
@@ -128,6 +139,7 @@ def main() -> None:
             parts_1k - parts_16, 1) * 1000
         queries["encode_cc_1k_parts"] = round(am["stateless"], 3)
         queries["encode_cc_shared_dict_1k_parts"] = round(am["shared"], 3)
+        queries["encode_cc_shared_plan_1k_parts"] = round(am["shared_plan"], 3)
         extra["amortization"] = {
             "partitions": int(parts_1k),
             "marginal_ms_per_part_stateless": round(marg_stateless, 2),
@@ -137,6 +149,10 @@ def main() -> None:
             "marginal_ratio_shared_vs_stateless": (
                 round(marg_shared / marg_stateless, 3)
                 if marg_stateless > 0 else None),
+            "udf_ms_per_part": udf_ms,
+            "udf_ratio_shared_plan_vs_stateless": (
+                round(udf_ms["shared_plan"] / udf_ms["stateless"], 3)
+                if udf_ms.get("stateless") else None),
         }
 
     sec, _ = timed(lambda: decode_dataset(out_dir).count())

@@ -105,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--consolidate", action="store_true",
                      help="fold the manifest into one parquet index "
                           "after the job completes (see `consolidate`)")
+    enc.add_argument("--shared-plan", action="store_true",
+                     help="plan codecs once from a fragment sample and "
+                          "broadcast the plan (scale mode for homogeneous "
+                          "corpora) instead of per-partition trial encodes")
 
     ver = sub.add_parser("verify", help="bit-identical decode verification")
     ver.add_argument("out_dir")
@@ -223,7 +227,8 @@ def main(argv: list[str] | None = None) -> int:
                                      if args.shared_fsst else None),
                                  bloom_columns=blooms,
                                  max_rows_per_partition=args.max_rows_per_partition,
-                                 consolidate_manifest=args.consolidate)
+                                 consolidate_manifest=args.consolidate,
+                                 shared_plan=args.shared_plan)
             print(json.dumps(summary))
         elif args.cmd == "cluster":
             from .pipelines.encode_job import cluster_job

@@ -41,11 +41,76 @@ from ..manifest import (
     write_atomic,
     write_record,
 )
-from ..plan import CodecPlan, plan_from_stats
+from ..plan import CodecPlan, ColumnPlan, plan_from_stats
 from ..shuffle import distinct_values, distinct_values_multi
 from ..stats import compute_stats, compute_stats_table
 
 SHARED_DICT_MAX_CARD = 1024
+
+# store-level shared plan: sample size knobs. O(1) in the store size —
+# the sample is a fixed number of fragments regardless of input scale.
+PLAN_SAMPLE_FRAGS = 16
+PLAN_SAMPLE_ROWS = 4096
+
+
+def build_shared_plan(frags: list[FragmentRef],
+                      file_schemas: dict[str, pa.Schema]) -> CodecPlan | None:
+    """Plan codecs ONCE for the whole store from a deterministic fragment
+    sample, instead of re-running trial encodes per partition.
+
+    Motivation (round-5 profile): ``plan_from_stats`` costs ~40-55 ms per
+    partition *even on tiny partitions* — FSST trial training plus Arrow
+    IPC writer setup dominate — which at 10^6+ partitions is pure
+    redundant work when the corpus is homogeneous. The shared plan is a
+    strided sample of ``PLAN_SAMPLE_FRAGS`` fragments (first
+    ``PLAN_SAMPLE_ROWS`` rows each), statted in parallel Ray tasks,
+    merged, planned on the driver, then broadcast via ``ray.put``.
+
+    Correctness is codec-agnostic (decode is bit-identical under any
+    codec), so a shared plan can only change SIZE, never values; columns
+    the plan does not cover — or whose chunk type the planned codec
+    cannot encode (schema evolution / type drift) — fall back to
+    per-chunk planning inside ``EncodePartition._plan_for``. The
+    ``constant`` codec is chunk-local evidence by definition (a column
+    constant in the sample need not be constant everywhere), so constant
+    entries are dropped here and re-detected per chunk.
+    """
+    import ray
+
+    from ..stats import merge_partials, stats_partial_batch
+
+    if not frags:
+        return None
+    stride = max(1, len(frags) // PLAN_SAMPLE_FRAGS)
+    picks = frags[::stride][:PLAN_SAMPLE_FRAGS]
+    items = [{"path": f.path, "row_group": f.row_group,
+              "num_rows": f.num_rows, "row_start": f.row_start}
+             for f in picks]
+
+    def sample_stats(batch: pa.Table) -> pa.Table:
+        out = []
+        for item in batch.to_pylist():
+            pf = pq.ParquetFile(item["path"])
+            t = pf.read_row_group(item["row_group"])
+            if item["row_start"] or item["num_rows"] < t.num_rows:
+                t = t.slice(item["row_start"], item["num_rows"])
+            out.append(stats_partial_batch(t.slice(0, PLAN_SAMPLE_ROWS)))
+        return pa.concat_tables(out)
+
+    parts = (ray.data.from_items(items, override_num_blocks=len(items))
+             .map_batches(sample_stats, batch_size=1, batch_format="pyarrow")
+             .take_all())  # bounded: one tiny pickled partial per (frag, col)
+    stats = merge_partials([r["partial"] for r in parts])
+    from ..schema_infer import unify
+
+    # union schema across files (footers already read by list_fragments);
+    # a cross-file type conflict widens to string here, and the per-column
+    # can_encode fallback in _plan_for keeps such columns chunk-planned
+    schema = unify(list(file_schemas.values()))
+    plan = plan_from_stats(stats, schema)
+    plan.columns = {c: p for c, p in plan.columns.items()
+                    if p.codec != "constant"}
+    return plan
 
 
 def list_fragments(paths: list[str] | str,
@@ -219,7 +284,8 @@ class EncodePartition:
     """
 
     def __init__(self, out_dir: str, shared_dicts_ref=None,
-                 shared_fsst_ref=None, bloom_columns=None):
+                 shared_fsst_ref=None, bloom_columns=None,
+                 shared_plan_ref=None):
         import ray
 
         from ..codecs.fsst import FsstEncoder
@@ -229,6 +295,12 @@ class EncodePartition:
         self.shared_dicts: dict[str, pa.Array] = (
             ray.get(shared_dicts_ref) if shared_dicts_ref is not None else {}
         )
+        # store-level codec plan (build_shared_plan), fetched once per
+        # actor — per-partition planning then runs only for columns the
+        # plan can't cover
+        self.shared_plan: CodecPlan | None = (
+            ray.get(shared_plan_ref) if shared_plan_ref is not None else None
+        )
         # column → compiled FsstEncoder, built once per actor from the
         # broadcast symbol tables
         self.shared_fsst: dict[str, object] = {}
@@ -237,9 +309,30 @@ class EncodePartition:
             self.shared_fsst = {c: FsstEncoder(t) for c, t in tables.items()}
 
     def _plan_for(self, table: pa.Table) -> CodecPlan:
-        stats = compute_stats_table(table)
-        plan = plan_from_stats(stats, table.schema)
-        return plan
+        if self.shared_plan is None:
+            stats = compute_stats_table(table)
+            return plan_from_stats(stats, table.schema)
+        from ..codecs import get_codec
+
+        cols: dict[str, ColumnPlan] = {}
+        rest: list[str] = []
+        for field in table.schema:
+            cp = self.shared_plan.columns.get(field.name)
+            # fresh copy per partition: _encode_with_shared mutates the
+            # ColumnPlan in place (dict/fsst overrides), and the shared
+            # plan object is actor-lifetime state
+            if (cp is not None and cp.codec != "constant"
+                    and get_codec(cp.codec).can_encode(field.type)):
+                cols[field.name] = ColumnPlan(
+                    cp.column, cp.codec, dict(cp.kwargs),
+                    cp.est_ratio, cp.candidates)
+            else:
+                rest.append(field.name)
+        if rest:
+            sub_schema = pa.schema([table.schema.field(n) for n in rest])
+            stats = compute_stats_table(table.select(rest))
+            cols.update(plan_from_stats(stats, sub_schema).columns)
+        return CodecPlan(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -319,8 +412,17 @@ def encode_job(
     concurrency: int | tuple | None = None,
     max_rows_per_partition: int | None = None,
     consolidate_manifest: bool = False,
+    shared_plan: bool = False,
 ) -> dict:
     """Run the full encode pipeline; returns a summary dict.
+
+    ``shared_plan=True`` plans codecs ONCE from a deterministic fragment
+    sample and broadcasts the plan to every encode task (see
+    ``build_shared_plan``) — the scale mode for homogeneous corpora,
+    removing the ~40-55 ms per-partition planning fixed cost. Columns the
+    shared plan can't cover (schema evolution, type drift, sampled-
+    constant) still plan per chunk, so output stays bit-identical on
+    decode either way.
 
     ``bloom_columns`` (list, or "auto" = every string/integer column)
     writes per-chunk split-block Bloom filters so later equality scans
@@ -462,13 +564,20 @@ def encode_job(
             tables[coln] = train(buf)
         fsst_ref = ray.put(tables)
 
+    plan_ref = None
+    plan_obj = None
+    if work and shared_plan:
+        plan_obj = build_shared_plan(frags, file_schemas)
+        if plan_obj is not None:
+            plan_ref = ray.put(plan_obj)
+
     summary_rows = []
     # EncodePartition takes the sentinel as a list; normalize ONCE here
     # so the stateless and actor branches can't drift
     _bc = ["auto"] if bloom_columns == "auto" else bloom_columns
     if work:
         items = ray.data.from_items(work, override_num_blocks=len(work))
-        if shared_ref is None and fsst_ref is None:
+        if shared_ref is None and fsst_ref is None and plan_ref is None:
             # stateless → plain tasks reuse the already-warm worker pool
             def encode_item(batch: pa.Table) -> pa.Table:
                 return EncodePartition(out_dir, bloom_columns=_bc)(batch)
@@ -486,7 +595,8 @@ def encode_job(
                 fn_constructor_kwargs={"out_dir": out_dir,
                                        "shared_dicts_ref": shared_ref,
                                        "shared_fsst_ref": fsst_ref,
-                                       "bloom_columns": _bc},
+                                       "bloom_columns": _bc,
+                                       "shared_plan_ref": plan_ref},
                 batch_size=1,
                 batch_format="pyarrow",
                 concurrency=conc,
@@ -517,6 +627,11 @@ def encode_job(
         "shared_fsst_columns": sorted(shared_fsst_columns or []),
         "bloom_columns": ("auto" if bloom_columns == "auto"
                           else sorted(bloom_columns or [])),
+        # the broadcast plan's codec per column, for observability
+        # (None when per-chunk planning ran) — kwargs/dictionaries are
+        # deliberately not serialized into the job summary
+        "shared_plan": ({c: p.codec for c, p in plan_obj.columns.items()}
+                        if plan_obj is not None else None),
         "manifest_records": len(manifest),
     }
     if consolidate_manifest:

@@ -2076,3 +2076,73 @@ def test_cluster_job_staging_invalidated_by_mtime(ray_session, tmp_path):
                      max_rows_per_partition=250)
     assert s2.get("partitions_skipped_resume", 0) == 0
     assert decode_dataset(out).count() == 500
+
+
+def test_encode_job_shared_plan_roundtrip(ray_session, cc_parquet, tmp_path):
+    """shared_plan=True: one broadcast plan, bit-identical roundtrip, and
+    every partition's covered columns actually used the planned codec."""
+    out = str(tmp_path / "enc_sp")
+    summary = encode_job(cc_parquet, out, shared_plan=True)
+    assert summary["partitions_encoded"] == 4
+    plan = summary["shared_plan"]
+    assert plan and set(plan) == {"url", "warc_ts", "html", "text", "lang"}
+    assert "constant" not in plan.values()
+    assert verify_job(out)["failed"] == []
+    for rec in load_manifest(out).values():
+        codecs = {c["name"]: c["codec"] for c in rec.columns}
+        for col, codec in plan.items():
+            assert codecs[col] == codec, (col, codecs[col], codec)
+    # value parity with the source (ordering-insensitive)
+    import pandas as pd
+
+    dec = decode_dataset(out).to_pandas().sort_values("url", kind="stable")
+    src = pq.read_table(cc_parquet).to_pandas().sort_values(
+        "url", kind="stable")
+    pd.testing.assert_frame_equal(dec.reset_index(drop=True)[sorted(dec.columns)],
+                                  src.reset_index(drop=True)[sorted(src.columns)])
+
+
+def test_shared_plan_constant_sanitized(ray_session, tmp_path):
+    """A column constant in the SAMPLE but not globally must not be
+    planned 'constant' store-wide (chunk-local evidence only): the shared
+    plan drops it and per-chunk planning takes over — roundtrip stays
+    bit-identical."""
+    from json_to_parquet_ray.pipelines.encode_job import PLAN_SAMPLE_ROWS
+
+    n = PLAN_SAMPLE_ROWS + 1000  # first PLAN_SAMPLE_ROWS rows constant
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "c": pa.array(["x"] * PLAN_SAMPLE_ROWS
+                      + [f"y{i}" for i in range(1000)]),
+    })
+    src = str(tmp_path / "const.parquet")
+    pq.write_table(t, src, row_group_size=n)  # ONE row group = one sample
+    out = str(tmp_path / "enc_const")
+    summary = encode_job(src, out, shared_plan=True)
+    assert "c" not in summary["shared_plan"]  # sanitized, not 'constant'
+    assert verify_job(out)["failed"] == []
+    dec = decode_dataset(out).to_pandas().sort_values("k")
+    assert dec["c"].tolist() == t.column("c").to_pylist()
+
+
+def test_shared_plan_type_fallback(ray_session, tmp_path):
+    """A chunk whose column type the shared plan's codec cannot encode
+    (schema evolution / type drift across files) falls back to per-chunk
+    planning for that column — no failure, bit-identical decode."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.encode_job import EncodePartition
+    from json_to_parquet_ray.plan import CodecPlan, ColumnPlan
+
+    # shared plan says forbp (int-only) for 'v' and covers no 'extra'
+    plan = CodecPlan({"v": ColumnPlan("v", "forbp")})
+    ref = ray.put(plan)
+    enc = EncodePartition(str(tmp_path), shared_plan_ref=ref)
+    t = pa.table({"v": pa.array(["a", "b", "b"]),  # string: forbp can't
+                  "extra": pa.array([1, 2, 3], pa.int64())})
+    got = enc._plan_for(t)
+    assert got.columns["v"].codec != "forbp"
+    assert "extra" in got.columns  # uncovered column got a per-chunk plan
+    # and an int chunk DOES take the shared forbp plan
+    t2 = pa.table({"v": pa.array([1, 2, 3], pa.int64())})
+    assert enc._plan_for(t2).columns["v"].codec == "forbp"
