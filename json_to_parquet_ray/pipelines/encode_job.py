@@ -90,10 +90,8 @@ def build_shared_plan(frags: list[FragmentRef],
     def sample_stats(batch: pa.Table) -> pa.Table:
         out = []
         for item in batch.to_pylist():
-            pf = pq.ParquetFile(item["path"])
-            t = pf.read_row_group(item["row_group"])
-            if item["row_start"] or item["num_rows"] < t.num_rows:
-                t = t.slice(item["row_start"], item["num_rows"])
+            t = read_fragment(item["path"], item["row_group"],
+                              item["num_rows"], item["row_start"])
             out.append(stats_partial_batch(t.slice(0, PLAN_SAMPLE_ROWS)))
         return pa.concat_tables(out)
 
@@ -111,6 +109,60 @@ def build_shared_plan(frags: list[FragmentRef],
     plan.columns = {c: p for c, p in plan.columns.items()
                     if p.codec != "constant"}
     return plan
+
+
+_RG_CACHE: dict[tuple, pa.Table] = {}
+_RG_CACHE_BYTES = 0
+_RG_CACHE_MAX = 64 << 20  # per worker process; 32 workers → ≤2 GiB heap
+_RG_CACHE_LOCK = None  # created lazily (threading import at module import
+# would be free, but the lock is only needed in worker processes)
+
+
+def read_fragment(path: str, row_group: int, num_rows: int,
+                  row_start: int = 0) -> pa.Table:
+    """Read one fragment (row group, or a row slice of one).
+
+    Parquet's decode unit is the row group, so a SLICED fragment
+    (``max_rows_per_partition`` splitting) re-decodes the whole group per
+    slice — 63 re-reads of the same 22 MB group at the bench's 40-row
+    slicing, ~75% of the per-partition cost once planning is shared. A
+    worker-process LRU keyed by (path, mtime, size, row_group) caches the
+    decoded group ONLY when the fragment is a slice (whole-group
+    fragments are read exactly once — caching them would only evict
+    useful entries). Byte-bounded; groups larger than half the bound are
+    never cached (real-scale groups can exceed the whole bound). Tables
+    are immutable, so sharing one across slices is safe.
+    """
+    global _RG_CACHE_BYTES, _RG_CACHE_LOCK
+    if _RG_CACHE_LOCK is None:
+        import threading
+
+        _RG_CACHE_LOCK = threading.Lock()
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size, row_group)
+    with _RG_CACHE_LOCK:
+        table = _RG_CACHE.get(key)
+        if table is not None:
+            # move-to-end = LRU refresh (dict preserves insertion order)
+            del _RG_CACHE[key]
+            _RG_CACHE[key] = table
+    if table is None:
+        table = pq.ParquetFile(path).read_row_group(row_group)
+        sliced = row_start or num_rows < table.num_rows
+        if sliced and table.nbytes <= _RG_CACHE_MAX // 2:
+            with _RG_CACHE_LOCK:
+                if key not in _RG_CACHE:  # idempotent: a concurrent read
+                    # of the same group must not double-count the bytes
+                    _RG_CACHE[key] = table
+                    _RG_CACHE_BYTES += table.nbytes
+                while _RG_CACHE_BYTES > _RG_CACHE_MAX and len(_RG_CACHE) > 1:
+                    old_key = next(iter(_RG_CACHE))
+                    if old_key == key:
+                        break
+                    _RG_CACHE_BYTES -= _RG_CACHE.pop(old_key).nbytes
+    if row_start or num_rows < table.num_rows:
+        table = table.slice(row_start, num_rows)
+    return table
 
 
 def list_fragments(paths: list[str] | str,
@@ -346,10 +398,8 @@ class EncodePartition:
         frag = FragmentRef(item["path"], item["row_group"], item["num_rows"],
                            item.get("row_start", 0))
         pid = item["partition_id"]
-        pf = pq.ParquetFile(frag.path)
-        table = pf.read_row_group(frag.row_group)
-        if frag.row_start or frag.num_rows < table.num_rows:
-            table = table.slice(frag.row_start, frag.num_rows)
+        table = read_fragment(frag.path, frag.row_group, frag.num_rows,
+                              frag.row_start)
         plan = self._plan_for(table)
         # shared dictionaries override the per-chunk choice where available
         blob, header = self._encode_with_shared(table, plan)
@@ -1914,10 +1964,9 @@ def verify_job(out_dir: str, stream_index: bool | None = None) -> dict:
                                 f"bloom CRC mismatch for column {c['name']}")
                 parts = []
                 for src in json.loads(item["sources"]):
-                    t = pq.ParquetFile(src["path"]).read_row_group(
-                        src["row_group"])
-                    parts.append(t.slice(src.get("row_start", 0),
-                                         src["num_rows"]))
+                    parts.append(read_fragment(
+                        src["path"], src["row_group"], src["num_rows"],
+                        src.get("row_start", 0)))
                 original = pa.concat_tables(parts)
                 ok = decoded.equals(original.cast(decoded.schema)
                                     .combine_chunks())
