@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import zlib
 from dataclasses import asdict
@@ -114,8 +115,8 @@ def build_shared_plan(frags: list[FragmentRef],
 _RG_CACHE: dict[tuple, pa.Table] = {}
 _RG_CACHE_BYTES = 0
 _RG_CACHE_MAX = 64 << 20  # per worker process; 32 workers → ≤2 GiB heap
-_RG_CACHE_LOCK = None  # created lazily (threading import at module import
-# would be free, but the lock is only needed in worker processes)
+_RG_CACHE_LOCK = threading.Lock()  # created at import: lazy creation
+# would itself race when an actor runs __call__ concurrently
 
 
 def read_fragment(path: str, row_group: int, num_rows: int,
@@ -133,11 +134,7 @@ def read_fragment(path: str, row_group: int, num_rows: int,
     never cached (real-scale groups can exceed the whole bound). Tables
     are immutable, so sharing one across slices is safe.
     """
-    global _RG_CACHE_BYTES, _RG_CACHE_LOCK
-    if _RG_CACHE_LOCK is None:
-        import threading
-
-        _RG_CACHE_LOCK = threading.Lock()
+    global _RG_CACHE_BYTES
     st = os.stat(path)
     key = (path, st.st_mtime_ns, st.st_size, row_group)
     with _RG_CACHE_LOCK:

@@ -2146,3 +2146,57 @@ def test_shared_plan_type_fallback(ray_session, tmp_path):
     # and an int chunk DOES take the shared forbp plan
     t2 = pa.table({"v": pa.array([1, 2, 3], pa.int64())})
     assert enc._plan_for(t2).columns["v"].codec == "forbp"
+
+
+def test_read_fragment_cache_slices_evictions_invalidation(tmp_path):
+    """The per-worker row-group cache: slices of one group share one
+    decode; whole-group reads bypass the cache; an in-place rewrite
+    (new mtime/size) never serves stale rows; the byte bound evicts."""
+    import json_to_parquet_ray.pipelines.encode_job as ej
+
+    src = str(tmp_path / "one_rg.parquet")
+    write_cc_parquet(src, 100, seed=11, row_group_size=100)  # 1 row group
+    full = pq.read_table(src)
+
+    ej._RG_CACHE.clear()
+    ej._RG_CACHE_BYTES = 0
+
+    # whole-group read: correct, and NOT cached (read exactly once)
+    got = ej.read_fragment(src, 0, 100)
+    assert got.equals(full)
+    assert len(ej._RG_CACHE) == 0
+
+    # sliced reads: cached once, every slice bit-identical to a slice
+    # of the file
+    a = ej.read_fragment(src, 0, 40, row_start=0)
+    b = ej.read_fragment(src, 0, 40, row_start=40)
+    c = ej.read_fragment(src, 0, 20, row_start=80)
+    assert len(ej._RG_CACHE) == 1
+    assert pa.concat_tables([a, b, c]).combine_chunks().equals(
+        full.combine_chunks())
+
+    # in-place rewrite → different (mtime, size) key → fresh read
+    os.remove(src)
+    write_cc_parquet(src, 100, seed=99, row_group_size=100)
+    new_full = pq.read_table(src)
+    assert not new_full.equals(full)
+    d = ej.read_fragment(src, 0, 40, row_start=0)
+    assert d.equals(new_full.slice(0, 40))
+    assert len(ej._RG_CACHE) == 2  # old entry still there until evicted
+
+    # byte bound: shrink the cap and force an eviction pass
+    old_max = ej._RG_CACHE_MAX
+    try:
+        # cap sized so the new group is cacheable (nbytes <= max//2)
+        # but three entries overflow the bound → oldest is evicted
+        ej._RG_CACHE_MAX = int(new_full.nbytes * 2.5)
+        src2 = str(tmp_path / "two.parquet")
+        write_cc_parquet(src2, 100, seed=7, row_group_size=100)
+        ej.read_fragment(src2, 0, 40, row_start=0)
+        assert len(ej._RG_CACHE) == 2  # oldest (seed=11) evicted
+        assert ej._RG_CACHE_BYTES <= ej._RG_CACHE_MAX
+        assert sum(t.nbytes for t in ej._RG_CACHE.values()) == ej._RG_CACHE_BYTES
+    finally:
+        ej._RG_CACHE_MAX = old_max
+        ej._RG_CACHE.clear()
+        ej._RG_CACHE_BYTES = 0
