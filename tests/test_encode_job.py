@@ -2200,3 +2200,20 @@ def test_read_fragment_cache_slices_evictions_invalidation(tmp_path):
         ej._RG_CACHE_MAX = old_max
         ej._RG_CACHE.clear()
         ej._RG_CACHE_BYTES = 0
+
+
+def test_dispatch_blocks_caps_tasks_not_partitions(ray_session):
+    """Work-item blocking: small jobs keep one item per block (finest
+    balance); large jobs cap at 8 blocks/CPU so several partitions pack
+    into each task — partition-level records are asserted by the
+    300/514-partition roundtrip tests above."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.encode_job import _dispatch_blocks
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    cap = max(8 * cpus, 64)
+    assert _dispatch_blocks(1) == 1
+    assert _dispatch_blocks(cap) == cap          # 1 item/block up to cap
+    assert _dispatch_blocks(cap * 16) == cap     # 16 items/task beyond
+    assert _dispatch_blocks(10**7) == cap        # bounded at any scale
