@@ -2217,3 +2217,28 @@ def test_dispatch_blocks_caps_tasks_not_partitions(ray_session):
     assert _dispatch_blocks(cap) == cap          # 1 item/block up to cap
     assert _dispatch_blocks(cap * 16) == cap     # 16 items/task beyond
     assert _dispatch_blocks(10**7) == cap        # bounded at any scale
+
+
+def test_worker_encoder_cache_keying(ray_session, tmp_path):
+    """Per-worker encoder cache: same refs → one cached instance; any
+    changed ref (a new job) → a fresh encoder; bounded size."""
+    import ray
+
+    import json_to_parquet_ray.pipelines.encode_job as ej
+
+    ej._ENC_CACHE.clear()
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    r1, r2 = ray.put({"lang": pa.array(["en"])}), ray.put(
+        {"lang": pa.array(["de"])})
+
+    e1 = ej._worker_encoder(d1, r1, None, ["lang"], None)
+    assert ej._worker_encoder(d1, r1, None, ["lang"], None) is e1
+    assert ej._worker_encoder(d1, r2, None, ["lang"], None) is not e1
+    assert ej._worker_encoder(d2, r1, None, ["lang"], None) is not e1
+    assert e1.shared_dicts["lang"].to_pylist() == ["en"]
+
+    # bound: a burst of distinct keys never grows past _ENC_CACHE_MAX
+    for i in range(ej._ENC_CACHE_MAX + 3):
+        ej._worker_encoder(str(tmp_path / f"x{i}"), r1, None, [], None)
+    assert len(ej._ENC_CACHE) <= ej._ENC_CACHE_MAX
+    ej._ENC_CACHE.clear()
