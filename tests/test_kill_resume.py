@@ -40,7 +40,20 @@ def test_kill9_mid_encode_then_resume(tmp_path):
     if proc.poll() is None:
         proc.send_signal(signal.SIGKILL)
         proc.wait()
-    time.sleep(2.0)  # let orphaned Ray workers drain/die
+    # let orphaned Ray workers drain/die: SIGKILL hit only the CLI
+    # driver, so in-flight encode tasks may still commit records for a
+    # while (longer on a loaded host) — wait until the manifest is
+    # quiescent for 2 s, else a still-writing orphan races the resume
+    # run's contest detection
+    prev, quiet_since = -1, time.time()
+    drain_deadline = time.time() + 60
+    while time.time() < drain_deadline:
+        n = len(completed_partitions(out))
+        if n != prev:
+            prev, quiet_since = n, time.time()
+        elif time.time() - quiet_since >= 2.0:
+            break
+        time.sleep(0.25)
     survived = completed_partitions(out)
 
     # resume run (fresh process, like a restarted job)
