@@ -2242,3 +2242,26 @@ def test_worker_encoder_cache_keying(ray_session, tmp_path):
         ej._worker_encoder(str(tmp_path / f"x{i}"), r1, None, [], None)
     assert len(ej._ENC_CACHE) <= ej._ENC_CACHE_MAX
     ej._ENC_CACHE.clear()
+
+
+def test_shared_dict_actor_and_task_paths_identical(ray_session, cc_parquet,
+                                                    tmp_path):
+    """Both executions of the stateful stage — the small-job task path
+    (per-worker encoder cache) and the explicit-concurrency actor pool —
+    must produce chunk-identical stores; keeps the actor branch covered
+    now that small tests default to tasks."""
+    a, b = str(tmp_path / "task"), str(tmp_path / "pool")
+    sa = encode_job(cc_parquet, a, shared_dict_columns=["lang"])
+    sb = encode_job(cc_parquet, b, shared_dict_columns=["lang"],
+                    concurrency=2)
+    assert sa["chunk_bytes"] == sb["chunk_bytes"]
+    assert verify_job(b)["failed"] == []
+    for out in (a, b):
+        for rec in load_manifest(out).values():
+            codecs = {c["name"]: c["codec"] for c in rec.columns}
+            assert codecs["lang"] == "dict"
+    ta = pa.concat_tables(decode_dataset(a).iter_batches(
+        batch_format="pyarrow", batch_size=8192))
+    tb = pa.concat_tables(decode_dataset(b).iter_batches(
+        batch_format="pyarrow", batch_size=8192))
+    assert ta.equals(tb)
