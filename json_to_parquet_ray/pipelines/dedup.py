@@ -922,11 +922,17 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
-                           max_hamming: int = 3) -> pd.DataFrame:
-    """Candidate pairs with Hamming(simhash) ≤ max_hamming.
+                           max_hamming: int = 3):
+    """Candidate (a, b, hamming) pairs with Hamming(simhash) ≤ max_hamming,
+    as a Ray DATASET — like the jaccard/embedding pair operators, the pair
+    list never lands on the driver (a mirror-heavy corpus can make even
+    the TRUE pair list exceed driver heap); cross-band duplicates are
+    dropped by the shared bucketed shuffle on ``a``.
 
     Banding uses ``max_hamming + 1`` bands (pigeonhole: any pair within
     the Hamming budget must agree exactly on at least one band)."""
+    import ray
+
     # SimHash keys on nothing — it appends a signature column; ``key``
     # matters only to the banding/emit stages below
     sims = ds.map_batches(SimHash, fn_constructor_args=(col,),
@@ -963,7 +969,8 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
     # collision-bucket prefilter (shared _collision_rows helper)
     _hot, hot_rows = _collision_rows(keyed, "bkey")
     if hot_rows is None:
-        return _empty_df({"a": "int64", "b": "int64", "hamming": "int64"})
+        return ray.data.from_pandas(
+            _empty_df({"a": "int64", "b": "int64", "hamming": "int64"}))
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         # no bucket cap: the pigeonhole recall guarantee (and the SQL
@@ -987,10 +994,14 @@ def simhash_near_dup_pairs(ds, col: str = "text", key: str = "doc_id",
                                                   dtype="int64")})
 
     pairs = (hot_rows.groupby("bkey").map_groups(emit, batch_format="pandas")
-             ).to_pandas()
-    if len(pairs) == 0 or "a" not in pairs.columns:
-        return _empty_df({"a": "int64", "b": "int64", "hamming": "int64"})
-    return pairs.drop_duplicates(subset=["a", "b"])
+             ).materialize()
+    # Ray drops the schema of an all-empty map_groups output — the typed
+    # empty short-circuit keeps downstream keyed_window off a column-less
+    # dataset
+    if pairs.count() == 0:
+        return ray.data.from_pandas(
+            _empty_df({"a": "int64", "b": "int64", "hamming": "int64"}))
+    return _dedup_pairs_ds(pairs)
 
 
 # --------------------------------------------------- embedding cosine near-dup

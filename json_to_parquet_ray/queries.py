@@ -286,13 +286,12 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """Pairs stay a Dataset end to end — only the driver's result
+    comparison materializes them (gate scale)."""
     pairs = dedup.simhash_near_dup_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]))
-    if len(pairs) == 0:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    return pairs.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+    return _sorted_pairs(pairs, ["a", "b"],
+                         {"a": "int64", "b": "int64", "hamming": "int64"})
 
 
 def _sorted_pairs(pairs, keys: list[str], cols: dict[str, str]):

@@ -142,7 +142,8 @@ def test_simhash_pairs_ray(ray_session):
         "doc_id": pa.array(range(3), pa.int64()),
         "text": pa.array([base, near, "unrelated totally different short doc"]),
     })
-    pairs = dedup.simhash_near_dup_pairs(ray.data.from_arrow(tbl), max_hamming=3)
+    pairs = dedup.simhash_near_dup_pairs(
+        ray.data.from_arrow(tbl), max_hamming=3).to_pandas()
     got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
     assert (0, 1) in got
     assert not any(2 in p for p in got)
