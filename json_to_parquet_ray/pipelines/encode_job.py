@@ -156,6 +156,8 @@ def _dispatch_blocks(n_items: int) -> int:
     load balancing to absorb partition-size skew. Manifest records,
     resume claims and summaries stay strictly per-partition."""
     try:
+        import ray
+
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
