@@ -356,6 +356,16 @@ def _concat_binary(arr: pa.Array) -> tuple[bytes, np.ndarray]:
     return data, np.diff(offs)
 
 
+def trial_encoder(arr: pa.Array) -> "FsstEncoder":
+    """The planner's quick-trial encoder for ``arr`` — identical to what
+    ``FsstCodec.encode(..., quick=True)`` would train internally, exposed
+    so one training run can be shared by the ``fsst`` and ``fsst+z``
+    trials of the same sample (training dominates trial cost; the two
+    trials differ only in post-compression of the encoded bytes)."""
+    data, _ = _concat_binary(arr)
+    return FsstEncoder(train(data[:16384], generations=3))
+
+
 class FsstCodec(Codec):
     name = "fsst"
 

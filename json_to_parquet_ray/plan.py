@@ -194,6 +194,10 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
     _resolve_weights()
     ratios: dict[str, float] = {}
     best_label, best_name, best_kwargs, best_score = "plain", "plain", {}, float("inf")
+    fsst_trial_enc = None  # trained at most once per column: the fsst and
+    # fsst+z trials share one symbol table (byte-identical to each
+    # training its own — same sample, deterministic trainer — but half
+    # the training cost, which dominates string-column planning)
     for label, name, kwargs in _candidates_for(t, st):
         codec = get_codec(name)
         if not codec.can_encode(t):
@@ -211,6 +215,11 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
             trial_kwargs = dict(kwargs)
             if name == "fsst":
                 trial_kwargs["quick"] = True
+                if fsst_trial_enc is None:
+                    from .codecs.fsst import trial_encoder
+
+                    fsst_trial_enc = trial_encoder(sample)
+                trial_kwargs["encoder"] = fsst_trial_enc
             payload, _ = encode_array(sample, name, **trial_kwargs)
         except Exception:
             continue

@@ -334,3 +334,19 @@ def test_pack_bits_truncates_out_of_range_locally():
     assert unpack_bits(packed, 2, 2).tolist() == [0, 0]
     vals = np.array([(1 << 40) | 5, 6, 7], np.uint64)
     assert unpack_bits(pack_bits(vals, 17), 3, 17).tolist() == [5, 6, 7]
+
+
+def test_fsst_shared_trial_encoder_byte_identical():
+    """The planner shares ONE trained encoder between the fsst and fsst+z
+    trials of a column sample; payloads must be byte-identical to each
+    trial training its own table (same sample + deterministic trainer),
+    or the planner's trial ratios drift from real encode ratios."""
+    from json_to_parquet_ray.codecs.fsst import FsstCodec, trial_encoder
+
+    arr = pa.array([f"https://host{i % 7}.example/path/{i}" for i in range(300)]
+                   + [None, ""])
+    enc = trial_encoder(arr)
+    for kwargs in ({}, {"post_zstd": True}):
+        own, m1 = FsstCodec.encode(arr, quick=True, **kwargs)
+        shared, m2 = FsstCodec.encode(arr, quick=True, encoder=enc, **kwargs)
+        assert own == shared and m1 == m2
