@@ -60,6 +60,117 @@ def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
     return kept.drop_columns(["content_hash"])
 
 
+# --------------------------------------------------------------- paragraph
+
+PARA_SEP = "\n\n"
+
+
+def _explode_paragraphs(texts, sep: str = PARA_SEP):
+    """Split each text on ``sep`` → (flat paragraph array, list offsets).
+
+    Vectorized: one Arrow ``split_pattern`` per batch; nulls read as ""
+    (one empty paragraph), so every row owns >= 1 paragraph and the
+    reduceat segments below are never empty."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(texts.cast(pa.large_string()).fill_null(""), sep)
+    return pc.list_flatten(lst), lst.offsets.to_numpy()
+
+
+def paragraph_dedup(ds, text_col: str = "text", key: str = "doc_id",
+                    min_count: int = 2, sep: str = PARA_SEP):
+    """Remove globally-duplicated paragraphs from every document
+    (boilerplate removal, C4-style): any paragraph whose total occurrence
+    count across the corpus (within-doc repeats included) reaches
+    ``min_count`` is dropped from ALL documents; survivors are re-joined
+    with ``sep`` in original order. Returns a Dataset of
+    (key, text, n_removed).
+
+    Scale shape — the corpus text is never shuffled:
+
+    1. counting pass: per-batch partial (paragraph-hash → local count)
+       tables via ``pa.Table.group_by`` (a combiner), then one TINY
+       ``groupby(h).sum`` over the partials — the only exchange moves
+       (int64, int64) rows, not text;
+    2. the duplicated-hash set stays in the object store as the
+       materialized filter Dataset's own blocks — the driver handles
+       block REFS only; each rewrite worker fetches + sorts them once
+       (cached per actor in ``__init__``);
+    3. rewrite pass: membership via ``np.searchsorted`` against the
+       sorted dup array, list rebuild + ``binary_join`` per batch — all
+       Arrow/numpy kernels, no per-row Python.
+
+    Duplicate detection keys on the 64-bit polynomial content hash
+    (``stats.poly_hash_binary``): a cross-paragraph collision would
+    remove a unique paragraph. P(any collision) ~ n^2/2^65 — negligible
+    below ~10^8 distinct paragraphs per job; acceptable for boilerplate
+    stripping (and the oracle corpus is collision-checked by being
+    value-exact in DuckDB).
+    """
+    from ..stats import poly_hash_binary
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        flat, _ = _explode_paragraphs(b.column(text_col), sep)
+        h = poly_hash_binary(flat).view(np.int64)
+        g = (pa.table({"h": pa.array(h, pa.int64())})
+             .group_by("h").aggregate([([], "count_all")]))
+        return pa.table({"h": g.column("h"),
+                         "cnt": g.column("count_all").cast(pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+                .groupby("h").sum("cnt"))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("sum(cnt)"), min_count))
+        return t.select(["h"])
+
+    dup_mat = (counts.map_batches(only_dups, batch_format="pyarrow")
+                     .materialize())
+    dup_refs = [r for bundle in dup_mat.iter_internal_ref_bundles()
+                for r in bundle.block_refs]
+
+    class Rewrite:
+        def __init__(self, refs):
+            import ray
+
+            blocks = ray.get(list(refs))
+            hs = [b.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+                  for b in blocks if b.num_rows]
+            self.dup = np.sort(np.concatenate(hs)) if hs else \
+                np.zeros(0, np.uint64)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({key: b.column(key),
+                                 "text": pa.array([], pa.large_string()),
+                                 "n_removed": pa.array([], pa.int64())})
+            flat, offs = _explode_paragraphs(b.column(text_col), sep)
+            h = poly_hash_binary(flat)
+            if len(self.dup) and len(h):
+                pos = np.searchsorted(self.dup, h)
+                np.clip(pos, 0, len(self.dup) - 1, out=pos)
+                is_dup = self.dup[pos] == h
+            else:
+                is_dup = np.zeros(len(h), bool)
+            kept = flat.filter(pa.array(~is_dup))
+            removed = (np.add.reduceat(is_dup, offs[:-1]).astype(np.int64)
+                       if len(h) else np.zeros(b.num_rows, np.int64))
+            new_offs = np.concatenate(
+                [[0], np.cumsum(np.diff(offs) - removed)])
+            joined = pc.binary_join(
+                pa.LargeListArray.from_arrays(
+                    pa.array(new_offs, pa.int64()), kept),
+                pa.scalar(sep, pa.large_string()))
+            return pa.table({key: b.column(key), "text": joined,
+                             "n_removed": pa.array(removed, pa.int64())})
+
+    out = ds.map_batches(Rewrite, fn_constructor_args=(dup_refs,),
+                         batch_format="pyarrow", concurrency=(1, 8))
+    # pin the dup blocks' owner chain until the (lazy) result is consumed
+    out._paragraph_dup_blocks = dup_mat
+    return out
+
+
 # ------------------------------------------------------------------ minhash
 
 MINHASH_PERMS = 64

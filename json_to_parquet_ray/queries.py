@@ -1016,6 +1016,39 @@ def q_redact_emails(sf_dir: str):
     return ds.map_batches(plant_and_redact, batch_format="pyarrow")
 
 
+_BOILERPLATE = (
+    "subscribe to our newsletter today",
+    "all rights reserved worldwide",
+    "click here to accept cookies",
+    "share this article on social media",
+)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """C4-style boilerplate removal: drop every paragraph whose global
+    occurrence count >= 2, rejoin survivors in order. The synthetic
+    corpus is single-paragraph with no cross-doc duplicates, so both
+    sides PLANT the duplication deterministically (the redact_emails
+    pattern): a boilerplate header chosen by doc_id % 4 (each ~n/4
+    occurrences → removed) and a per-doc unique footer (kept), around
+    the original text."""
+    from .pipelines.dedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        boiler = pc.take(pa.array(list(_BOILERPLATE)),
+                         pc.bit_wise_and(ids, 3))  # doc_id % 4, ids >= 0
+        footer = pc.binary_join_element_wise(
+            pa.array(["footer "] * len(b)), ids.cast(pa.string()), "")
+        planted = pc.binary_join_element_wise(
+            boiler, b.column("text").cast(pa.string()), footer, "\n\n")
+        return pa.table({"doc_id": ids, "text": planted})
+
+    return paragraph_dedup(ds.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_repetition_ratio(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text.repetition_ratio_batch, batch_format="pyarrow")
@@ -1254,7 +1287,7 @@ QUERIES = {
     "json_roundtrip_documents": q_json_roundtrip_documents,
     "schema_infer_conformance": q_schema_infer_conformance,
     "filter_docs_en": q_filter_docs_en,
-    "top_docs_by_chars": q_top_docs_by_chars,
+    "paragraph_dedup": q_paragraph_dedup,
     "orders_by_segment": q_orders_by_segment,
     "sample_docs": q_sample_docs,
     "lineitem_agg": q_lineitem_agg,
@@ -1305,6 +1338,11 @@ RETIRED_QUERIES = {
     # codec's only driver-visible float coverage); its vectorized
     # regex-rewrite class stays covered by normalize_text
     "redact_emails": q_redact_emails,
+    # top_docs_by_chars retired round 5 for paragraph_dedup (boilerplate
+    # removal, a first-class LLM-data op with no prior coverage); its
+    # sort+limit family stays driver-visible via grouped_topk, top_words
+    # and top_bigrams
+    "top_docs_by_chars": q_top_docs_by_chars,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1402,9 +1440,30 @@ ORACLE_SQL = {
     "filter_docs_en": (
         "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'"
     ),
-    "top_docs_by_chars": (
-        "SELECT doc_id, n_chars FROM documents "
-        "ORDER BY n_chars DESC, doc_id ASC LIMIT 10"
+    "paragraph_dedup": (
+        "WITH planted AS ("
+        "  SELECT doc_id,"
+        "         (CASE CAST(doc_id % 4 AS INTEGER)"
+        "            WHEN 0 THEN 'subscribe to our newsletter today'"
+        "            WHEN 1 THEN 'all rights reserved worldwide'"
+        "            WHEN 2 THEN 'click here to accept cookies'"
+        "            ELSE 'share this article on social media' END)"
+        "         || chr(10) || chr(10) || text"
+        "         || chr(10) || chr(10) || 'footer ' || CAST(doc_id AS VARCHAR)"
+        "         AS t"
+        "  FROM documents),"
+        " paras AS ("
+        "  SELECT doc_id, unnest(ps) AS p, unnest(range(1, len(ps) + 1)) AS idx"
+        "  FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps"
+        "        FROM planted)),"
+        " dup AS (SELECT p FROM paras GROUP BY p HAVING COUNT(*) >= 2)"
+        " SELECT p2.doc_id AS doc_id,"
+        "        COALESCE(string_agg(CASE WHEN d.p IS NULL THEN p2.p END,"
+        "                            chr(10) || chr(10) ORDER BY p2.idx), '')"
+        "          AS text,"
+        "        CAST(COUNT(d.p) AS BIGINT) AS n_removed"
+        " FROM paras p2 LEFT JOIN dup d ON p2.p = d.p"
+        " GROUP BY p2.doc_id ORDER BY doc_id"
     ),
     "orders_by_segment": (
         "SELECT c.c_mktsegment, COUNT(*) AS order_count FROM orders o "
@@ -1728,6 +1787,10 @@ RETIRED_ORACLE_SQL = {
         "  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com',"
         "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
         " AS text FROM documents"
+    ),
+    "top_docs_by_chars": (
+        "SELECT doc_id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id ASC LIMIT 10"
     ),
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_part": "SELECT * FROM part",

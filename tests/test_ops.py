@@ -111,6 +111,39 @@ def test_exact_dedup_ray(ray_session):
     assert len(kept) == 6
 
 
+def test_paragraph_dedup_ray(ray_session):
+    """Boilerplate removal vs an independent naive reference, covering
+    the edge shapes: a doc that is ALL boilerplate (→ empty text), a
+    within-doc repeated paragraph (global count counts repeats), empty
+    and null texts ('' paragraphs dedup like any other), and a doc with
+    no duplicated paragraphs (untouched, n_removed=0)."""
+    import ray
+
+    docs = [
+        {"doc_id": 0, "text": "boiler\n\nunique zero\n\nfooter0"},
+        {"doc_id": 1, "text": "boiler\n\nunique one"},
+        {"doc_id": 2, "text": "boiler"},                   # all boilerplate
+        {"doc_id": 3, "text": "self\n\nself\n\nkeep me"},  # within-doc dup
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": None},                       # '' dups with 4
+        {"doc_id": 6, "text": "alone entirely"},
+    ]
+    ds = ray.data.from_items(docs).repartition(3)
+    out = dedup.paragraph_dedup(ds).to_pandas().set_index("doc_id")
+
+    from collections import Counter
+    counts = Counter()
+    for d in docs:
+        counts.update((d["text"] or "").split("\n\n"))
+    for d in docs:
+        ps = (d["text"] or "").split("\n\n")
+        kept = [p for p in ps if counts[p] < 2]
+        row = out.loc[d["doc_id"]]
+        assert row["text"] == "\n\n".join(kept), d
+        assert row["n_removed"] == len(ps) - len(kept), d
+    assert out.loc[6, "n_removed"] == 0 and out.loc[2, "text"] == ""
+
+
 def test_minhash_dedup_ray(ray_session):
     import ray
 
