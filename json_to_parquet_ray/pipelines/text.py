@@ -125,6 +125,46 @@ def redact_batch(batch: pa.Table, col: str = "text",
     return batch.set_column(idx, col, red)
 
 
+# ------------------------------------------------------- text extraction
+
+# Order matters: script/style bodies first (their content is not text),
+# then comments, then remaining tags, then a fixed entity subset, then
+# whitespace collapse. RE2-compatible (no backreferences) so the exact
+# same patterns run in DuckDB's regexp_replace for the oracle.
+_HTML_STRIP_STEPS = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+    r"(?s)<[^>]*>",
+)
+_HTML_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "))
+
+
+def extract_text_batch(batch: pa.Table, col: str = "html",
+                       out: str = "text") -> pa.Table:
+    """Plain-text extraction from an HTML column — the webtext pipeline
+    stage that produces the reference input's ``text`` from its ``html``
+    (BASELINE.json input_hint). Regex-grade (tags/scripts/styles/comments
+    stripped, a fixed entity subset decoded, whitespace collapsed), not a
+    DOM parser: one vectorized RE2 kernel pass per pattern, zero per-row
+    Python. A full HTML5 parser (lxml/bs4) is not in this container; at
+    100 TB this stage would become an actor-pool ``map_batches`` with the
+    parser object built per actor — the plumbing is identical."""
+    s = batch.column(col)
+    if pa.types.is_binary(s.type) or pa.types.is_large_binary(s.type):
+        s = s.cast(pa.large_string())
+    s = s.cast(pa.large_string())
+    for pat in _HTML_STRIP_STEPS:
+        s = pc.replace_substring_regex(s, pat, " ")
+    for ent, rep in _HTML_ENTITIES:
+        s = pc.replace_substring(s, ent, rep)
+    s = pc.utf8_trim_whitespace(pc.replace_substring_regex(s, r"\s+", " "))
+    cols = {n: batch.column(n) for n in batch.column_names if n != col}
+    cols[out] = s
+    return pa.table(cols)
+
+
 # ----------------------------------------------------- repetition ratio
 
 

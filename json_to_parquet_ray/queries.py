@@ -1049,6 +1049,31 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds.map_batches(plant, batch_format="pyarrow"))
 
 
+def q_extract_text(sf_dir: str):
+    """HTML→text extraction (the input_hint's html→text relationship).
+    The testdata documents table has no html column, so both sides WRAP
+    text in an identical synthetic page (script + heading with entities
+    + comment) and extract — the strip/decode/collapse kernels are
+    genuinely exercised and the oracle value-checks full output text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").cast(pa.string())
+        n = len(b)
+        html = pc.binary_join_element_wise(
+            pa.array(['<html><head><script type="text/javascript">var t = '
+                      '"<p>";</script></head><body><h1>Doc '] * n),
+            ids,
+            pa.array([" &amp; more</h1><p>"] * n),
+            b.column("text").cast(pa.string()),
+            pa.array(["</p><!-- trailer\n--></body></html>"] * n),
+            "")
+        return pa.table({"doc_id": b.column("doc_id"), "html": html})
+
+    return (ds.map_batches(plant, batch_format="pyarrow")
+              .map_batches(text.extract_text_batch, batch_format="pyarrow"))
+
+
 def q_repetition_ratio(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text.repetition_ratio_batch, batch_format="pyarrow")
@@ -1343,6 +1368,10 @@ RETIRED_QUERIES = {
     # sort+limit family stays driver-visible via grouped_topk, top_words
     # and top_bigrams
     "top_docs_by_chars": q_top_docs_by_chars,
+    # extract_text lives in the reserve from birth (round 5): the html →
+    # text stage is pytest- and check_oracles-covered; the driver's 50
+    # slots stay with the ops that have no overlapping family member
+    "extract_text": q_extract_text,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1791,6 +1820,23 @@ RETIRED_ORACLE_SQL = {
     "top_docs_by_chars": (
         "SELECT doc_id, n_chars FROM documents "
         "ORDER BY n_chars DESC, doc_id ASC LIMIT 10"
+    ),
+    "extract_text": (
+        "SELECT doc_id, trim(regexp_replace("
+        "  replace(replace(replace(replace(replace(replace("
+        "    regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "      '<html><head><script type=\"text/javascript\">var t = "
+        "\"<p>\";</script></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)"
+        "      || ' &amp; more</h1><p>' || text"
+        "      || '</p><!-- trailer' || chr(10) || '--></body></html>',"
+        "      '<script\\b[^>]*>.*?</script\\s*>', ' ', 'gis'),"
+        "    '<style\\b[^>]*>.*?</style\\s*>', ' ', 'gis'),"
+        "    '<!--.*?-->', ' ', 'gs'),"
+        "    '<[^>]*>', ' ', 'gs'),"
+        "  '&amp;','&'),'&lt;','<'),'&gt;','>'),'&quot;',chr(34)),"
+        "  '&#39;',chr(39)),'&nbsp;',' '),"
+        "  '\\s+', ' ', 'g')) AS text"
+        " FROM documents ORDER BY doc_id"
     ),
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_part": "SELECT * FROM part",

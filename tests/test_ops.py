@@ -111,6 +111,29 @@ def test_exact_dedup_ray(ray_session):
     assert len(kept) == 6
 
 
+def test_extract_text_batch():
+    """HTML→text extraction kernel: scripts/styles/comments stripped
+    (including tag-looking content inside them), entities decoded,
+    whitespace collapsed; binary input accepted; nulls propagate."""
+    html = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                     "html": pa.array([
+        '<html><head><script>var x = "<p>hidden</p>";</script>'
+        "<style>p { color: red }</style></head><body>\n"
+        "<h1>Title!</h1><p>Hello &amp; welcome to the &quot;test&quot; "
+        "page.</p><!-- note\n--><div>a<br/>b &lt;tag&gt; &#39;q&#39;"
+        "&nbsp;end</div></body></html>",
+        "plain text  with   spaces", "", None])})
+    out = text.extract_text_batch(html)
+    assert out.column_names == ["doc_id", "text"]
+    got = out.column("text").to_pylist()
+    assert got[0] == ("Title! Hello & welcome to the \"test\" page. "
+                      "a b <tag> 'q' end")
+    assert got[1] == "plain text with spaces" and got[2] == "" and got[3] is None
+    # binary column decodes identically
+    as_bin = html.set_column(1, "html", html.column("html").cast(pa.binary()))
+    assert text.extract_text_batch(as_bin).column("text").to_pylist() == got
+
+
 def test_paragraph_dedup_ray(ray_session):
     """Boilerplate removal vs an independent naive reference, covering
     the edge shapes: a doc that is ALL boilerplate (→ empty text), a
