@@ -195,6 +195,16 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--vocab-size", type=int, default=4096)
     tk.add_argument("--max-words", type=int, default=50_000)
 
+    pd_ = sub.add_parser("dedup-paragraphs",
+                         help="C4-style boilerplate removal: drop every "
+                              "paragraph duplicated across the corpus, "
+                              "write cleaned docs")
+    pd_.add_argument("inputs", nargs="+")
+    pd_.add_argument("parquet_out")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument("--key-col", default="doc_id")
+    pd_.add_argument("--min-count", type=int, default=2)
+
     args = p.parse_args(argv)
     if args.cmd in ("store-stats", "consolidate", "gc"):
         # driver-only metadata commands: a pure filesystem read of
@@ -351,6 +361,21 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": args.parquet_out,
                               "merges_learned": len(merges),
                               "vocab_size": 256 + len(merges)}))
+        elif args.cmd == "dedup-paragraphs":
+            from .pipelines.dedup import paragraph_dedup
+
+            ds = ray.data.read_parquet(
+                args.inputs, columns=[args.key_col, args.text_col])
+            out = paragraph_dedup(ds, text_col=args.text_col,
+                                  key=args.key_col,
+                                  min_count=args.min_count)
+            out.write_parquet(args.parquet_out)
+            # summarize from the WRITTEN column, not by re-executing the
+            # (lazy) pipeline a second time
+            removed = ray.data.read_parquet(
+                args.parquet_out, columns=["n_removed"]).sum("n_removed") or 0
+            print(json.dumps({"out": args.parquet_out,
+                              "paragraphs_removed": int(removed)}))
     finally:
         if owns_session:  # never tear down a caller's shared session
             ray.shutdown()

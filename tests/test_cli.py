@@ -262,3 +262,24 @@ def test_cli_zone_filter_empty_value_rejected(tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=120)
     assert res.returncode != 0
     assert "empty value" in (res.stderr + res.stdout)
+
+
+def test_cli_dedup_paragraphs(tmp_path):
+    """dedup-paragraphs drops cross-doc boilerplate, keeps unique text,
+    and reports the total removed from the WRITTEN output."""
+    import pyarrow as pa
+
+    src = tmp_path / "docs.parquet"
+    boiler = "all rights reserved"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"{boiler}\n\nalpha one", f"{boiler}\n\nbeta two",
+                          "gamma three"]),
+    }), src)
+    out = str(tmp_path / "clean")
+    res = run_cli("dedup-paragraphs", str(src), out)
+    assert res["paragraphs_removed"] == 2
+    t = pq.read_table(out).sort_by("doc_id")
+    assert t.column("text").to_pylist() == ["alpha one", "beta two",
+                                            "gamma three"]
+    assert t.column("n_removed").to_pylist() == [1, 1, 0]

@@ -166,6 +166,44 @@ def test_paragraph_dedup_ray(ray_session):
         assert row["n_removed"] == len(ps) - len(kept), d
     assert out.loc[6, "n_removed"] == 0 and out.loc[2, "text"] == ""
 
+    # layout invariance: the count combiner + global sum must not care
+    # how rows fall into blocks
+    for nb in (1, 7):
+        alt = (dedup.paragraph_dedup(ray.data.from_items(docs)
+                                     .repartition(nb))
+               .to_pandas().set_index("doc_id").sort_index())
+        pd.testing.assert_frame_equal(alt, out.sort_index())
+
+
+def test_paragraph_dedup_fuzz_seeded(ray_session):
+    """Randomized parity vs the naive reference: 120 docs over a tiny
+    paragraph alphabet (so duplicate/unique/within-doc-repeat shapes all
+    occur organically), min_count=3 to exercise a non-default threshold."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    vocab = [f"para {i} body" for i in range(30)] + [""]
+    docs = []
+    for i in range(120):
+        k = int(rng.integers(1, 6))
+        docs.append({"doc_id": i, "text": "\n\n".join(
+            vocab[int(j)] for j in rng.integers(0, len(vocab), k))})
+
+    out = (dedup.paragraph_dedup(ray.data.from_items(docs).repartition(5),
+                                 min_count=3)
+           .to_pandas().set_index("doc_id"))
+
+    from collections import Counter
+    counts = Counter()
+    for d in docs:
+        counts.update(d["text"].split("\n\n"))
+    for d in docs:
+        ps = d["text"].split("\n\n")
+        kept = [p for p in ps if counts[p] < 3]
+        row = out.loc[d["doc_id"]]
+        assert row["text"] == "\n\n".join(kept)
+        assert row["n_removed"] == len(ps) - len(kept)
+
 
 def test_minhash_dedup_ray(ray_session):
     import ray
