@@ -21,6 +21,7 @@ from .plain import (
     PlainCodec,
     Zstd3Codec,
     Zstd6Codec,
+    Zstd19Codec,
     ZstdCodec,
     ZstdHiCodec,
 )
@@ -34,7 +35,7 @@ def register(codec: type[Codec]) -> None:
 
 
 for _c in (PlainCodec, ZstdCodec, ZstdHiCodec, Zstd3Codec, Zstd6Codec,
-           Lz4Codec, ConstantCodec,
+           Zstd19Codec, Lz4Codec, ConstantCodec,
            BssCodec, AlpCodec, ForBitPackCodec, DeltaCodec, RleCodec,
            DictCodec, FsstCodec):
     register(_c)

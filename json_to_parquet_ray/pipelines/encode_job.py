@@ -55,7 +55,8 @@ PLAN_SAMPLE_ROWS = 4096
 
 
 def build_shared_plan(frags: list[FragmentRef],
-                      file_schemas: dict[str, pa.Schema]) -> CodecPlan | None:
+                      file_schemas: dict[str, pa.Schema],
+                      optimize: str = "balanced") -> CodecPlan | None:
     """Plan codecs ONCE for the whole store from a deterministic fragment
     sample, instead of re-running trial encodes per partition.
 
@@ -106,7 +107,7 @@ def build_shared_plan(frags: list[FragmentRef],
     # a cross-file type conflict widens to string here, and the per-column
     # can_encode fallback in _plan_for keeps such columns chunk-planned
     schema = unify(list(file_schemas.values()))
-    plan = plan_from_stats(stats, schema)
+    plan = plan_from_stats(stats, schema, optimize=optimize)
     plan.columns = {c: p for c, p in plan.columns.items()
                     if p.codec != "constant"}
     return plan
@@ -124,14 +125,14 @@ _ENC_CACHE_MAX = 4  # concurrent jobs sharing one worker is the rare case
 
 
 def _worker_encoder(out_dir, shared_ref, fsst_ref, bloom_columns,
-                    plan_ref) -> "EncodePartition":
+                    plan_ref, optimize="balanced") -> "EncodePartition":
     """Per-worker-process EncodePartition cache (setup-once amortization
     on the TASK pool — see the dispatch branch in ``encode_job``). Keyed
     by the refs' ids, which are unique per job, so a re-run with new
     broadcast state can never reuse a stale encoder. Ray task workers
     are single-threaded; no lock needed."""
     key = (out_dir, str(shared_ref), str(fsst_ref),
-           tuple(bloom_columns or ()), str(plan_ref))
+           tuple(bloom_columns or ()), str(plan_ref), optimize)
     enc = _ENC_CACHE.get(key)
     if enc is None:
         while len(_ENC_CACHE) >= _ENC_CACHE_MAX:
@@ -139,7 +140,8 @@ def _worker_encoder(out_dir, shared_ref, fsst_ref, bloom_columns,
         enc = EncodePartition(out_dir, shared_dicts_ref=shared_ref,
                               shared_fsst_ref=fsst_ref,
                               bloom_columns=bloom_columns,
-                              shared_plan_ref=plan_ref)
+                              shared_plan_ref=plan_ref,
+                              optimize=optimize)
         _ENC_CACHE[key] = enc
     return enc
 
@@ -384,12 +386,13 @@ class EncodePartition:
 
     def __init__(self, out_dir: str, shared_dicts_ref=None,
                  shared_fsst_ref=None, bloom_columns=None,
-                 shared_plan_ref=None):
+                 shared_plan_ref=None, optimize: str = "balanced"):
         import ray
 
         from ..codecs.fsst import FsstEncoder
 
         self.out_dir = out_dir
+        self.optimize = optimize
         self.bloom_columns = list(bloom_columns or [])
         self.shared_dicts: dict[str, pa.Array] = (
             ray.get(shared_dicts_ref) if shared_dicts_ref is not None else {}
@@ -410,7 +413,8 @@ class EncodePartition:
     def _plan_for(self, table: pa.Table) -> CodecPlan:
         if self.shared_plan is None:
             stats = compute_stats_table(table)
-            return plan_from_stats(stats, table.schema)
+            return plan_from_stats(stats, table.schema,
+                                   optimize=self.optimize)
         from ..codecs import get_codec
 
         cols: dict[str, ColumnPlan] = {}
@@ -430,7 +434,8 @@ class EncodePartition:
         if rest:
             sub_schema = pa.schema([table.schema.field(n) for n in rest])
             stats = compute_stats_table(table.select(rest))
-            cols.update(plan_from_stats(stats, sub_schema).columns)
+            cols.update(plan_from_stats(stats, sub_schema,
+                                        optimize=self.optimize).columns)
         return CodecPlan(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -510,8 +515,19 @@ def encode_job(
     max_rows_per_partition: int | None = None,
     consolidate_manifest: bool = False,
     shared_plan: bool = False,
+    optimize: str = "balanced",
 ) -> dict:
     """Run the full encode pipeline; returns a summary dict.
+
+    ``optimize`` selects the planner frontier: ``"balanced"`` (default)
+    weighs sampled ratio by measured encode cost; ``"size"`` scores on
+    ratio alone and adds the zstd-19 archival candidate (~20-25% fewer
+    bytes on CC text at ~100x the encode CPU of zstd-3 — for write-once
+    stores whose decode path, unaffected, dominates their life). Resume
+    records codec choices per partition, so resuming with a DIFFERENT
+    mode re-encodes only the missing partitions under the new mode —
+    completed partitions keep their recorded codecs (bit-identical
+    decode either way).
 
     ``shared_plan=True`` plans codecs ONCE from a deterministic fragment
     sample and broadcasts the plan to every encode task (see
@@ -539,6 +555,10 @@ def encode_job(
     import ray
 
     from ..manifest import manifest_dir
+
+    if optimize not in ("balanced", "size"):
+        # fail before any output is touched, not inside the first worker
+        raise ValueError(f"unknown optimize mode: {optimize!r}")
 
     # mark the output as a store up front — a legitimately-EMPTY encode
     # (zero input fragments) must still satisfy require_store so verify
@@ -664,7 +684,7 @@ def encode_job(
     plan_ref = None
     plan_obj = None
     if work and shared_plan:
-        plan_obj = build_shared_plan(frags, file_schemas)
+        plan_obj = build_shared_plan(frags, file_schemas, optimize=optimize)
         if plan_obj is not None:
             plan_ref = ray.put(plan_obj)
 
@@ -678,7 +698,8 @@ def encode_job(
         if shared_ref is None and fsst_ref is None and plan_ref is None:
             # stateless → plain tasks reuse the already-warm worker pool
             def encode_item(batch: pa.Table) -> pa.Table:
-                return EncodePartition(out_dir, bloom_columns=_bc)(batch)
+                return EncodePartition(out_dir, bloom_columns=_bc,
+                                       optimize=optimize)(batch)
 
             results = items.map_batches(encode_item, batch_size=1,
                                         batch_format="pyarrow")
@@ -696,7 +717,7 @@ def encode_job(
             # big jobs keep the bounded pool below.
             def encode_item(batch: pa.Table) -> pa.Table:
                 return _worker_encoder(out_dir, shared_ref, fsst_ref,
-                                       _bc, plan_ref)(batch)
+                                       _bc, plan_ref, optimize)(batch)
 
             results = items.map_batches(encode_item, batch_size=1,
                                         batch_format="pyarrow")
@@ -713,7 +734,8 @@ def encode_job(
                                        "shared_dicts_ref": shared_ref,
                                        "shared_fsst_ref": fsst_ref,
                                        "bloom_columns": _bc,
-                                       "shared_plan_ref": plan_ref},
+                                       "shared_plan_ref": plan_ref,
+                                       "optimize": optimize},
                 batch_size=1,
                 batch_format="pyarrow",
                 concurrency=conc,

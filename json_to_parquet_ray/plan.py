@@ -42,6 +42,9 @@ COST_WEIGHT = {
                     # on size (it does, 1.2-5.9x, on decimal columns)
     "fsst": 1.35,   # pure-Python encoder: needs a real size win to justify
     "fsst+z": 1.40,
+    "zstd19": 3.10,  # ~1.7 MB/s/core (w=1+3.6/MBps): a SIZE-mode pick —
+                     # on CC text its balanced score (0.23*3.1) loses to
+                     # zstd3 (0.30*1.04), so it is only even TRIED there
 }
 
 _FSST_MIN_PLAUSIBLE = 0.38  # empirical floor of fsst sampled ratios on text
@@ -110,7 +113,8 @@ class CodecPlan:
         return CodecPlan(cols)
 
 
-def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, str, dict]]:
+def _candidates_for(t: pa.DataType, st: ColumnStats,
+                    optimize: str = "balanced") -> list[tuple[str, str, dict]]:
     """(label, codec_name, kwargs) candidate triples."""
     out: list[tuple[str, str, dict]] = [
         ("plain", "plain", {}), ("zstd", "zstd", {}), ("zstd9", "zstd9", {}),
@@ -120,6 +124,10 @@ def _candidates_for(t: pa.DataType, st: ColumnStats) -> list[tuple[str, str, dic
         # weighted score, so the frontier needs the middle points
         ("lz4", "lz4", {}),  # decode-speed point on the frontier
     ]
+    if optimize == "size":
+        # the archival point — ~1.7 MB/s/core, so even its 64 KiB TRIAL
+        # (~40 ms/column-chunk) is too expensive to run in balanced mode
+        out.append(("zstd19", "zstd19", {}))
     string_like = (pa.types.is_string(t) or pa.types.is_large_string(t)
                    or pa.types.is_binary(t) or pa.types.is_large_binary(t))
     if is_int_like(t):
@@ -171,7 +179,17 @@ def _sample_array(st: ColumnStats, t: pa.DataType) -> pa.Array | None:
         return None
 
 
-def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
+def plan_column(st: ColumnStats, t: pa.DataType,
+                optimize: str = "balanced") -> ColumnPlan:
+    """``optimize="balanced"`` (default) scores candidates as
+    ``sampled_ratio * COST_WEIGHT`` — the throughput-honest frontier.
+    ``optimize="size"`` scores on sampled ratio alone and adds the
+    zstd-19 archival candidate: write-once / read-many stores trade
+    ~100x encode CPU on the big text columns for ~20-25% fewer bytes.
+    Decode is unaffected either way (the chunk header records the
+    winning codec; readers never consult the mode)."""
+    if optimize not in ("balanced", "size"):
+        raise ValueError(f"unknown optimize mode: {optimize!r}")
     n_valid = st.n - st.null_count
     sample = _sample_array(st, t)  # built ONCE; the constant path and the
     # trial loop share it
@@ -198,13 +216,15 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
     # fsst+z trials share one symbol table (byte-identical to each
     # training its own — same sample, deterministic trainer — but half
     # the training cost, which dominates string-column planning)
-    for label, name, kwargs in _candidates_for(t, st):
+    def weight(label: str) -> float:
+        return 1.0 if optimize == "size" else COST_WEIGHT.get(label, 1.0)
+
+    for label, name, kwargs in _candidates_for(t, st, optimize):
         codec = get_codec(name)
         if not codec.can_encode(t):
             continue
         if (name == "fsst" and ratios.get("zstd", 1.0)
-                < _FSST_MIN_PLAUSIBLE * COST_WEIGHT["fsst"]
-                / COST_WEIGHT.get("zstd", 1.0)):
+                < _FSST_MIN_PLAUSIBLE * weight("fsst") / weight("zstd")):
             # skip the expensive trial only when zstd's score already
             # beats the best PLAUSIBLE fsst score. Weight-aware: with the
             # pure-Python encoder (weight 1.35) the cutoff is ~0.50, with
@@ -225,17 +245,18 @@ def plan_column(st: ColumnStats, t: pa.DataType) -> ColumnPlan:
             continue
         ratio = len(payload) / base
         ratios[label] = ratio
-        score = ratio * COST_WEIGHT.get(label, 1.0)
+        score = ratio * weight(label)
         if score < best_score:
             best_label, best_name, best_kwargs, best_score = label, name, kwargs, score
     return ColumnPlan(st.name, best_name, best_kwargs,
                       ratios.get(best_label, 1.0), ratios)
 
 
-def plan_from_stats(stats: dict[str, ColumnStats], schema: pa.Schema) -> CodecPlan:
+def plan_from_stats(stats: dict[str, ColumnStats], schema: pa.Schema,
+                    optimize: str = "balanced") -> CodecPlan:
     cols = {}
     for name in schema.names:
         t = schema.field(name).type
         st = stats.get(name) or ColumnStats(name, str(t))
-        cols[name] = plan_column(st, t)
+        cols[name] = plan_column(st, t, optimize=optimize)
     return CodecPlan(cols)

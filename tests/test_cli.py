@@ -283,3 +283,25 @@ def test_cli_dedup_paragraphs(tmp_path):
     assert t.column("text").to_pylist() == ["alpha one", "beta two",
                                             "gamma three"]
     assert t.column("n_removed").to_pylist() == [1, 1, 0]
+
+
+def test_cli_encode_optimize_size(tmp_path):
+    """--optimize size must produce a store no larger than balanced on
+    the same repetitive-text input, and still verify bit-identical."""
+    import pyarrow as pa
+
+    src = tmp_path / "in.parquet"
+    words = ["alpha beta", "gamma delta", "epsilon zeta", "long paragraph"]
+    pq.write_table(pa.table({
+        "id": pa.array(range(3000), pa.int64()),
+        "text": pa.array([" ".join(words[(i + j) % 4] for j in range(30))
+                          for i in range(3000)]),
+    }), src)
+    sizes = {}
+    for mode in ("balanced", "size"):
+        out = str(tmp_path / f"enc_{mode}")
+        res = run_cli("encode", str(src), out, "--optimize", mode)
+        sizes[mode] = res["chunk_bytes"]
+        ver = run_cli("verify", out)
+        assert ver["failed"] == []
+    assert sizes["size"] <= sizes["balanced"]

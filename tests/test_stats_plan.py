@@ -211,3 +211,36 @@ def test_sample_byte_cap_counts_utf8_bytes():
     total = sum(len(v.encode("utf-8")) for v in capped)
     assert total <= SAMPLE_BYTES_CAP + len(cjk.encode("utf-8"))
     assert len(capped) <= SAMPLE_BYTES_CAP // len(cjk.encode("utf-8")) + 1
+
+
+def test_plan_optimize_size_mode():
+    """optimize='size' scores on sampled ratio alone and offers zstd-19;
+    on repetitive long text it must choose a codec whose sampled ratio
+    beats the balanced pick's, and the encoded column must round-trip
+    exactly. Balanced mode must never pick zstd19 (weighted out and not
+    even offered as a candidate there)."""
+    import numpy as np
+
+    from json_to_parquet_ray.codecs import decode_array, encode_array
+    from json_to_parquet_ray.stats import column_stats_partial
+
+    rng = np.random.default_rng(3)
+    words = ["the quick", "brown fox", "jumps over", "lazy dogs",
+             "compression", "paragraph about spark and ray data"]
+    arr = pa.array([" ".join(words[j] for j in rng.integers(0, 6, 40))
+                    for _ in range(400)])
+    st = column_stats_partial(arr, "text")
+
+    bal = plan_column(st, arr.type)  # default = balanced
+    siz = plan_column(st, arr.type, optimize="size")
+    assert bal.codec != "zstd19" and "zstd19" not in bal.candidates
+    assert "zstd19" in siz.candidates
+    assert siz.est_ratio <= bal.est_ratio + 1e-9
+    payload, meta = encode_array(arr, siz.codec, **siz.kwargs)
+    back = decode_array(payload, meta)
+    assert back.equals(arr.cast(back.type))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_column(st, arr.type, optimize="fastest")
