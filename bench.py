@@ -241,7 +241,8 @@ def main() -> None:
                  "simhash_pairs", "jaccard_pairs", "embedding_near_dup",
                  "lang_id", "ann_ivf_recall", "order_lineitem_join",
                  "keyed_store_en", "zonemap_pruned_scan",
-                 "bloom_pruned_lookup", "paragraph_dedup", "extract_text"]:
+                 "bloom_pruned_lookup", "paragraph_dedup", "extract_text",
+                 "corpus_prepare"]:
         fn = all_queries[name]
         sec, res = timed(lambda fn=fn: fn(SF_DIR))
         if hasattr(res, "count"):

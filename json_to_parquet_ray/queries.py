@@ -1074,6 +1074,34 @@ def q_extract_text(sf_dir: str):
               .map_batches(text.extract_text_batch, batch_format="pyarrow"))
 
 
+def q_corpus_prepare(sf_dir: str):
+    """The composite training-corpus pipeline (pipelines/prepare.py) —
+    lang filter → length gate → paragraph dedup → exact dedup → token
+    count — value-checked END TO END by one chained DuckDB oracle. The
+    plant makes every stage do real work: a boilerplate header by
+    doc_id % 4 (paragraph-removed), and every 64th doc's body replaced
+    by one long duplicated body (long enough to pass the length gate,
+    then paragraph-removed as a corpus-wide dup, leaving several
+    empty-text docs for the exact-dedup stage to collapse)."""
+    from .pipelines.prepare import prepare_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    dup_body = "duplicate body " * 20
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        boiler = pc.take(pa.array(list(_BOILERPLATE)),
+                         pc.bit_wise_and(ids, 3))  # doc_id % 4, ids >= 0
+        body = pc.if_else(
+            pc.equal(pc.bit_wise_and(ids, 63), 0),  # doc_id % 64 == 0
+            pa.scalar(dup_body), b.column("text").cast(pa.string()))
+        planted = pc.binary_join_element_wise(boiler, body, "\n\n")
+        return pa.table({"doc_id": ids, "text": planted,
+                         "lang": b.column("lang")})
+
+    return prepare_corpus(ds.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_repetition_ratio(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text.repetition_ratio_batch, batch_format="pyarrow")
@@ -1372,6 +1400,9 @@ RETIRED_QUERIES = {
     # text stage is pytest- and check_oracles-covered; the driver's 50
     # slots stay with the ops that have no overlapping family member
     "extract_text": q_extract_text,
+    # corpus_prepare also reserve-born (round 5): the composite pipeline
+    # whose five stages each already hold a driver slot individually
+    "corpus_prepare": q_corpus_prepare,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1837,6 +1868,40 @@ RETIRED_ORACLE_SQL = {
         "  '&#39;',chr(39)),'&nbsp;',' '),"
         "  '\\s+', ' ', 'g')) AS text"
         " FROM documents ORDER BY doc_id"
+    ),
+    "corpus_prepare": (
+        "WITH planted AS ("
+        "  SELECT doc_id, lang,"
+        "         (CASE CAST(doc_id % 4 AS INTEGER)"
+        "            WHEN 0 THEN 'subscribe to our newsletter today'"
+        "            WHEN 1 THEN 'all rights reserved worldwide'"
+        "            WHEN 2 THEN 'click here to accept cookies'"
+        "            ELSE 'share this article on social media' END)"
+        "         || chr(10) || chr(10) ||"
+        "         (CASE WHEN doc_id % 64 = 0"
+        "               THEN repeat('duplicate body ', 20) ELSE text END)"
+        "         AS t"
+        "  FROM documents),"
+        " gated AS (SELECT doc_id, t FROM planted"
+        "           WHERE lang = 'en' AND length(t) >= 150),"
+        " paras AS ("
+        "  SELECT doc_id, unnest(ps) AS p, unnest(range(1, len(ps) + 1)) AS idx"
+        "  FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps"
+        "        FROM gated)),"
+        " dup AS (SELECT p FROM paras GROUP BY p HAVING COUNT(*) >= 2),"
+        " clean AS ("
+        "  SELECT p2.doc_id AS doc_id,"
+        "         COALESCE(string_agg(CASE WHEN d.p IS NULL THEN p2.p END,"
+        "                             chr(10) || chr(10) ORDER BY p2.idx), '')"
+        "           AS text,"
+        "         CAST(COUNT(d.p) AS BIGINT) AS n_removed"
+        "  FROM paras p2 LEFT JOIN dup d ON p2.p = d.p"
+        "  GROUP BY p2.doc_id),"
+        " keep AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text)"
+        " SELECT c.doc_id, c.text, c.n_removed,"
+        "        CAST(length(regexp_extract_all(c.text, '\\S+')) AS BIGINT)"
+        "          AS ws_tokens"
+        " FROM clean c JOIN keep k USING (doc_id) ORDER BY c.doc_id"
     ),
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_part": "SELECT * FROM part",

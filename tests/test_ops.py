@@ -205,6 +205,39 @@ def test_paragraph_dedup_fuzz_seeded(ray_session):
         assert row["n_removed"] == len(ps) - len(kept)
 
 
+def test_prepare_corpus_stage_interplay(ray_session):
+    """The composite pipeline's stages must interact correctly: the lang
+    and length gates drop rows BEFORE paragraph counting (a boilerplate
+    paragraph only present in gated-out docs must survive elsewhere),
+    all-boilerplate docs collapse to ONE empty-text row in exact dedup,
+    and ws_tokens counts the CLEANED text."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.prepare import prepare_corpus
+
+    long_pad = "word " * 40  # clears min_chars
+    docs = [
+        # 'boiler' dups across docs 0/1 → removed from both
+        {"doc_id": 0, "lang": "en", "text": f"boiler\n\n{long_pad}zero"},
+        {"doc_id": 1, "lang": "en", "text": f"boiler\n\n{long_pad}one"},
+        # all-boilerplate docs → '' → exact dedup keeps doc 2 only
+        {"doc_id": 2, "lang": "en", "text": f"dup {long_pad}\n\ndup {long_pad}"},
+        {"doc_id": 3, "lang": "en", "text": f"dup {long_pad}\n\ndup {long_pad}"},
+        # gated out: wrong lang (its unique paragraph must not count)
+        {"doc_id": 4, "lang": "de", "text": f"boiler\n\n{long_pad}vier"},
+        # gated out: too short
+        {"doc_id": 5, "lang": "en", "text": "boiler\n\nshort"},
+    ]
+    out = (prepare_corpus(ray.data.from_items(docs).repartition(3),
+                          min_chars=150)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert sorted(out.index) == [0, 1, 2]
+    assert out.loc[0, "text"] == f"{long_pad}zero"
+    assert out.loc[0, "n_removed"] == 1 and out.loc[0, "ws_tokens"] == 41
+    assert out.loc[2, "text"] == "" and out.loc[2, "n_removed"] == 2
+    assert out.loc[2, "ws_tokens"] == 0
+
+
 def test_minhash_dedup_ray(ray_session):
     import ray
 
