@@ -193,6 +193,9 @@ def main(argv: list[str] | None = None) -> int:
 
     pl = sub.add_parser("plan", help="codec auto-selection plan for parquet input")
     pl.add_argument("inputs", nargs="+")
+    pl.add_argument("--optimize", choices=("balanced", "size"),
+                    default="balanced",
+                    help="same planner frontier switch as `encode`")
 
     tk = sub.add_parser("tokenize", help="BPE: train on the corpus, write "
                                          "per-doc exact token counts")
@@ -356,7 +359,7 @@ def main(argv: list[str] | None = None) -> int:
                         f"plan: no .parquet files found at the top level "
                         f"of {args.inputs[0]!r}")
             schema = pq.read_schema(first).remove_metadata()
-            plan = plan_from_stats(stats, schema)
+            plan = plan_from_stats(stats, schema, optimize=args.optimize)
             print(json.dumps(plan.to_json(), sort_keys=True))
         elif args.cmd == "tokenize":
             from .pipelines.bpe import bpe_tokenize

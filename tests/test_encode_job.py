@@ -84,6 +84,32 @@ def test_encode_job_resume(ray_session, cc_parquet, tmp_path):
     assert verify_job(out)["failed"] == []
 
 
+def test_encode_job_resume_across_optimize_modes(ray_session, cc_parquet,
+                                                 tmp_path):
+    """A killed balanced-mode job resumed with optimize='size' must keep
+    completed partitions' recorded codecs (no re-encode) and encode only
+    the missing ones under the new mode — and verify bit-identical
+    either way (the mode can change SIZE, never values)."""
+    from json_to_parquet_ray.manifest import load_manifest as lm
+    from json_to_parquet_ray.manifest import record_path
+
+    out = str(tmp_path / "enc")
+    encode_job(cc_parquet, out, shared_dict_columns=None)
+    recs = lm(out)
+    survivors = {pid: recs[pid].chunk_file for pid in sorted(recs)[2:]}
+    for pid in sorted(recs)[:2]:
+        os.remove(os.path.join(out, recs[pid].chunk_file))
+        os.remove(record_path(out, pid))
+    summary = encode_job(cc_parquet, out, shared_dict_columns=None,
+                         optimize="size")
+    assert summary["partitions_skipped_resume"] == len(survivors)
+    assert summary["partitions_encoded"] == 2
+    after = lm(out)
+    for pid, chunk in survivors.items():
+        assert after[pid].chunk_file == chunk  # untouched, not re-encoded
+    assert verify_job(out)["failed"] == []
+
+
 def test_encode_job_torn_chunk_detected(ray_session, cc_parquet, tmp_path):
     out = str(tmp_path / "enc")
     encode_job(cc_parquet, out, shared_dict_columns=None)
