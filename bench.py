@@ -244,9 +244,15 @@ def main() -> None:
                  "bloom_pruned_lookup", "paragraph_dedup", "extract_text",
                  "corpus_prepare"]:
         fn = all_queries[name]
-        sec, res = timed(lambda fn=fn: fn(SF_DIR))
-        if hasattr(res, "count"):
-            res.count()  # consume lazily-built datasets
+
+        def run(fn=fn):
+            res = fn(SF_DIR)
+            if hasattr(res, "count"):
+                res.count()  # consume INSIDE the timer: a lazy Dataset's
+                # graph-construction time alone is not the operator cost
+            return res
+
+        sec, _ = timed(run)
         queries[name] = round(sec, 3)
 
     # BPE tokenizer: distributed word census → merge training →

@@ -148,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
     clu.add_argument("--max-rows-per-partition", type=int, default=None)
     clu.add_argument("--consolidate", action="store_true",
                      help="as for encode")
+    clu.add_argument("--optimize", choices=("balanced", "size"),
+                     default="balanced", help="as for encode")
 
     sc = sub.add_parser(
         "scan-stats", help="explain pruning for a filter — chunks / "
@@ -159,6 +161,10 @@ def main(argv: list[str] | None = None) -> int:
     cmp = sub.add_parser("compact", help="merge small chunks (manifest rewrite)")
     cmp.add_argument("out_dir")
     cmp.add_argument("--min-rows", type=int, default=100_000)
+    cmp.add_argument("--optimize", choices=("balanced", "size"),
+                     default=None,
+                     help="planner mode for the merged chunks; default = "
+                          "the mode the store was encoded with")
     cmp.add_argument("--consolidate", action="store_true",
                      help="re-consolidate (and usually re-seal) the "
                           "manifest afterwards — compaction commits "
@@ -261,7 +267,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.inputs, args.out_dir, by=args.by.split(","),
                 bloom_columns=blooms,
                 max_rows_per_partition=args.max_rows_per_partition,
-                consolidate_manifest=args.consolidate)
+                consolidate_manifest=args.consolidate,
+                optimize=args.optimize)
             print(json.dumps(summary))
         elif args.cmd == "verify":
             from .pipelines.encode_job import verify_job
@@ -309,7 +316,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from .pipelines.encode_job import compact_job
 
-            res = compact_job(args.out_dir, min_rows=args.min_rows)
+            res = compact_job(args.out_dir, min_rows=args.min_rows,
+                              optimize=args.optimize)
             res.pop("merged", None)
             if args.consolidate:
                 from .manifest import consolidate

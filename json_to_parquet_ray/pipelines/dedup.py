@@ -109,6 +109,11 @@ def paragraph_dedup(ds, text_col: str = "text", key: str = "doc_id",
     """
     from ..stats import poly_hash_binary
 
+    if min_count < 2:
+        # every paragraph has count >= 1 — min_count 1 (a plausible typo
+        # for "appears more than once") would silently blank the corpus
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
     def count_partial(b: pa.Table) -> pa.Table:
         flat, _ = _explode_paragraphs(b.column(text_col), sep)
         h = poly_hash_binary(flat).view(np.int64)

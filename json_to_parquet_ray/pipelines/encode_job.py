@@ -54,6 +54,35 @@ PLAN_SAMPLE_FRAGS = 16
 PLAN_SAMPLE_ROWS = 4096
 
 
+def _store_optimize_path(out_dir: str) -> str:
+    from ..manifest import manifest_dir
+
+    # top-level file in the manifest dir: record loaders only read
+    # shard-*/part-*.json, so this can never be mistaken for a record
+    return os.path.join(manifest_dir(out_dir), "store_optimize.json")
+
+
+def record_store_optimize(out_dir: str, mode: str) -> None:
+    """Persist the planner mode the store was (last) encoded with, so
+    later maintenance jobs — compaction re-encodes merged chunks — plan
+    under the SAME frontier instead of silently reverting an archival
+    store to balanced codecs. Last writer wins: a resumed run with a
+    different mode governs subsequent maintenance."""
+    write_atomic(_store_optimize_path(out_dir),
+                 json.dumps({"optimize": mode}).encode())
+
+
+def load_store_optimize(out_dir: str) -> str:
+    """The store's recorded planner mode; 'balanced' for stores written
+    before the mode existed (their codecs ARE balanced picks)."""
+    try:
+        with open(_store_optimize_path(out_dir)) as f:
+            mode = json.load(f).get("optimize", "balanced")
+        return mode if mode in ("balanced", "size") else "balanced"
+    except (OSError, ValueError):
+        return "balanced"
+
+
 def build_shared_plan(frags: list[FragmentRef],
                       file_schemas: dict[str, pa.Schema],
                       optimize: str = "balanced") -> CodecPlan | None:
@@ -564,6 +593,7 @@ def encode_job(
     # (zero input fragments) must still satisfy require_store so verify
     # passes vacuously-but-honestly instead of 'not an encoded store'
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    record_store_optimize(out_dir, optimize)  # compaction plans same-mode
 
     file_schemas: dict[str, pa.Schema] = {}
     frags = list_fragments(input_paths, max_rows_per_partition,
@@ -1668,7 +1698,8 @@ def cluster_job(input_paths: list[str] | str, out_dir: str,
     return summary
 
 
-def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
+def compact_job(out_dir: str, min_rows: int = 100_000,
+                optimize: str | None = None) -> dict:
     """Merge runs of small chunks into bigger ones (manifest rewrite).
 
     Consecutive (input-order) chunks are greedily grouped until the group
@@ -1678,10 +1709,20 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
     verify/resume/decode-order keep working (resume marks every covered
     fragment done). Old records+chunks are deleted only after the merged
     chunk is durable; a crash mid-compaction leaves either the old or the
-    new state valid. Merging runs distributed (one task per group)."""
+    new state valid. Merging runs distributed (one task per group).
+
+    Merged chunks re-plan under the store's RECORDED planner mode (see
+    ``record_store_optimize``) — compacting a size-optimized archival
+    store must not silently re-encode its text back to balanced codecs.
+    Pass ``optimize`` explicitly to override."""
     import hashlib
 
     import ray
+
+    if optimize is None:
+        optimize = load_store_optimize(out_dir)
+    elif optimize not in ("balanced", "size"):
+        raise ValueError(f"unknown optimize mode: {optimize!r}")
 
     recs = effective_records(out_dir)
     groups: list[list[PartitionRecord]] = []
@@ -1733,7 +1774,7 @@ def compact_job(out_dir: str, min_rows: int = 100_000) -> dict:
                 sources.extend(m["sources"])
             merged = pa.concat_tables(tables).combine_chunks()
             stats = compute_stats_table(merged)
-            plan = plan_from_stats(stats, merged.schema)
+            plan = plan_from_stats(stats, merged.schema, optimize=optimize)
             blob, header = encode_table(merged, plan,
                                         bloom_columns=sorted(bloom_cols))
             # full paths: basename-only ids collide across same-named shards

@@ -137,8 +137,11 @@ _HTML_STRIP_STEPS = (
     r"(?s)<!--.*?-->",
     r"(?s)<[^>]*>",
 )
-_HTML_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                  ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "))
+# &amp; decodes LAST (the standard rule): decoding it first would turn an
+# escaped entity like '&amp;lt;' into '&lt;' and then a second pass into
+# '<' — double-decoding text the page displayed literally
+_HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
 
 
 def extract_text_batch(batch: pa.Table, col: str = "html",
@@ -151,10 +154,7 @@ def extract_text_batch(batch: pa.Table, col: str = "html",
     Python. A full HTML5 parser (lxml/bs4) is not in this container; at
     100 TB this stage would become an actor-pool ``map_batches`` with the
     parser object built per actor — the plumbing is identical."""
-    s = batch.column(col)
-    if pa.types.is_binary(s.type) or pa.types.is_large_binary(s.type):
-        s = s.cast(pa.large_string())
-    s = s.cast(pa.large_string())
+    s = batch.column(col).cast(pa.large_string())  # binary casts validate UTF-8
     for pat in _HTML_STRIP_STEPS:
         s = pc.replace_substring_regex(s, pat, " ")
     for ent, rep in _HTML_ENTITIES:

@@ -1864,8 +1864,8 @@ RETIRED_ORACLE_SQL = {
         "    '<style\\b[^>]*>.*?</style\\s*>', ' ', 'gis'),"
         "    '<!--.*?-->', ' ', 'gs'),"
         "    '<[^>]*>', ' ', 'gs'),"
-        "  '&amp;','&'),'&lt;','<'),'&gt;','>'),'&quot;',chr(34)),"
-        "  '&#39;',chr(39)),'&nbsp;',' '),"
+        "  '&lt;','<'),'&gt;','>'),'&quot;',chr(34)),"
+        "  '&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),"
         "  '\\s+', ' ', 'g')) AS text"
         " FROM documents ORDER BY doc_id"
     ),

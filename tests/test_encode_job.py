@@ -427,6 +427,30 @@ def test_compact_job_merges_small_chunks(ray_session, tmp_path):
     assert s["partitions_encoded"] == 0
 
 
+def test_compact_job_keeps_store_optimize_mode(ray_session, tmp_path):
+    """Compacting a size-optimized store must re-plan merged chunks under
+    the RECORDED size mode — not silently revert the archival store's
+    text columns to balanced codecs. The mode is persisted at encode
+    time and read back by compact_job."""
+    from json_to_parquet_ray.pipelines.encode_job import (
+        compact_job, load_store_optimize, store_stats,
+    )
+
+    src = str(tmp_path / "many_rg.parquet")
+    write_cc_parquet(src, 2000, seed=17, row_group_size=250)
+    out = str(tmp_path / "enc_size")
+    encode_job(src, out, shared_dict_columns=None, optimize="size")
+    assert load_store_optimize(out) == "size"
+    text_codecs = store_stats(out)["columns"]["text"]["codecs"]
+    assert set(text_codecs) == {"zstd19"}, text_codecs  # size pick on CC text
+
+    res = compact_job(out, min_rows=1000)
+    assert res["chunks_after"] < 8
+    merged_codecs = store_stats(out)["columns"]["text"]["codecs"]
+    assert set(merged_codecs) == {"zstd19"}, merged_codecs
+    assert verify_job(out)["failed"] == []
+
+
 def test_compaction_crash_window_no_duplicates(ray_session, tmp_path):
     """If a crash leaves BOTH a merged record and its covered plain
     records in the manifest, decode/verify must not duplicate rows

@@ -132,6 +132,11 @@ def test_extract_text_batch():
     # binary column decodes identically
     as_bin = html.set_column(1, "html", html.column("html").cast(pa.binary()))
     assert text.extract_text_batch(as_bin).column("text").to_pylist() == got
+    # escaped entities decode ONCE: &amp;lt; is the page literally
+    # displaying '&lt;', not a tag bracket
+    esc = pa.table({"html": pa.array(["&amp;lt;b&amp;gt; and &amp;amp;"])})
+    assert (text.extract_text_batch(esc).column("text").to_pylist()
+            == ["&lt;b&gt; and &amp;"])
 
 
 def test_paragraph_dedup_ray(ray_session):
