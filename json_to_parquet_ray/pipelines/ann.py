@@ -40,6 +40,42 @@ def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
     return vals.astype(dtype, copy=False).reshape(n, int(lens[0]))
 
 
+def quantize_batch(b: pa.Table, vec_col: str = "embedding",
+                   key: str = "vec_id") -> pa.Table:
+    """Per-vector symmetric int8 quantization — the 4x-smaller memory/
+    storage path for 10^12-scale embedding stores: ``scale = max|v|/127``
+    (stored as DOUBLE), ``q_i = floor(v_i/scale + 0.5)`` (half-up; an
+    all-zero vector gets scale 0 and all-zero codes). Cosine similarity
+    survives quantization UNSCALED — ``cos(q·x)/|q||x|`` — because the
+    per-vector scale cancels, so quantized brute-force/IVF search runs
+    directly on int8 codes (int32 accumulate) with no dequantization.
+
+    All arithmetic in float64 (float32 inputs upcast exactly), matching
+    the DuckDB oracle's DOUBLE ops bit-for-bit — IEEE division, add and
+    floor are deterministic, so the emitted codes hash-compare exactly.
+    """
+    m = embedding_matrix(b.column(vec_col))  # float64 (n, d)
+    n, d = m.shape if m.size else (b.num_rows, 0)
+    maxabs = np.abs(m).max(axis=1) if d else np.zeros(n)
+    scale = maxabs / 127.0
+    safe = np.where(scale > 0, scale, 1.0)[:, None]
+    q = np.clip(np.floor(m / safe + 0.5), -127, 127).astype(np.int8)
+    q[maxabs == 0] = 0
+    offs = pa.array(np.arange(n + 1, dtype=np.int64) * d, pa.int64())
+    qlist = pa.LargeListArray.from_arrays(offs, pa.array(q.reshape(-1),
+                                                         pa.int8()))
+    return pa.table({key: b.column(key), "q_vec": qlist,
+                     "q_scale": pa.array(scale, pa.float64())})
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding",
+                        key: str = "vec_id"):
+    """Dataset wrapper: (key, q_vec list<int8>, q_scale float64)."""
+    return ds.map_batches(
+        lambda b: quantize_batch(b, vec_col=vec_col, key=key),
+        batch_format="pyarrow")
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      vec_col: str = "embedding", key: str = "vec_id") -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns (query_id, vec_id, cosine)."""

@@ -1074,6 +1074,17 @@ def q_extract_text(sf_dir: str):
               .map_batches(text.extract_text_batch, batch_format="pyarrow"))
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 quantization of the embeddings table (the 4x
+    memory/storage scale path for vector stores). Codes hash-compare
+    bit-exact against the DuckDB DOUBLE replica — the kernel computes
+    in float64 precisely so IEEE determinism makes the oracle exact."""
+    from .pipelines.ann import quantize_embeddings
+
+    return quantize_embeddings(_read(sf_dir, "embeddings",
+                                     ["vec_id", "embedding"]))
+
+
 def q_corpus_prepare(sf_dir: str):
     """The composite training-corpus pipeline (pipelines/prepare.py) —
     lang filter → length gate → paragraph dedup → exact dedup → token
@@ -1403,6 +1414,9 @@ RETIRED_QUERIES = {
     # corpus_prepare also reserve-born (round 5): the composite pipeline
     # whose five stages each already hold a driver slot individually
     "corpus_prepare": q_corpus_prepare,
+    # embedding_quantize reserve-born (round 5): the vector family holds
+    # three driver slots already (ann_topk/ann_ivf_recall/near_dup)
+    "embedding_quantize": q_embedding_quantize,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1902,6 +1916,19 @@ RETIRED_ORACLE_SQL = {
         "        CAST(length(regexp_extract_all(c.text, '\\S+')) AS BIGINT)"
         "          AS ws_tokens"
         " FROM clean c JOIN keep k USING (doc_id) ORDER BY c.doc_id"
+    ),
+    "embedding_quantize": (
+        "SELECT vec_id,"
+        "  CASE WHEN mx = 0 THEN list_transform(emb, x -> CAST(0 AS TINYINT))"
+        "       ELSE list_transform(emb, x -> CAST(LEAST(GREATEST("
+        "         floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5),"
+        "         -127), 127) AS TINYINT)) END AS q_vec,"
+        "  mx / 127.0 AS q_scale"
+        " FROM (SELECT vec_id, embedding AS emb,"
+        "         list_max(list_transform(embedding,"
+        "                                 x -> abs(CAST(x AS DOUBLE)))) AS mx"
+        "       FROM embeddings)"
+        " ORDER BY vec_id"
     ),
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_part": "SELECT * FROM part",

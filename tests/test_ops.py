@@ -345,6 +345,38 @@ def test_ann_brute_force_and_ivf(ray_session):
     assert rec >= 0.6
 
 
+def test_embedding_quantize_int8(ray_session):
+    """int8 quantization: dequantization error bounded by scale/2 per
+    component, cosine top-k on the CODES agrees with float top-k (the
+    per-vector scale cancels in cosine), zero vectors quantize to zero
+    codes with scale 0."""
+    import ray
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((300, 24))
+    emb[7] = 0.0  # zero vector edge
+    tbl = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array(list(emb.astype(float)), pa.list_(pa.float64())),
+    })
+    out = (ann.quantize_embeddings(ray.data.from_arrow(tbl))
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    q = np.stack(out.q_vec.map(np.asarray)).astype(np.float64)
+    scale = out.q_scale.to_numpy()
+    assert scale[7] == 0.0 and (q[7] == 0).all()
+    err = np.abs(q * scale[:, None] - emb)
+    assert (err <= scale[:, None] / 2 + 1e-12).all()
+
+    # cosine top-10 overlap vs float vectors (scale cancels in cosine)
+    def topk(m, qv, k=10):
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return set(np.argsort(-(mn @ (qv / np.linalg.norm(qv))))[:k])
+
+    query = emb[3]
+    overlap = len(topk(emb, query) & topk(q, query)) / 10
+    assert overlap >= 0.8, overlap
+
+
 def test_embedding_near_dup(ray_session):
     import ray
 
