@@ -194,6 +194,92 @@ def token_stream(text_col, pattern: str = r"\s+"):
     return flat, kept_counts, kept_ends
 
 
+# ----------------------------------------------------- decontamination
+
+_NGRAM_P = np.uint64(1099511628211)  # FNV prime; 64-bit wraparound
+
+
+def _ngram_hash_stream(flat_tokens: pa.Array, counts: np.ndarray,
+                       n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling word-n-gram hashes over a flattened token stream:
+    ``hash(g) = Σ_j token_hash[s+j] · P^j`` for every start ``s`` fully
+    inside one document. Returns (hashes, doc_index_per_hash). n gathers
+    over the flat stream — O(n · tokens), no per-doc Python."""
+    from ..stats import poly_hash_binary
+
+    ends = np.cumsum(counts)
+    per_doc = np.maximum(counts - n + 1, 0)
+    total = int(per_doc.sum())
+    if total == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), per_doc)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(per_doc) - per_doc, per_doc))
+    starts = np.repeat(ends - counts, per_doc) + within
+    h = poly_hash_binary(flat_tokens)
+    acc = np.zeros(total, np.uint64)
+    p = np.uint64(1)
+    for j in range(n):
+        acc += h[starts + j] * p
+        p *= _NGRAM_P
+    return acc, doc_of
+
+
+def eval_ngram_set(eval_texts: list[str], n: int) -> np.ndarray:
+    """Sorted distinct n-gram hashes of the eval/benchmark texts, built
+    with the SAME tokenizer+hash as the corpus side."""
+    flat, counts, _ = token_stream(pa.array(list(eval_texts),
+                                            pa.large_string()))
+    g, _ = _ngram_hash_stream(flat, counts, n)
+    return np.unique(g)
+
+
+def decontaminate(ds, eval_texts: list[str], n: int = 8,
+                  key: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): flag every
+    document sharing at least one word ``n``-gram with any eval text.
+    Returns a Dataset of (key, contaminated bool, ngram_hits int64 —
+    DISTINCT overlapping n-grams per doc).
+
+    Scale shape: the eval-set hash array broadcasts once via ``ray.put``
+    (eval sets are small by definition); the corpus side is one
+    vectorized ``map_batches`` — rolling hashes + ``np.searchsorted``
+    membership — with NO shuffle at all. Overlap keys on 64-bit hashes
+    of exact token sequences; a collision (~#grams²/2^65) can only
+    over-flag, never unflag."""
+    import ray
+
+    ref = ray.put(eval_ngram_set(eval_texts, n))
+
+    class Flag:
+        def __init__(self, ref, n):
+            import ray as _ray
+
+            self.eval_h = _ray.get(ref)
+            self.n = n
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flat, counts, _ = token_stream(b.column(text_col))
+            g, doc_of = _ngram_hash_stream(flat, counts, self.n)
+            hits = np.zeros(b.num_rows, np.int64)
+            if len(g) and len(self.eval_h):
+                pos = np.searchsorted(self.eval_h, g)
+                np.clip(pos, 0, len(self.eval_h) - 1, out=pos)
+                m = self.eval_h[pos] == g
+                if m.any():
+                    # distinct matched grams per doc: unique (doc, hash)
+                    pairs = np.unique(
+                        np.stack([doc_of[m].astype(np.uint64), g[m]]),
+                        axis=1)
+                    np.add.at(hits, pairs[0].astype(np.int64), 1)
+            return pa.table({key: b.column(key),
+                             "contaminated": pa.array(hits > 0),
+                             "ngram_hits": pa.array(hits, pa.int64())})
+
+    return ds.map_batches(Flag, fn_constructor_args=(ref, n),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
 def repetition_ratio_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher-style repetition signal: 1 - distinct_words/words per doc.
     Fully vectorized: per-doc distincts come from one np.unique over

@@ -1074,6 +1074,33 @@ def q_extract_text(sf_dir: str):
               .map_batches(text.extract_text_batch, batch_format="pyarrow"))
 
 
+_EVAL_SPAN = ("alpha bravo charlie delta echo foxtrot golf hotel "
+              "india juliet")
+_EVAL_TEXTS = [_EVAL_SPAN + " extra trailing context"]
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the corpus has no natural eval-set
+    overlap, so both sides append the eval span to every 16th doc
+    (doc_id % 16 == 5) — those docs then share exactly the span's three
+    8-grams with the eval text (its grams crossing into the trailing
+    context never appear in a doc) and everything else stays clean."""
+    from .pipelines.text import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        hit = pc.equal(pc.bit_wise_and(ids, 15), 5)  # doc_id % 16 == 5
+        planted = pc.binary_join_element_wise(
+            b.column("text").cast(pa.string()),
+            pc.if_else(hit, pa.scalar(" " + _EVAL_SPAN), pa.scalar("")), "")
+        return pa.table({"doc_id": ids, "text": planted})
+
+    return decontaminate(ds.map_batches(plant, batch_format="pyarrow"),
+                         _EVAL_TEXTS, n=8)
+
+
 def q_embedding_quantize(sf_dir: str):
     """Symmetric int8 quantization of the embeddings table (the 4x
     memory/storage scale path for vector stores). Codes hash-compare
@@ -1417,6 +1444,9 @@ RETIRED_QUERIES = {
     # embedding_quantize reserve-born (round 5): the vector family holds
     # three driver slots already (ann_topk/ann_ivf_recall/near_dup)
     "embedding_quantize": q_embedding_quantize,
+    # decontaminate reserve-born (round 5): n-gram overlap machinery is
+    # driver-visible via jaccard_pairs/top_bigrams
+    "decontaminate": q_decontaminate,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1916,6 +1946,31 @@ RETIRED_ORACLE_SQL = {
         "        CAST(length(regexp_extract_all(c.text, '\\S+')) AS BIGINT)"
         "          AS ws_tokens"
         " FROM clean c JOIN keep k USING (doc_id) ORDER BY c.doc_id"
+    ),
+    "decontaminate": (
+        "WITH planted AS ("
+        "  SELECT doc_id, text ||"
+        "         (CASE WHEN doc_id % 16 = 5"
+        "               THEN ' alpha bravo charlie delta echo foxtrot golf"
+        " hotel india juliet' ELSE '' END) AS t"
+        "  FROM documents),"
+        " toks AS (SELECT doc_id, regexp_extract_all(t, '\\S+') AS w"
+        "          FROM planted),"
+        " grams AS ("
+        "  SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g"
+        "  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i"
+        "        FROM toks)),"
+        " eval_grams AS ("
+        "  SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS g"
+        "  FROM (SELECT w, unnest(range(1, len(w) - 6)) AS i"
+        "        FROM (SELECT regexp_extract_all("
+        "          'alpha bravo charlie delta echo foxtrot golf hotel india"
+        " juliet extra trailing context', '\\S+') AS w))),"
+        " m AS (SELECT doc_id, COUNT(DISTINCT g) AS cnt FROM grams"
+        "       WHERE g IN (SELECT g FROM eval_grams) GROUP BY doc_id)"
+        " SELECT d.doc_id, COALESCE(m.cnt, 0) > 0 AS contaminated,"
+        "        CAST(COALESCE(m.cnt, 0) AS BIGINT) AS ngram_hits"
+        " FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id"
     ),
     "embedding_quantize": (
         "SELECT vec_id,"

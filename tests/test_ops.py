@@ -377,6 +377,35 @@ def test_embedding_quantize_int8(ray_session):
     assert overlap >= 0.8, overlap
 
 
+def test_decontaminate_ngram_overlap(ray_session):
+    """Eval-overlap flagging: exact n-token match flags, shorter docs
+    never flag, a repeated matched gram counts ONCE per doc, distinct
+    grams accumulate, and an empty eval set flags nothing."""
+    import ray
+
+    span = "a b c d"  # n=4 → one gram
+    docs = [
+        {"doc_id": 0, "text": f"x y {span} z"},         # 1 hit
+        {"doc_id": 1, "text": span},                     # exactly n tokens
+        {"doc_id": 2, "text": "a b c"},                  # shorter than n
+        {"doc_id": 3, "text": f"{span} q {span}"},       # repeat → still 1... plus bridge grams
+        {"doc_id": 4, "text": "p q r s t"},              # clean
+        {"doc_id": 5, "text": f"{span} e"},              # 2 distinct grams
+    ]
+    out = (text.decontaminate(ray.data.from_items(docs).repartition(3),
+                              [span + " e f"], n=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.contaminated.tolist() == [True, True, False, True, False,
+                                         True]
+    # doc 3: 'a b c d' counted once despite appearing twice; 'b c d e'
+    # doesn't occur (q breaks it)
+    assert out.loc[3, "ngram_hits"] == 1
+    assert out.loc[5, "ngram_hits"] == 2  # 'a b c d' + 'b c d e'
+    clean = (text.decontaminate(ray.data.from_items(docs), [], n=4)
+             .to_pandas())
+    assert not clean.contaminated.any()
+
+
 def test_embedding_near_dup(ray_session):
     import ray
 
