@@ -211,6 +211,17 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--vocab-size", type=int, default=4096)
     tk.add_argument("--max-words", type=int, default=50_000)
 
+    dc = sub.add_parser("decontaminate",
+                        help="flag docs sharing a word n-gram with any "
+                             "eval text (benchmark decontamination)")
+    dc.add_argument("inputs", nargs="+")
+    dc.add_argument("parquet_out")
+    dc.add_argument("--eval-file", required=True,
+                    help="text file: one eval document per line")
+    dc.add_argument("--ngram", type=int, default=8)
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--key-col", default="doc_id")
+
     pd_ = sub.add_parser("dedup-paragraphs",
                          help="C4-style boilerplate removal: drop every "
                               "paragraph duplicated across the corpus, "
@@ -380,6 +391,22 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": args.parquet_out,
                               "merges_learned": len(merges),
                               "vocab_size": 256 + len(merges)}))
+        elif args.cmd == "decontaminate":
+            from .pipelines.text import decontaminate
+
+            with open(args.eval_file) as f:
+                eval_texts = [ln.rstrip("\n") for ln in f if ln.strip()]
+            ds = ray.data.read_parquet(
+                args.inputs, columns=[args.key_col, args.text_col])
+            out = decontaminate(ds, eval_texts, n=args.ngram,
+                                key=args.key_col, text_col=args.text_col)
+            out.write_parquet(args.parquet_out)
+            flagged = ray.data.read_parquet(
+                args.parquet_out,
+                columns=["contaminated"]).sum("contaminated") or 0
+            print(json.dumps({"out": args.parquet_out,
+                              "eval_texts": len(eval_texts),
+                              "contaminated_docs": int(flagged)}))
         elif args.cmd == "dedup-paragraphs":
             from .pipelines.dedup import paragraph_dedup
 

@@ -305,3 +305,24 @@ def test_cli_encode_optimize_size(tmp_path):
         ver = run_cli("verify", out)
         assert ver["failed"] == []
     assert sizes["size"] <= sizes["balanced"]
+
+
+def test_cli_decontaminate(tmp_path):
+    """decontaminate flags exactly the docs sharing an n-gram with the
+    eval file and reports the flagged count from the written output."""
+    import pyarrow as pa
+
+    src = tmp_path / "docs.parquet"
+    span = "one two three four five six seven eight"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"intro {span} outro", "totally clean doc here",
+                          "short"]),
+    }), src)
+    ev = tmp_path / "eval.txt"
+    ev.write_text(f"{span} and more\n\nanother eval line\n")
+    out = str(tmp_path / "flags")
+    res = run_cli("decontaminate", str(src), out, "--eval-file", str(ev))
+    assert res == {"out": out, "eval_texts": 2, "contaminated_docs": 1}
+    t = pq.read_table(out).sort_by("doc_id")
+    assert t.column("contaminated").to_pylist() == [True, False, False]
