@@ -242,7 +242,8 @@ def main() -> None:
                  "lang_id", "ann_ivf_recall", "order_lineitem_join",
                  "keyed_store_en", "zonemap_pruned_scan",
                  "bloom_pruned_lookup", "paragraph_dedup", "extract_text",
-                 "corpus_prepare", "embedding_quantize", "decontaminate"]:
+                 "corpus_prepare", "embedding_quantize", "decontaminate",
+                 "pack_sequences"]:
         fn = all_queries[name]
 
         def run(fn=fn):

@@ -1101,6 +1101,16 @@ def q_decontaminate(sf_dir: str):
                          _EVAL_TEXTS, n=8)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing into 512-token bins; the oracle
+    replicates the deterministic order (md5_number_lower) and the global
+    prefix sum with one SQL window function."""
+    from .pipelines.pack import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          budget=512)
+
+
 def q_embedding_quantize(sf_dir: str):
     """Symmetric int8 quantization of the embeddings table (the 4x
     memory/storage scale path for vector stores). Codes hash-compare
@@ -1447,6 +1457,9 @@ RETIRED_QUERIES = {
     # decontaminate reserve-born (round 5): n-gram overlap machinery is
     # driver-visible via jaccard_pairs/top_bigrams
     "decontaminate": q_decontaminate,
+    # pack_sequences reserve-born (round 5): its window-function family
+    # is driver-visible via user_running_value/events_sliding_window
+    "pack_sequences": q_pack_sequences,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1946,6 +1959,19 @@ RETIRED_ORACLE_SQL = {
         "        CAST(length(regexp_extract_all(c.text, '\\S+')) AS BIGINT)"
         "          AS ws_tokens"
         " FROM clean c JOIN keep k USING (doc_id) ORDER BY c.doc_id"
+    ),
+    "pack_sequences": (
+        "WITH t AS ("
+        "  SELECT doc_id,"
+        "         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+        "           AS n_tokens,"
+        "         md5_number_lower(CAST(doc_id AS VARCHAR)) AS ok"
+        "  FROM documents)"
+        " SELECT doc_id, n_tokens,"
+        "        CAST((SUM(n_tokens) OVER (ORDER BY ok, doc_id"
+        "              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "              - n_tokens) // 512 AS BIGINT) AS seq_id"
+        " FROM t ORDER BY doc_id"
     ),
     "decontaminate": (
         "WITH planted AS ("

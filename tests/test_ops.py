@@ -377,6 +377,45 @@ def test_embedding_quantize_int8(ray_session):
     assert overlap >= 0.8, overlap
 
 
+def test_pack_sequences_prefix_scan(ray_session):
+    """Distributed concat-and-chunk must equal the naive sequential
+    packing under the same deterministic order, for any block layout;
+    bin totals (except the last) must reach the budget."""
+    import hashlib
+
+    import ray
+
+    from json_to_parquet_ray.pipelines.pack import pack_sequences
+
+    docs = [{"doc_id": i, "text": " ".join(f"w{j}" for j in
+                                           range((i * 7) % 23 + 1))}
+            for i in range(150)]
+
+    def low64(k):
+        return int.from_bytes(hashlib.md5(str(k).encode()).digest()[8:16],
+                              "little")
+
+    acc, exp = 0, {}
+    for d in sorted(docs, key=lambda d: (low64(d["doc_id"]), d["doc_id"])):
+        n = len(d["text"].split())
+        exp[d["doc_id"]] = (n, acc // 40)
+        acc += n
+
+    for nb in (1, 6):
+        out = (pack_sequences(ray.data.from_items(docs).repartition(nb),
+                              budget=40).to_pandas())
+        got = {r.doc_id: (r.n_tokens, r.seq_id) for r in out.itertuples()}
+        assert got == exp
+    # every bin except the last starts because the previous one FILLED
+    per_bin = out.groupby("seq_id")["n_tokens"].sum().sort_index()
+    assert (per_bin.iloc[:-1].cumsum() >= 40 * np.arange(1, len(per_bin))).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_items(docs), budget=0)
+
+
 def test_decontaminate_ngram_overlap(ray_session):
     """Eval-overlap flagging: exact n-token match flags, shorter docs
     never flag, a repeated matched gram counts ONCE per doc, distinct
