@@ -25,20 +25,19 @@ START), exactly like the SQL window-function replica the oracle runs.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
 def _order_hash(keys: pa.Array) -> np.ndarray:
-    """md5-low64 of the key's decimal string — matches DuckDB
-    ``md5_number_lower(CAST(k AS VARCHAR))`` (UBIGINT) bit-for-bit."""
-    return np.array(
-        [int.from_bytes(hashlib.md5(str(k).encode()).digest()[8:16],
-                        "little") for k in keys.to_pylist()],
-        np.uint64)
+    """md5-low64 of the key's string form — matches DuckDB
+    ``md5_number_lower(CAST(k AS VARCHAR))`` (UBIGINT) bit-for-bit.
+    Delegates to the repo's ONE definition of that parity hash."""
+    from .dedup import _md5_low64
+
+    return np.array([_md5_low64(str(k).encode()) for k in keys.to_pylist()],
+                    np.uint64)
 
 
 def pack_sequences(ds, budget: int = 2048, key: str = "doc_id",
@@ -51,7 +50,10 @@ def pack_sequences(ds, budget: int = 2048, key: str = "doc_id",
         raise ValueError(f"budget must be >= 1, got {budget}")
 
     def prep(b: pa.Table) -> pa.Table:
-        tok = pc.count_substring_regex(b.column(text_col),
+        text = b.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tok = pc.count_substring_regex(text.fill_null(""),
                                        r"\S+").cast(pa.int64())
         ok = _order_hash(b.column(key))
         return pa.table({key: b.column(key), "n_tokens": tok,
@@ -61,18 +63,16 @@ def pack_sequences(ds, budget: int = 2048, key: str = "doc_id",
              .sort(["okey", key]).materialize())
 
     # one batch == one block (batch_size=None), and rows inside a sorted
-    # block are sorted, so (okey[0], key[0]) uniquely identifies the
-    # block and orders blocks globally
+    # block are sorted, so (okey[0], key[0]) identifies the block and
+    # orders blocks globally — key0 keeps the column's own type (string
+    # keys work; nothing casts to int64)
     def summarize(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"okey0": pa.array([], pa.uint64()),
-                             "key0": pa.array([], pa.int64()),
-                             "tok_sum": pa.array([], pa.int64())})
+        n = min(b.num_rows, 1)
         return pa.table({
-            "okey0": b.column("okey").slice(0, 1),
-            "key0": b.column(key).slice(0, 1).cast(pa.int64()),
+            "okey0": b.column("okey").slice(0, n),
+            "key0": b.column(key).slice(0, n),
             "tok_sum": pa.array(
-                [pc.sum(b.column("n_tokens")).as_py() or 0], pa.int64()),
+                [pc.sum(b.column("n_tokens")).as_py() or 0][:n], pa.int64()),
         })
 
     rows = (srt.map_batches(summarize, batch_size=None,
@@ -81,7 +81,16 @@ def pack_sequences(ds, budget: int = 2048, key: str = "doc_id",
     offsets: dict[tuple, int] = {}
     acc = 0
     for r in rows:
-        offsets[(int(r["okey0"]), int(r["key0"]))] = acc
+        bk = (int(r["okey0"]), r["key0"])
+        if bk in offsets:
+            # two blocks starting with the same (hash, key) means
+            # duplicate keys straddle a block boundary — the offset
+            # lookup would be ambiguous; fail loudly rather than bin
+            # a whole block wrong
+            raise ValueError(
+                f"pack_sequences: duplicate key {r['key0']!r} at a block "
+                "boundary — keys must be unique (dedup first)")
+        offsets[bk] = acc
         acc += int(r["tok_sum"])
     off_ref = ray.put(offsets)
 
@@ -94,12 +103,12 @@ def pack_sequences(ds, budget: int = 2048, key: str = "doc_id",
         if off is None:
             off = _off_cache["o"] = ray.get(off_ref)
         base = off[(int(b.column("okey")[0].as_py()),
-                    int(b.column(key)[0].as_py()))]
+                    b.column(key)[0].as_py())]
         tok = b.column("n_tokens").to_numpy(zero_copy_only=False)
         before = base + np.cumsum(tok) - tok
         return pa.table({key: b.column(key), "n_tokens": b.column("n_tokens"),
                          "seq_id": pa.array(before // budget, pa.int64())})
 
-    out = srt.map_batches(assign, batch_size=None, batch_format="pyarrow")
-    out._pack_offsets = off_ref  # pin the broadcast until consumed
-    return out
+    # the assign closure holds off_ref, which pins the broadcast object
+    # through Ray's reference counting until the (lazy) result is consumed
+    return srt.map_batches(assign, batch_size=None, batch_format="pyarrow")

@@ -219,9 +219,10 @@ def _ngram_hash_stream(flat_tokens: pa.Array, counts: np.ndarray,
     h = poly_hash_binary(flat_tokens)
     acc = np.zeros(total, np.uint64)
     p = np.uint64(1)
-    for j in range(n):
-        acc += h[starts + j] * p
-        p *= _NGRAM_P
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        for j in range(n):
+            acc += h[starts + j] * p
+            p *= _NGRAM_P
     return acc, doc_of
 
 
@@ -249,6 +250,10 @@ def decontaminate(ds, eval_texts: list[str], n: int = 8,
     over-flag, never unflag."""
     import ray
 
+    if n < 1:
+        # n <= 0 would make every gram hash 0 on both sides and silently
+        # flag the whole corpus
+        raise ValueError(f"n must be >= 1, got {n}")
     ref = ray.put(eval_ngram_set(eval_texts, n))
 
     class Flag:

@@ -416,6 +416,47 @@ def test_pack_sequences_prefix_scan(ray_session):
         pack_sequences(ray.data.from_items(docs), budget=0)
 
 
+def test_pack_sequences_string_keys_and_null_text(ray_session):
+    """Generic keys: a string key column must work end-to-end (no int
+    casts anywhere); null text packs as zero tokens."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.pack import pack_sequences
+
+    docs = [{"url": f"https://ex.com/{i}",
+             "text": None if i == 3 else "a b c"} for i in range(10)]
+    out = (pack_sequences(ray.data.from_items(docs).repartition(3),
+                          budget=5, key="url")
+           .to_pandas().set_index("url"))
+    assert len(out) == 10
+    assert out.loc["https://ex.com/3", "n_tokens"] == 0
+    assert out.n_tokens.sum() == 27
+    # bins are contiguous from 0 and every doc's bin is within range
+    assert set(out.seq_id) == set(range(out.seq_id.max() + 1))
+    assert out.seq_id.max() <= 27 // 5
+
+
+def test_pack_sequences_duplicate_keys(ray_session):
+    """Duplicate keys: Ray's range-partitioned sort co-locates exact
+    sort-key ties in one block (verified here — the in-code duplicate
+    guard is defense-in-depth for a changed sort implementation), and
+    the packed seq_id multiset matches naive concat-and-chunk."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.pack import pack_sequences
+
+    docs = ([{"doc_id": 1, "text": "x y z"}] * 100
+            + [{"doc_id": 2, "text": "x y z"}] * 100)
+    out = (pack_sequences(ray.data.from_items(docs).repartition(8),
+                          budget=7).to_pandas())
+    assert len(out) == 200 and out.n_tokens.sum() == 600
+    # the 600-token stream cuts into ceil(600/7) bins; each doc starts
+    # at a multiple-of-3 offset, so bins hold 2-3 docs
+    assert out.seq_id.max() == (600 - 3) // 7
+    sizes = out.groupby("seq_id").size().sort_index()
+    assert set(sizes.iloc[:-1]) <= {2, 3}  # final bin may be partial
+
+
 def test_decontaminate_ngram_overlap(ray_session):
     """Eval-overlap flagging: exact n-token match flags, shorter docs
     never flag, a repeated matched gram counts ONCE per doc, distinct
@@ -443,6 +484,16 @@ def test_decontaminate_ngram_overlap(ray_session):
     clean = (text.decontaminate(ray.data.from_items(docs), [], n=4)
              .to_pandas())
     assert not clean.contaminated.any()
+    with pytest.raises(ValueError):
+        text.decontaminate(ray.data.from_items(docs), [span], n=0)
+    # the rolling hash's mod-2^64 wraparound must be silent
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        from json_to_parquet_ray.pipelines.text import _ngram_hash_stream
+        flat, counts, _ = text.token_stream(pa.array(["a b c d e f g h i"]))
+        _ngram_hash_stream(flat, counts, 8)
 
 
 def test_embedding_near_dup(ray_session):
