@@ -37,6 +37,14 @@ def __getattr__(name):
         "plan_from_stats": ("json_to_parquet_ray.plan", "plan_from_stats"),
         "json_to_parquet_job": ("json_to_parquet_ray.json_source", "json_to_parquet_job"),
         "infer_json_schema": ("json_to_parquet_ray.schema_infer", "infer_json_schema"),
+        # round-5 training-data operators
+        "paragraph_dedup": ("json_to_parquet_ray.pipelines.dedup", "paragraph_dedup"),
+        "exact_dedup": ("json_to_parquet_ray.pipelines.dedup", "exact_dedup"),
+        "extract_text_batch": ("json_to_parquet_ray.pipelines.text", "extract_text_batch"),
+        "decontaminate": ("json_to_parquet_ray.pipelines.text", "decontaminate"),
+        "prepare_corpus": ("json_to_parquet_ray.pipelines.prepare", "prepare_corpus"),
+        "pack_sequences": ("json_to_parquet_ray.pipelines.pack", "pack_sequences"),
+        "quantize_embeddings": ("json_to_parquet_ray.pipelines.ann", "quantize_embeddings"),
     }
     if name in surface:
         import importlib

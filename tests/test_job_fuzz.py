@@ -156,3 +156,79 @@ def test_bloom_eq_lookup_fuzz_matches_post_filter(ray_session,
                                         t.column(col).to_pylist())
                   if x in wanted and x is not None)
     assert got == want, (col, zf)
+
+
+# ------------------------------------------------- text-op fuzz vs naive
+
+_para_vocab = st.sampled_from(
+    ["dup one", "dup two", "unique %d", "", "x", "multi word paragraph"])
+
+
+@settings(max_examples=_EXAMPLES, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_fuzz_paragraph_dedup_vs_naive(ray_session, data):
+    """Random paragraph corpora (dup-heavy tiny vocab + uniques + empties)
+    must match the naive counter reference for random min_count."""
+    import ray
+
+    from json_to_parquet_ray.pipelines.dedup import paragraph_dedup
+
+    n = data.draw(st.integers(0, 40))
+    docs = []
+    for i in range(n):
+        ps = data.draw(st.lists(_para_vocab, min_size=1, max_size=5))
+        ps = [p % i if "%d" in p else p for p in ps]
+        docs.append({"doc_id": i, "text": "\n\n".join(ps)})
+    mc = data.draw(st.integers(2, 4))
+    nb = data.draw(st.sampled_from([1, 3, 7]))
+    if n == 0:
+        return  # from_items requires rows; empty corpus covered elsewhere
+    out = (paragraph_dedup(ray.data.from_items(docs).repartition(nb),
+                           min_count=mc)
+           .to_pandas().set_index("doc_id"))
+
+    from collections import Counter
+    counts = Counter()
+    for d in docs:
+        counts.update(d["text"].split("\n\n"))
+    for d in docs:
+        ps = d["text"].split("\n\n")
+        kept = [p for p in ps if counts[p] < mc]
+        assert out.loc[d["doc_id"], "text"] == "\n\n".join(kept)
+        assert out.loc[d["doc_id"], "n_removed"] == len(ps) - len(kept)
+
+
+@settings(max_examples=_EXAMPLES, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_fuzz_pack_sequences_vs_naive(ray_session, data):
+    """Random token counts, budgets and block layouts must equal naive
+    sequential concat-and-chunk under the deterministic md5 order."""
+    import hashlib
+
+    import ray
+
+    from json_to_parquet_ray.pipelines.pack import pack_sequences
+
+    n = data.draw(st.integers(1, 60))
+    docs = [{"doc_id": i,
+             "text": " ".join("w" for _ in range(data.draw(
+                 st.integers(0, 12))))}
+            for i in range(n)]
+    budget = data.draw(st.integers(1, 30))
+    nb = data.draw(st.sampled_from([1, 4, 9]))
+    out = (pack_sequences(ray.data.from_items(docs).repartition(nb),
+                          budget=budget)
+           .to_pandas().set_index("doc_id"))
+
+    def low64(k):
+        return int.from_bytes(hashlib.md5(str(k).encode()).digest()[8:16],
+                              "little")
+
+    acc = 0
+    for d in sorted(docs, key=lambda d: (low64(d["doc_id"]), d["doc_id"])):
+        tok = len(d["text"].split())
+        assert out.loc[d["doc_id"], "n_tokens"] == tok
+        assert out.loc[d["doc_id"], "seq_id"] == acc // budget
+        acc += tok
