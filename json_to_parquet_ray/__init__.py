@@ -45,6 +45,8 @@ def __getattr__(name):
         "prepare_corpus": ("json_to_parquet_ray.pipelines.prepare", "prepare_corpus"),
         "pack_sequences": ("json_to_parquet_ray.pipelines.pack", "pack_sequences"),
         "quantize_embeddings": ("json_to_parquet_ray.pipelines.ann", "quantize_embeddings"),
+        "stratified_sample": ("json_to_parquet_ray.pipelines.mix", "stratified_sample"),
+        "weighted_mix": ("json_to_parquet_ray.pipelines.mix", "weighted_mix"),
     }
     if name in surface:
         import importlib

@@ -97,6 +97,47 @@ def bernoulli_sample(ds, key_col: str, rate: float, hash_fn: str = "fast"):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def stratified_sample(ds, rates: dict, group_col: str, key_col: str,
+                      default_rate: float = 1.0, hash_fn: str = "fast"):
+    """Per-GROUP deterministic rate-sampling in one pass — corpus
+    rebalancing ("downsample en to 25%, keep low-resource langs whole")
+    without splitting the Dataset per group: each row's threshold comes
+    from its ``group_col`` value (``rates`` dict, ``default_rate`` for
+    unlisted or null groups), the keep decision from the same
+    hash-Bernoulli rule as ``bernoulli_sample`` (retry/layout/append
+    stable, md5 family DuckDB-replicable).
+
+    Vectorized: groups dictionary-encode per batch, so the Python rate
+    lookup runs once per DISTINCT group per batch; the row-level work is
+    one hash compare. No shuffle — sampling a grouped corpus never
+    moves it."""
+    def thr(rate: float) -> np.uint64:
+        if rate >= 1.0:
+            return np.uint64(_SCALE)  # hashes are < 2^32 → always kept
+        return np.uint64(int(rate * _SCALE)) if rate > 0 else np.uint64(0)
+
+    rate_thr = {k: thr(v) for k, v in rates.items()}
+    default_thr = thr(default_rate)
+    h = _HASHES[hash_fn]
+
+    def pick(b: pa.Table) -> pa.Table:
+        groups = b.column(group_col).combine_chunks()
+        enc = groups.dictionary_encode()
+        per_value = np.array(
+            [rate_thr.get(v, default_thr)
+             for v in enc.dictionary.to_pylist()] or [default_thr],
+            np.uint64)
+        idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        row_thr = np.where(idx >= 0, per_value[idx], default_thr)
+        keys = b.column(key_col).combine_chunks()
+        keep = h(keys) < row_thr
+        if keys.null_count:  # null keys are never sampled (SQL parity)
+            keep &= keys.is_valid().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def weighted_mix(parts, key_col: str, hash_fn: str = "fast",
                  label_col: str = "mix_source"):
     """Mix corpora at per-corpus rates: ``parts`` is

@@ -1101,6 +1101,17 @@ def q_decontaminate(sf_dir: str):
                          _EVAL_TEXTS, n=8)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-lang rebalancing: en down to 25%, fr to 50%, others whole —
+    md5 hash family so DuckDB replicates the keep predicate exactly."""
+    from .pipelines.mix import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, {"en": 0.25, "fr": 0.5},
+                             group_col="lang", key_col="doc_id",
+                             hash_fn="md5")
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing into 512-token bins; the oracle
     replicates the deterministic order (md5_number_lower) and the global
@@ -1460,6 +1471,9 @@ RETIRED_QUERIES = {
     # pack_sequences reserve-born (round 5): its window-function family
     # is driver-visible via user_running_value/events_sliding_window
     "pack_sequences": q_pack_sequences,
+    # stratified_sample reserve-born (round 5): its hash-Bernoulli family
+    # is driver-visible via sample_docs and pytest-oracled via mix.py
+    "stratified_sample": q_stratified_sample,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1959,6 +1973,15 @@ RETIRED_ORACLE_SQL = {
         "        CAST(length(regexp_extract_all(c.text, '\\S+')) AS BIGINT)"
         "          AS ws_tokens"
         " FROM clean c JOIN keep k USING (doc_id) ORDER BY c.doc_id"
+    ),
+    "stratified_sample": (
+        "SELECT doc_id, lang FROM documents"
+        " WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "       AS BIGINT) % 4294967296 <"
+        "   (CASE lang WHEN 'en' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)"
+        "              WHEN 'fr' THEN CAST(floor(0.5 * 4294967296) AS BIGINT)"
+        "              ELSE 4294967296 END)"
+        " ORDER BY doc_id"
     ),
     "pack_sequences": (
         "WITH t AS ("

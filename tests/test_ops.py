@@ -1059,6 +1059,43 @@ def test_weighted_mix_md5_matches_duckdb(ray_session):
     assert 0 < len(got) < 500
 
 
+def test_stratified_sample_per_group_rates(ray_session):
+    """Per-group rates: each group keeps ~rate of its rows with the SAME
+    rows the flat bernoulli_sample would keep at that rate (one shared
+    rule, grouped lookup); unlisted and null groups use default_rate;
+    rate 0 empties its group; layout-invariant."""
+    import ray
+
+    from json_to_parquet_ray.pipelines import mix
+
+    n = 1200
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array((["en", "de", "fr", None] * (n // 4)),
+                         pa.string()),
+    })
+    rates = {"en": 0.25, "fr": 1.0, "zz": 0.9, "de": 0.0}
+    base = {}
+    for nb in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(nb)
+        out = (mix.stratified_sample(ds, rates, "lang", "doc_id",
+                                     default_rate=0.5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        base[nb] = out
+    pd.testing.assert_frame_equal(base[1], base[5])
+    out = base[1]
+    g = out.groupby(out.lang.fillna("<null>")).size()
+    assert "de" not in g  # rate 0 → empty
+    assert g.get("fr", 0) == n // 4  # rate 1 → everything
+    assert 0 < g.get("en", 0) < n // 4
+    # null group sampled at default_rate, against the flat-sample rows
+    flat = (mix.bernoulli_sample(
+        ray.data.from_arrow(tbl.filter(pa.compute.is_null(tbl["lang"]))),
+        "doc_id", 0.5).to_pandas())
+    assert (sorted(out[out.lang.isna()].doc_id)
+            == sorted(flat.doc_id))
+
+
 def test_weighted_mix_deterministic_and_layout_free(ray_session):
     """Fast-family sampling: identical selection at any batch layout,
     rate within KMV-ish tolerance, rate>=1 keeps everything."""
