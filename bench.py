@@ -243,7 +243,7 @@ def main() -> None:
                  "keyed_store_en", "zonemap_pruned_scan",
                  "bloom_pruned_lookup", "paragraph_dedup", "extract_text",
                  "corpus_prepare", "embedding_quantize", "decontaminate",
-                 "pack_sequences", "stratified_sample"]:
+                 "pack_sequences", "stratified_sample", "canonical_urls"]:
         fn = all_queries[name]
 
         def run(fn=fn):

@@ -46,6 +46,7 @@ def __getattr__(name):
         "pack_sequences": ("json_to_parquet_ray.pipelines.pack", "pack_sequences"),
         "quantize_embeddings": ("json_to_parquet_ray.pipelines.ann", "quantize_embeddings"),
         "stratified_sample": ("json_to_parquet_ray.pipelines.mix", "stratified_sample"),
+        "canonicalize_urls_batch": ("json_to_parquet_ray.pipelines.text", "canonicalize_urls_batch"),
         "weighted_mix": ("json_to_parquet_ray.pipelines.mix", "weighted_mix"),
     }
     if name in surface:

@@ -194,6 +194,40 @@ def token_stream(text_col, pattern: str = r"\s+"):
     return flat, kept_counts, kept_ends
 
 
+# --------------------------------------------------- url canonicalization
+
+_URL_HEAD_RE = r"^(?P<head>[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(?P<rest>[\s\S]*)$"
+_URL_TRACK_RE = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?"
+
+
+def canonicalize_urls_batch(batch: pa.Table, col: str = "url",
+                            out: str | None = None) -> pa.Table:
+    """Canonical URL form for dedup/grouping: lowercase scheme+authority,
+    fragment stripped, tracking parameters (utm_*, fbclid, gclid)
+    removed, dangling ``?``/``&`` tidied. Strings without a scheme pass
+    through unchanged (relative links are not guessed at). All RE2
+    kernels; the exact patterns run verbatim in the DuckDB oracle.
+    Path/query CASE is preserved — it is significant on most servers."""
+    s = batch.column(col)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    s = s.cast(pa.large_string())
+    m = pc.extract_regex(s, _URL_HEAD_RE)
+    head = pc.utf8_lower(pc.struct_field(m, "head"))
+    rest = pc.struct_field(m, "rest")
+    rest = pc.replace_substring_regex(rest, r"(?s)#.*$", "")
+    rest = pc.replace_substring_regex(rest, _URL_TRACK_RE, "")
+    rest = pc.replace_substring_regex(rest, r"\?&", "?")
+    rest = pc.replace_substring_regex(rest, r"[?&]+$", "")
+    joined = pc.binary_join_element_wise(
+        head, rest, pa.scalar("", pa.large_string()))
+    canon = pc.if_else(m.is_valid(), joined, s)
+    idx = batch.column_names.index(col) if out is None else None
+    if idx is not None:
+        return batch.set_column(idx, col, canon)
+    return batch.append_column(out, canon)
+
+
 # ----------------------------------------------------- decontamination
 
 _NGRAM_P = np.uint64(1099511628211)  # FNV prime; 64-bit wraparound

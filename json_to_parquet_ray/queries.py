@@ -1101,6 +1101,31 @@ def q_decontaminate(sf_dir: str):
                          _EVAL_TEXTS, n=8)
 
 
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization over deterministically PLANTED messy urls
+    (the documents table has no url column): mixed-case scheme/host,
+    tracking params interleaved with real ones, fragments on even ids —
+    so every rule (lowercase head, strip fragment/tracking, tidy ?&)
+    is exercised and the oracle value-checks the full canonical form."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").cast(pa.string())
+        frag = pc.if_else(
+            pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0),
+            pa.scalar("#Section-2"), pa.scalar(""))
+        url = pc.binary_join_element_wise(
+            pa.array(["HTTPS://WWW.Example"] * len(b)), ids,
+            ".COM/", b.column("source").cast(pa.string()),
+            "/Doc-", ids, "?utm_source=Feed&id=", ids,
+            "&fbclid=AbC&ref=Home", frag, "")
+        return pa.table({"doc_id": b.column("doc_id"), "url": url})
+
+    return (ds.map_batches(plant, batch_format="pyarrow")
+              .map_batches(text.canonicalize_urls_batch,
+                           batch_format="pyarrow"))
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-lang rebalancing: en down to 25%, fr to 50%, others whole —
     md5 hash family so DuckDB replicates the keep predicate exactly."""
@@ -1474,6 +1499,9 @@ RETIRED_QUERIES = {
     # stratified_sample reserve-born (round 5): its hash-Bernoulli family
     # is driver-visible via sample_docs and pytest-oracled via mix.py
     "stratified_sample": q_stratified_sample,
+    # canonical_urls reserve-born (round 5): the regex-rewrite family is
+    # driver-visible via normalize_text
+    "canonical_urls": q_canonical_urls,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_part": q_roundtrip_part,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1973,6 +2001,30 @@ RETIRED_ORACLE_SQL = {
         "        CAST(length(regexp_extract_all(c.text, '\\S+')) AS BIGINT)"
         "          AS ws_tokens"
         " FROM clean c JOIN keep k USING (doc_id) ORDER BY c.doc_id"
+    ),
+    "canonical_urls": (
+        "WITH planted AS ("
+        "  SELECT doc_id,"
+        "    'HTTPS://WWW.Example' || CAST(doc_id AS VARCHAR) || '.COM/'"
+        "    || source || '/Doc-' || CAST(doc_id AS VARCHAR)"
+        "    || '?utm_source=Feed&id=' || CAST(doc_id AS VARCHAR)"
+        "    || '&fbclid=AbC&ref=Home'"
+        "    || (CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END)"
+        "    AS u"
+        "  FROM documents)"
+        " SELECT doc_id,"
+        "   CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://')"
+        "   THEN lower(regexp_extract(u,"
+        "          '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)) ||"
+        "     regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "       regexp_extract(u,"
+        "         '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([\\s\\S]*)$', 1),"
+        "       '#.*$', '', 's'),"
+        "       '(?:utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?', '', 'g'),"
+        "       '\\?&', '?', 'g'),"
+        "       '[?&]+$', '', 'g')"
+        "   ELSE u END AS url"
+        " FROM planted ORDER BY doc_id"
     ),
     "stratified_sample": (
         "SELECT doc_id, lang FROM documents"

@@ -457,6 +457,32 @@ def test_pack_sequences_duplicate_keys(ray_session):
     assert set(sizes.iloc[:-1]) <= {2, 3}  # final bin may be partial
 
 
+def test_canonicalize_urls_batch():
+    """Lowercase scheme+host only (path case preserved), fragment and
+    tracking params stripped wherever they sit, dangling ?/& tidied,
+    schemeless strings untouched, nulls propagate."""
+    t = pa.table({"url": pa.array([
+        "HTTP://Example.COM/Path?a=1&utm_source=x&fbclid=Y#frag",
+        "https://Host.org/?utm_campaign=z",
+        "https://h.io/p?utm_a=1&b=2&utm_c=3&gclid=g",
+        "no-scheme/path?utm_x=1",
+        "https://a.b/#only-frag",
+        None, "",
+    ])})
+    got = text.canonicalize_urls_batch(t).column("url").to_pylist()
+    assert got == [
+        "http://example.com/Path?a=1",
+        "https://host.org/",
+        "https://h.io/p?b=2",
+        "no-scheme/path?utm_x=1",
+        "https://a.b/",
+        None, "",
+    ]
+    # out= appends instead of replacing
+    t2 = text.canonicalize_urls_batch(t, out="canon")
+    assert t2.column_names == ["url", "canon"]
+
+
 def test_decontaminate_ngram_overlap(ray_session):
     """Eval-overlap flagging: exact n-token match flags, shorter docs
     never flag, a repeated matched gram counts ONCE per doc, distinct
